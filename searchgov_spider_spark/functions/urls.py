@@ -1,0 +1,154 @@
+"""URL canonicalization and URL-part functions.
+
+Rebuild of the semantics the reference gets from w3lib/scrapy request
+fingerprinting (reference: search_gov_spiders/job_state/dupefilter.py:8-25 —
+canonical URL before hashing) and elasticsearch/i14y_helper.py:145-181
+(ensure_http_prefix, get_url_path, get_base_extension, get_domain_name).
+Implementation is original, written against the documented behavior:
+
+  canonicalize(url) =
+    lowercase scheme + host, strip default port, strip fragment,
+    sort query parameters (key, value) keeping duplicates and blanks,
+    resolve path dot-segments, '' path -> '/'.
+
+Hot path: ``canonicalize_udf`` is an Arrow-batched pandas UDF (no per-row
+Python at the DataFrame layer); ``url_hash_col`` is native xxhash64.
+"""
+
+from __future__ import annotations
+
+import posixpath
+from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+
+def ensure_http_prefix(url: str) -> str:
+    """Prefix scheme-less URLs with https:// (i14y_helper.py:145-147 parity)."""
+    if url is None:
+        return None
+    return url if url.startswith(("http://", "https://")) else f"https://{url}"
+
+
+def _normalize_path(path: str) -> str:
+    if not path:
+        return "/"
+    # resolve /./ and /../ segments without touching trailing-slash intent
+    normalized = posixpath.normpath(path)
+    if path.endswith("/") and not normalized.endswith("/"):
+        normalized += "/"
+    if normalized == ".":
+        return "/"
+    if not normalized.startswith("/"):
+        normalized = "/" + normalized
+    return normalized
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Canonical form used for dedup fingerprinting.
+
+    Deterministic, idempotent: canonicalize(canonicalize(u)) == canonicalize(u).
+    """
+    if url is None:
+        return None
+    url = url.strip()
+    if not url.lower().startswith(("http://", "https://")):
+        url = ensure_http_prefix(url)
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = (parts.scheme or "https").lower()
+    host = (parts.hostname or "").lower()
+    port = None
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    netloc = host
+    if port is not None and port != DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    if parts.username:
+        cred = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{cred}@{netloc}"
+    path = _normalize_path(parts.path)
+    query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def get_url_path(url: str) -> str:
+    return urlsplit(ensure_http_prefix(url)).path
+
+
+def get_domain_name(url: str) -> str:
+    return urlsplit(ensure_http_prefix(url)).netloc
+
+
+def get_base_extension(url: str) -> tuple[str, str]:
+    """(basename, extension-without-dot) of the URL path."""
+    path = get_url_path(url)
+    base = posixpath.basename(path)
+    if "." in base:
+        stem, _, ext = base.rpartition(".")
+        return stem, ext
+    return base, ""
+
+
+# ---------------------------------------------------------------------------
+# Vectorized UDFs (Arrow-batched; the only Python in the canonicalize hot path)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_url, na_action="ignore")
+
+
+# ---------------------------------------------------------------------------
+# Native Column builders (JVM-side fast paths)
+# ---------------------------------------------------------------------------
+
+def url_hash_col(canon_url: Column | str) -> Column:
+    """64-bit frontier identity hash of the canonical URL (JVM xxhash64).
+
+    The identity hash is never salted — salting applies only to shuffle
+    keys (SURVEY.md §7 hard part (d)).
+    """
+    return F.xxhash64(canon_url)
+
+
+def url_host_col(url: Column | str) -> Column:
+    """Hostname, lowercased (native try_parse_url — stays in codegen).
+
+    try_parse_url, not parse_url: crawl candidates contain malformed URLs
+    (javascript: links, whitespace) and a single bad row must yield null,
+    not abort the stage.
+    """
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def url_path_col(url: Column | str) -> Column:
+    return F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+
+
+def url_query_col(url: Column | str) -> Column:
+    return F.try_parse_url(url, F.lit("QUERY"))
+
+
+def url_extension_col(url: Column | str) -> Column:
+    """Lowercased file extension of the URL path ('' when none)."""
+    return F.lower(F.regexp_extract(url_path_col(url), r"\.([A-Za-z0-9]+)$", 1))
+
+
+def ensure_http_prefix_col(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    return F.when(c.rlike(r"^https?://"), c).otherwise(F.concat(F.lit("https://"), c))
+
+
+def url_sha256_col(url: Column | str) -> Column:
+    """Document id = sha256 of the (http-prefixed) URL (i14y_helper.py:170-173)."""
+    return F.sha2(ensure_http_prefix_col(url), 256)

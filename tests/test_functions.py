@@ -1,0 +1,182 @@
+"""Unit tests for the scalar layer (behavior specs from the reference's
+tests: test_content.py, test_helpers.py, test_encoding.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchgov_spider_spark.functions import content_type as ct
+from searchgov_spider_spark.functions import dates, encoding, hashing, language, text, urls
+
+
+# --- URLs -------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "raw,canon",
+    [
+        ("HTTP://Example.GOV:80/a/b/../c?b=2&a=1#frag", "http://example.gov/a/c?a=1&b=2"),
+        ("https://example.gov:443/", "https://example.gov/"),
+        ("example.gov/path", "https://example.gov/path"),
+        ("https://example.gov", "https://example.gov/"),
+        ("https://example.gov/a/./b/", "https://example.gov/a/b/"),
+        ("https://example.gov/?q=", "https://example.gov/?q="),
+    ],
+)
+def test_canonicalize(raw, canon):
+    assert urls.canonicalize_url(raw) == canon
+    # idempotent
+    assert urls.canonicalize_url(canon) == canon
+
+
+def test_url_parts():
+    assert urls.get_url_path("example.gov/a/b.pdf?x=1") == "/a/b.pdf"
+    assert urls.get_domain_name("https://www.example.gov/a") == "www.example.gov"
+    assert urls.get_base_extension("https://x.gov/dir/Report.PDF") == ("Report", "PDF")
+    assert urls.get_base_extension("https://x.gov/dir/") == ("", "")
+    assert urls.ensure_http_prefix("x.gov") == "https://x.gov"
+    assert urls.ensure_http_prefix("http://x.gov") == "http://x.gov"
+
+
+def test_url_cols(spark):
+    df = spark.createDataFrame(
+        [("https://Example.GOV/a/b.PDF?q=1",), ("https://x.gov/plain",)], ["url"]
+    )
+    row = df.select(
+        urls.url_host_col("url").alias("host"),
+        urls.url_extension_col("url").alias("ext"),
+        urls.url_query_col("url").alias("q"),
+        urls.url_sha256_col("url").alias("id"),
+    ).collect()
+    assert row[0]["host"] == "example.gov"
+    assert row[0]["ext"] == "pdf"
+    assert row[0]["q"] == "q=1"
+    assert len(row[0]["id"]) == 64
+    assert row[1]["q"] is None
+
+
+def test_canonicalize_udf(spark):
+    df = spark.createDataFrame([("HTTP://A.Gov/x/../y?b=1&a=2",)], ["url"])
+    out = df.select(urls.canonicalize_udf("url").alias("c")).first()["c"]
+    assert out == "http://a.gov/y?a=2&b=1"
+
+
+# --- text sanitize (spec of reference test_content.py) ----------------
+
+def test_sanitize_text():
+    assert text.sanitize_text(None) is None
+    assert text.sanitize_text("") is None
+    assert text.sanitize_text("  hello   world ") == "hello world"
+    assert text.sanitize_text("a&#13;b") == "a b"
+    assert text.sanitize_text("a&nbsp;b") == "a b"
+    assert text.sanitize_text("line1\n\nline2") == "line1 line2"
+    assert text.sanitize_text("bad\x00char\x07s") == "badchars"
+    assert text.replace_whitespace("a\t\nb  c") == "a b c"
+    assert text.trim_whitespace(None) == ""
+
+
+def test_sanitize_col_matches_pure(spark):
+    cases = ["  hello   world ", "a&#13;b", "a&nbsp;b", "bad\x00chars", "x\ty\nz"]
+    df = spark.createDataFrame([(c,) for c in cases], ["t"])
+    got = [r["s"] for r in df.select(text.sanitize_text_col("t").alias("s")).collect()]
+    assert got == [text.sanitize_text(c) for c in cases]
+
+
+def test_separate_file_name():
+    assert text.separate_file_name("camelCaseFile.pdf") == "camel Case File"
+    # the boundary regex yields an empty segment between '_' and the digit
+    # boundary, so a double space appears — same as the reference behavior
+    assert text.separate_file_name("snake_case_2024.txt") == "snake case  2024"
+
+
+def test_force_bool():
+    assert text.force_bool("TRUE") is True
+    assert text.force_bool("True") is True
+    assert text.force_bool("false") is False
+    assert text.force_bool(None) is False
+    assert text.force_bool(1) is False
+
+
+# --- hashing -----------------------------------------------------------
+
+def test_spider_id_golden():
+    # stable: shake_256 of concatenated args, 5-byte hexdigest
+    sid = hashing.spider_id("name", ["a.gov"], ["https://a.gov"], False)
+    assert len(sid) == 10
+    assert sid == hashing.spider_id("name", ["a.gov"], ["https://a.gov"], False)
+    with pytest.raises(ValueError):
+        hashing.spider_id()
+
+
+def test_portable_hash32_matches_duckdb():
+    import duckdb
+
+    for s in ["hello", "7|the quick brown", ""]:
+        duck = duckdb.sql(
+            f"select cast(('0x' || substr(md5('{s}'), 1, 8)) as bigint)"
+        ).fetchone()[0]
+        assert hashing.portable_hash32(s) == duck
+
+
+def test_portable_hash32_col(spark):
+    df = spark.createDataFrame([("hello",), ("world",)], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", hashing.portable_hash32_col("s").alias("h")).collect()}
+    assert got == {s: hashing.portable_hash32(s) for s in ("hello", "world")}
+
+
+# --- content type (spec of reference test_helpers.py) -------------------
+
+def test_content_type():
+    assert ct.is_valid_content_type("text/html; charset=utf-8", "csv") is True
+    assert ct.is_valid_content_type("application/pdf", "elasticsearch") is True
+    assert ct.is_valid_content_type("text/plain", "elasticsearch") is False
+    assert ct.is_valid_content_type("image/png", "csv") is False
+    assert ct.is_valid_content_type("", "csv") is None
+    assert ct.get_simple_content_type("text/html; charset=utf-8", "csv") == "text/html"
+    assert ct.get_simple_content_type("image/png", "csv") is None
+
+
+def test_content_type_cols(spark):
+    rows = [("text/html; charset=utf-8",), ("image/png",), (None,), ("application/pdf",)]
+    df = spark.createDataFrame(rows, ["ctype"])
+    got = df.select(
+        ct.is_valid_content_type_col("ctype", "csv").alias("ok"),
+        ct.simple_content_type_col("ctype", "csv").alias("simple"),
+    ).collect()
+    assert [r["ok"] for r in got] == [True, False, None, True]
+    assert [r["simple"] for r in got] == ["text/html", None, None, "application/pdf"]
+
+
+# --- language ------------------------------------------------------------
+
+def test_detect_lang():
+    assert language.detect_lang("the quick brown fox is on the hill and it is") == "en"
+    assert language.detect_lang("中文网站的内容在这里") == "zh"
+    assert language.detect_lang("Это русский текст для проверки") == "ru"
+    assert language.detect_lang("") is None
+    assert language.normalize_lang("EN-us") == "en"
+    assert language.normalize_lang("xx") is None
+
+
+# --- encoding -------------------------------------------------------------
+
+def test_decode():
+    assert encoding.decode_http_response("héllo".encode()) == "héllo"
+    assert encoding.decode_http_response("caf\xe9".encode("latin-1")) == "café"
+    assert encoding.decode_http_response(None) is None
+
+
+# --- dates ------------------------------------------------------------------
+
+def test_dates():
+    assert dates.parse_date_safely("2024-03-01") == "2024-03-01T00:00:00"
+    assert dates.parse_date_safely("March 5, 2024") == "2024-03-05T00:00:00"
+    assert dates.parse_date_safely("D:20240301120000") == "2024-03-01T12:00:00"
+    assert dates.parse_date_safely("") is None
+    assert dates.parse_date_safely("not a date") is None
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("hello, world 123",)], ["t"])
+    n = df.select(text.token_count_col("t").alias("n")).first()["n"]
+    assert n == len(text.tokenize("hello, world 123")) == 4
