@@ -51,6 +51,11 @@ CONTENT_TYPES_BY_TARGET: dict[str, tuple[str, ...]] = {
 # Link tags whose hrefs are followed (reference: helpers/domain_spider.py:54).
 LINK_TAGS: tuple[str, ...] = ("a", "area", "va-link")
 
+# Child discovery order: discovery_idx = parent_fetch_rank * STRIDE + link
+# position. Bounded (fetch_rank <= per-wave budget, positions < STRIDE), so
+# it never overflows a long, and reproducible by the pure-Python oracle.
+DISCOVERY_STRIDE = 1 << 16
+
 # HTTP status codes counted as "unwanted" by crawl monitors
 # (reference: settings.py:128-129, monitors.py:21-48).
 UNWANTED_HTTP_CODES: tuple[int, ...] = (400, 407, 429, 500, 502, 503, 504, 523, 540, 541)

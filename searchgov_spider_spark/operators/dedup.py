@@ -1,0 +1,215 @@
+"""Deduplication operators D1-D5 (SURVEY.md §2.4).
+
+D1 — URL-seen dedup (the scaling-critical operator). Two stages:
+  1. probabilistic pre-filter: a sharded numpy Bloom filter built
+     distributedly (one partial bitmap per shard via applyInPandas, OR'd on
+     the driver) and broadcast; membership is checked in a vectorized
+     pandas UDF. At 10^10 URLs the bloom keeps ~99% of already-seen
+     candidates out of the exact join's shuffle.
+  2. exact ``left_anti`` join on (url_hash, canon_url) — joining on the
+     64-bit hash alone would drop distinct URLs on hash collisions
+     (expected ≈3 collisions at 10^10 rows), so canon_url equality rides
+     along; the join still hash-partitions on url_hash first.
+
+Reference: job_state/dupefilter.py:8-25 (Redis SADD fingerprint set),
+pipelines.py:173-188 (emit-side dedup), sitemap_monitor.py:227-254 (set
+diff). 'First SADD wins' arrival-order semantics are reproduced by
+``dedupe_intra_wave``'s min_by on the discovery ordering.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain construction)."""
+    x = (x + _GOLDEN).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _MIX1
+    x ^= x >> np.uint64(27)
+    x *= _MIX2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+@dataclass
+class BloomSpec:
+    n_bits: int
+    n_hashes: int
+    n_shards: int
+
+    @classmethod
+    def for_capacity(cls, capacity: int, fpp: float, n_shards: int = 1) -> "BloomSpec":
+        capacity = max(1, capacity // max(1, n_shards))
+        n_bits = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+        n_bits = (n_bits + 63) // 64 * 64
+        n_hashes = max(1, round(n_bits / capacity * math.log(2)))
+        return cls(n_bits=n_bits, n_hashes=min(n_hashes, 16), n_shards=n_shards)
+
+
+def _positions(hashes: np.ndarray, spec: BloomSpec) -> np.ndarray:
+    """(len(hashes), n_hashes) bit positions via double hashing."""
+    h = hashes.astype(np.uint64)
+    h1 = _splitmix64(h)
+    h2 = _splitmix64(h ^ _GOLDEN) | np.uint64(1)
+    i = np.arange(spec.n_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(spec.n_bits)).astype(np.int64)
+
+
+def _empty_bits(spec: BloomSpec) -> np.ndarray:
+    return np.zeros(spec.n_bits // 8, dtype=np.uint8)
+
+
+def _add_to_bits(bits: np.ndarray, hashes: np.ndarray, spec: BloomSpec) -> None:
+    pos = _positions(hashes, spec).ravel()
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+
+def _contains(bits: np.ndarray, hashes: np.ndarray, spec: BloomSpec) -> np.ndarray:
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _positions(hashes, spec)
+    got = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return got.all(axis=1)
+
+
+class ShardedBloom:
+    """Bloom filter sharded by ``url_hash % n_shards``.
+
+    Sharding bounds per-shard bitmap size so the broadcast stays within
+    executor memory at large capacities; with n_shards=1 it degenerates to a
+    single bloom. The serialized form is a dict shard -> bytes.
+    """
+
+    def __init__(self, spec: BloomSpec, shards: dict[int, np.ndarray]):
+        self.spec = spec
+        self.shards = shards
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        shard_of = (hashes % np.uint64(self.spec.n_shards)).astype(np.int64)
+        out = np.zeros(len(hashes), dtype=bool)
+        for s, bits in self.shards.items():
+            m = shard_of == s
+            if m.any():
+                out[m] = _contains(bits, hashes[m], self.spec)
+        return out
+
+    def __getstate__(self):
+        return {"spec": self.spec, "shards": {k: v.tobytes() for k, v in self.shards.items()}}
+
+    def __setstate__(self, state):
+        self.spec = state["spec"]
+        self.shards = {k: np.frombuffer(v, dtype=np.uint8).copy() for k, v in state["shards"].items()}
+
+
+def build_bloom(
+    df: DataFrame,
+    hash_col: str = "url_hash",
+    capacity: int = 1 << 20,
+    fpp: float = 0.01,
+    n_shards: int = 1,
+) -> ShardedBloom:
+    """Build a ShardedBloom from ``df[hash_col]`` distributedly.
+
+    Each shard group aggregates its own bitmap executor-side
+    (applyInPandas); the driver only receives n_shards × (n_bits/8) bytes —
+    never the row data.
+    """
+    spec = BloomSpec.for_capacity(capacity, fpp, n_shards)
+
+    def to_bits(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = _empty_bits(spec)
+        h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+        _add_to_bits(bits, h, spec)
+        return pd.DataFrame({"shard": [int(pdf["_shard"].iloc[0])], "bits": [bits.tobytes()]})
+
+    sharded = df.select(
+        F.col(hash_col), F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int").alias("_shard")
+    )
+    rows = (
+        sharded.groupBy("_shard")
+        .applyInPandas(to_bits, schema="shard int, bits binary")
+        .collect()
+    )
+    shards = {int(r["shard"]): np.frombuffer(r["bits"], dtype=np.uint8).copy() for r in rows}
+    for s in range(n_shards):
+        shards.setdefault(s, _empty_bits(spec))
+    return ShardedBloom(spec, shards)
+
+
+def bloom_might_contain_udf(spark, bloom: ShardedBloom):
+    """Vectorized membership predicate over a broadcast bloom."""
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf(T.BooleanType())
+    def might_contain(hashes: pd.Series) -> pd.Series:
+        b = bc.value
+        return pd.Series(b.contains(hashes.to_numpy(dtype=np.int64)))
+
+    return might_contain
+
+
+def dedupe_against_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: ShardedBloom | None = None,
+    hash_col: str = "url_hash",
+    url_col: str = "canon_url",
+) -> DataFrame:
+    """D1: rows of ``candidates`` not present in ``seen``.
+
+    With a bloom, candidates that *might* be seen go through the exact
+    anti-join while definite-new rows skip it entirely; the union of both
+    branches preserves exactness (bloom has no false negatives).
+    """
+    if bloom is None:
+        return candidates.join(seen.select(hash_col, url_col), [hash_col, url_col], "left_anti")
+    spark = candidates.sparkSession
+    flagged = candidates.withColumn("_maybe_seen", bloom_might_contain_udf(spark, bloom)(F.col(hash_col)))
+    definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    checked = suspects.join(seen.select(hash_col, url_col), [hash_col, url_col], "left_anti")
+    return definite_new.unionByName(checked)
+
+
+def dedupe_intra_wave(
+    candidates: DataFrame,
+    hash_col: str = "url_hash",
+    url_col: str = "canon_url",
+    order_cols: tuple[str, ...] = ("depth", "discovery_idx"),
+) -> DataFrame:
+    """D3: one row per URL within a wave, keeping the first-discovered row
+    ('first SADD wins'). min_by over a struct of the ordering columns gives a
+    deterministic winner — unlike dropDuplicates, whose survivor depends on
+    partition arrival order."""
+    others = [c for c in candidates.columns if c not in (hash_col, url_col)]
+    ordering = F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in others if c not in order_cols])
+    packed = F.struct(*[F.col(c) for c in others])
+    agged = (
+        candidates.groupBy(hash_col, url_col)
+        .agg(F.min_by(packed, ordering).alias("_row"))
+    )
+    return agged.select(hash_col, url_col, *[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def dedupe_emitted(items: DataFrame, already_emitted: DataFrame, url_col: str = "url") -> DataFrame:
+    """D4: emit-side dedup (DeDeuplicatorPipeline parity)."""
+    return items.join(already_emitted.select(url_col), url_col, "left_anti")
+
+
+def new_urls_diff(current: DataFrame, previous: DataFrame, url_col: str = "url") -> DataFrame:
+    """D5: sitemap diff — URLs in current but not previous (EXCEPT)."""
+    return current.select(url_col).distinct().join(previous.select(url_col), url_col, "left_anti")

@@ -1,0 +1,96 @@
+"""Frontier ordering + per-domain politeness budgets P1-P3 (SURVEY.md §2.5).
+
+The reference throttles to 1 request/sec/domain (settings.py:44-47) with
+BFS ordering (DEPTH_PRIORITY=1 + FIFO, settings.py:61-64) and staggers
+domains by schedule priority. In the wave model that becomes: each wave, a
+domain may fetch at most ``budget`` URLs; within a domain, rows are ordered
+by (priority, depth, discovery_idx); rows over budget stay in the frontier
+("deferred") for later waves.
+
+Skew: domain cardinality is low (1,759 seeds) and heavy-tailed — a hot
+domain can hold most of the frontier. A single
+``Window.partitionBy(domain)`` would put the hot domain on one task, so
+ranking is two-phase:
+  phase 1 (salted): rank within (domain, salt = pmod(url_hash, S)) and keep
+  only rank <= budget per salted group — this prunes the hot domain's rows
+  to at most S * budget before any single-task work;
+  phase 2 (exact): rank the survivors within domain alone (now small) and
+  cut at budget.
+The identity hash is never salted — only this shuffle key (SURVEY.md §7d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic frontier ordering; the final canon_url tie-breaker is
+# byte-comparable identically in Spark (UTF8String) and plain Python for
+# ASCII URLs, which lets the pure-Python crawl simulator reproduce the
+# engine's ordering exactly (tests/golden counts).
+FRONTIER_ORDER = ("priority", "depth", "discovery_idx", "canon_url")
+
+
+def _order_cols(df: DataFrame) -> list[Column]:
+    return [F.col(c) for c in FRONTIER_ORDER if c in df.columns]
+
+
+def schedule_wave(
+    frontier: DataFrame,
+    budget: int | str,
+    salt_buckets: int = 8,
+    domain_col: str = "domain",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a wave's frontier into (scheduled, deferred) under the
+    per-domain politeness budget.
+
+    ``budget`` is either a constant or the name of a per-row budget column
+    (e.g. derived from a robots crawl_delay). The scheduled rows carry
+    ``fetch_rank`` (1-based per-domain rank) — downstream link discovery
+    uses it to assign deterministic discovery order to children.
+    """
+    budget_col = F.col(budget) if isinstance(budget, str) else F.lit(budget)
+    order = _order_cols(frontier)
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.col("url_hash"), F.lit(max(1, salt_buckets))).cast("int")
+    )
+    w_salted = Window.partitionBy(domain_col, "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_srn", F.row_number().over(w_salted))
+        .filter(F.col("_srn") <= budget_col)
+        .drop("_srn")
+    )
+    w_exact = Window.partitionBy(domain_col).orderBy(*order)
+    ranked = pruned.withColumn("fetch_rank", F.row_number().over(w_exact))
+    scheduled = ranked.filter(F.col("fetch_rank") <= budget_col).drop("_salt")
+    # deferred = everything not scheduled: rows pruned in phase 1 plus rows
+    # ranked over budget in phase 2; recover by anti-join on identity
+    deferred = frontier.join(
+        scheduled.select("url_hash", "canon_url"), ["url_hash", "canon_url"], "left_anti"
+    )
+    return scheduled, deferred
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    k: int,
+    salt_col: Column | None = None,
+    salt_buckets: int = 8,
+    rank_fn=F.row_number,
+) -> DataFrame:
+    """Generic salted top-k per group (used for politeness, keyword top-10,
+    priority scheduling). ``salt_col`` defaults to a hash of all order
+    columns so the pre-prune is correct for any deterministic order."""
+    if salt_col is None:
+        salt_col = F.pmod(F.xxhash64(*order), F.lit(max(1, salt_buckets))).cast("int")
+    salted = df.withColumn("_salt", salt_col)
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    pruned = salted.withColumn("_r1", rank_fn().over(w1)).filter(F.col("_r1") <= k)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        pruned.withColumn("_r2", rank_fn().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_salt", "_r1", "_r2")
+    )

@@ -1,0 +1,307 @@
+"""The crawl engine: URL frontier + fetch scheduler as a BFS wave loop.
+
+Spark restatement of the reference crawl lifecycle (SURVEY.md §3.1):
+
+    frontier_w --(politeness budget window P2, robots S7, filters F1-F7)-->
+    scheduled_w --(fetch S3 via table-join / mapInPandas)--> fetched_w
+    --(extraction L1/L4 pandas UDF)--> spans + out_links
+    --(canonicalize L2, explode, dedup D1 bloom + anti-join)--> frontier_{w+1}
+
+Wave = BFS level (DEPTH_PRIORITY=1 + FIFO ⇒ breadth-first in the reference,
+settings.py:61-64). Per wave the engine appends to `seen`, `documents`,
+`metrics`, and (when a state_dir is given) commits a checkpoint — the
+parquet stand-in for an Iceberg snapshot-per-wave; resume reads the last
+committed wave (P4, job_state/scheduler.py:18-47 semantics).
+
+Scale contract:
+- frontier/seen are hash-identified by ``url_hash = xxhash64(canon_url)``;
+  state tables are written bucketed by ``pmod(url_hash, n_buckets)`` so the
+  anti-join co-partitions at 10^10-URL scale.
+- dedup = sharded-bloom pre-filter (broadcast) + exact left_anti on
+  (url_hash, canon_url) — operators/dedup.py.
+- the politeness window is salted two-phase top-k — operators/politeness.py.
+- filters/robots are broadcast joins + codegen predicates, always upstream
+  of the fetch stage (filter-before-fetch, SURVEY.md §4).
+- per-wave lineage: every wave appends a metrics row (fetch/dedup/error
+  counts) and documents rows carry (wave, job) — per-partition lineage
+  comes from the bucketed state layout.
+
+Determinism: ordering is (priority, depth, discovery_idx, canon_url); child
+discovery_idx = parent_fetch_rank * 65536 + link_position. The pure-Python
+oracle (testing/graph.simulate_crawl) reproduces the identical crawl.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, DISCOVERY_STRIDE, CrawlConfig, UNWANTED_HTTP_CODES
+from ..functions.content_type import is_valid_content_type_col
+from ..functions.urls import canonicalize_udf, url_hash_col, url_host_col, url_sha256_col
+from ..operators.dedup import build_bloom, dedupe_against_seen, dedupe_intra_wave
+from ..operators.extraction import extract_spans
+from ..operators.filters import apply_prefetch_filters, normalize_job_rules
+from ..operators.politeness import schedule_wave
+from ..operators.robots import apply_robots
+
+INTRA_WAVE_ORDER = ("depth", "discovery_idx", "job", "url")
+SEEN_COLS = ("url_hash", "canon_url")
+
+
+@dataclass
+class WaveMetrics:
+    wave: int
+    frontier_size: int
+    scheduled: int
+    fetched_ok: int
+    http_errors: int
+    unwanted_codes: int
+    emitted: int
+    candidates: int
+    new_urls: int
+    seconds: float
+
+
+@dataclass
+class CrawlResult:
+    waves: list[WaveMetrics] = field(default_factory=list)
+    documents: DataFrame | None = None
+    seen: DataFrame | None = None
+    frontier: DataFrame | None = None
+
+    @property
+    def scheduled_per_wave(self) -> list[int]:
+        return [w.scheduled for w in self.waves]
+
+    @property
+    def total_scheduled(self) -> int:
+        return sum(w.scheduled for w in self.waves)
+
+
+class CrawlEngine:
+    """Batch-iterative crawl over a pluggable fetcher."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        seeds: DataFrame,
+        fetcher,
+        robots: DataFrame | None = None,
+        config: CrawlConfig = DEFAULT_CONFIG,
+        state_dir: str | None = None,
+        user_agent: str = "usasearch",
+        use_bloom_over: int = 50_000,
+    ):
+        self.spark = spark
+        self.rules = normalize_job_rules(seeds).cache()
+        self.fetcher = fetcher
+        self.robots = robots
+        self.config = config
+        self.state_dir = Path(state_dir) if state_dir else None
+        self.user_agent = user_agent
+        self.use_bloom_over = use_bloom_over
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _checkpoint(self, df: DataFrame, name: str, wave: int) -> DataFrame:
+        """Truncate lineage between waves. With a state_dir, persist as the
+        wave's snapshot (bucketed parquet — the Iceberg-snapshot analog) and
+        read back; else localCheckpoint."""
+        if self.state_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = self.state_dir / name / f"wave={wave}"
+        out = df.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(self.config.frontier_buckets)))
+        out.write.mode("overwrite").partitionBy("bucket").parquet(str(path))
+        return self.spark.read.parquet(str(path)).drop("bucket")
+
+    def _commit_wave(self, wave: int, metrics: WaveMetrics) -> None:
+        if self.state_dir is None:
+            return
+        manifest = self.state_dir / "manifests" / f"wave={wave}.json"
+        manifest.parent.mkdir(parents=True, exist_ok=True)
+        manifest.write_text(json.dumps(metrics.__dict__))
+
+    def _prepare_candidates(self, cand: DataFrame) -> DataFrame:
+        """filters → robots → canonical identity; candidates must arrive with
+        (job, url, depth, discovery_idx); priority comes from the rules join."""
+        filtered = apply_prefetch_filters(cand, self.rules).select(
+            "job", "url", "depth", "discovery_idx", "priority"
+        )
+        withc = filtered.withColumn("canon_url", canonicalize_udf("url")).withColumn(
+            "url_hash", url_hash_col("canon_url")
+        ).withColumn("domain", url_host_col("canon_url"))
+        if self.robots is not None:
+            withc = apply_robots(withc, self.robots, self.user_agent, host_col="domain")
+        else:
+            withc = withc.withColumn("crawl_delay", F.lit(None).cast("double"))
+        return withc
+
+    def initial_frontier(self) -> DataFrame:
+        starts = self.rules.select(
+            F.col("job"),
+            F.explode("start_urls").alias("url"),
+            F.lit(0).alias("depth"),
+            F.lit(0).cast("long").alias("discovery_idx"),
+        )
+        return dedupe_intra_wave(self._prepare_candidates(starts), order_cols=INTRA_WAVE_ORDER)
+
+    def _budget_col(self):
+        cfg = self.config
+        delay = F.greatest(F.lit(cfg.download_delay_sec), F.coalesce(F.col("crawl_delay"), F.lit(0.0)))
+        return F.greatest(
+            F.lit(1),
+            (F.floor(F.lit(cfg.wave_seconds) / delay) * cfg.per_domain_concurrency).cast("int"),
+        )
+
+    # -- the loop ------------------------------------------------------------
+
+    def run(self, max_waves: int | None = None) -> CrawlResult:
+        frontier = self._checkpoint(self.initial_frontier(), "frontier", 0)
+        seen = self.spark.createDataFrame([], "url_hash long, canon_url string")
+        return self.run_from(frontier, seen, start_wave=0, max_waves=max_waves)
+
+    def run_from(
+        self,
+        frontier: DataFrame,
+        seen: DataFrame,
+        start_wave: int = 0,
+        max_waves: int | None = None,
+    ) -> CrawlResult:
+        """Continue a crawl from persisted (frontier, seen) state — resume
+        semantics (P4): re-running a wave is idempotent because scheduling
+        dedups against `seen` and dedup absorbs replays."""
+        cfg = self.config
+        max_waves = max_waves or cfg.max_waves
+        result = CrawlResult()
+        documents: DataFrame | None = None
+
+        for wave in range(start_wave, max_waves):
+            t0 = time.monotonic()
+            frontier_size = frontier.count()
+            if frontier_size == 0:
+                break
+
+            budgeted = frontier.withColumn("wave_budget", self._budget_col())
+            scheduled, deferred = schedule_wave(budgeted, "wave_budget", cfg.salt_buckets)
+            scheduled = scheduled.drop("wave_budget").cache()
+            n_scheduled = scheduled.count()
+
+            # fingerprints are recorded at schedule time, like the reference's
+            # dupefilter SADD at enqueue (job_state/dupefilter.py:8-25)
+            seen = seen.unionByName(scheduled.select(*SEEN_COLS))
+
+            fetched = self.fetcher.fetch(scheduled).cache()
+            ok = F.col("http_status") == 200
+            stats = fetched.agg(
+                F.sum(ok.cast("int")).alias("n_ok"),
+                F.sum((~ok).cast("int")).alias("n_err"),
+                F.sum(F.col("http_status").isin(*UNWANTED_HTTP_CODES).cast("int")).alias("n_unwanted"),
+            ).first()
+
+            # emit: valid content type per job target (F6) → documents rows
+            emit_ready = (
+                fetched.filter(ok)
+                .join(F.broadcast(self.rules.select("job", "output_target")), "job")
+                .filter(is_valid_content_type_for_target(F.col("content_type"), F.col("output_target")))
+            )
+            parsed = extract_spans(
+                fetched.filter(ok & F.col("content_type").startswith("text/html")),
+                keep_cols=["url", "canon_url", "url_hash", "job", "domain", "depth", "fetch_rank", "priority"],
+            ).cache()
+
+            docs_wave = (
+                emit_ready.join(
+                    parsed.select("canon_url", "spans", "title", "html_lang", "meta"),
+                    "canon_url",
+                    "left",
+                )
+                .select(
+                    url_sha256_col("url").alias("doc_id"),
+                    F.col("url"),
+                    F.col("job"),
+                    F.col("domain"),
+                    F.lit(wave).alias("wave"),
+                    F.col("content_type"),
+                    F.coalesce(
+                        F.substring("content_language", 1, 2),
+                        F.lower(F.split(F.col("html_lang"), "-").getItem(0)),
+                    ).alias("language"),
+                    F.col("title"),
+                    F.col("spans"),
+                )
+            )
+            n_emitted = docs_wave.count()
+            documents = docs_wave if documents is None else documents.unionByName(docs_wave)
+
+            # next-wave candidates: explode out-links with deterministic order
+            links = parsed.select(
+                F.col("job"),
+                (F.col("depth") + 1).alias("depth"),
+                F.col("fetch_rank"),
+                F.posexplode("out_links").alias("pos", "url"),
+            ).withColumn(
+                "discovery_idx",
+                (F.col("fetch_rank").cast("long") * DISCOVERY_STRIDE + F.col("pos")).cast("long"),
+            ).drop("fetch_rank", "pos")
+
+            candidates = self._prepare_candidates(links)
+            n_candidates = candidates.count()
+            deduped = dedupe_intra_wave(candidates, order_cols=INTRA_WAVE_ORDER)
+
+            seen_count = seen.count()
+            bloom = None
+            if seen_count > self.use_bloom_over:
+                bloom = build_bloom(
+                    seen, capacity=max(seen_count * 2, cfg.bloom_capacity),
+                    fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards,
+                )
+            new_urls = dedupe_against_seen(deduped, seen, bloom)
+
+            frontier_next = dedupe_intra_wave(
+                deferred.drop("wave_budget").unionByName(new_urls), order_cols=INTRA_WAVE_ORDER
+            )
+            frontier = self._checkpoint(frontier_next, "frontier", wave + 1)
+            seen = self._checkpoint(seen, "seen", wave + 1)
+            n_new = frontier.count()
+
+            metrics = WaveMetrics(
+                wave=wave,
+                frontier_size=frontier_size,
+                scheduled=n_scheduled,
+                fetched_ok=int(stats["n_ok"] or 0),
+                http_errors=int(stats["n_err"] or 0),
+                unwanted_codes=int(stats["n_unwanted"] or 0),
+                emitted=n_emitted,
+                candidates=n_candidates,
+                new_urls=n_new,
+                seconds=time.monotonic() - t0,
+            )
+            result.waves.append(metrics)
+            self._commit_wave(wave, metrics)
+            scheduled.unpersist()
+            parsed.unpersist()
+            fetched.unpersist()
+
+        result.documents = documents
+        result.seen = seen
+        result.frontier = frontier
+        return result
+
+
+def is_valid_content_type_for_target(ctype, target):
+    """Per-row content-type validity when output_target varies by job."""
+    from ..config import CONTENT_TYPES_BY_TARGET
+
+    expr = F.lit(False)
+    for tgt, allowed in CONTENT_TYPES_BY_TARGET.items():
+        m = F.lit(False)
+        for t in allowed:
+            m = m | ctype.rlike(t)
+        expr = F.when(target == tgt, m).otherwise(expr)
+    return F.coalesce(expr, F.lit(False))

@@ -1,0 +1,92 @@
+"""Fetch stage S3/S4 (SURVEY.md §2.1).
+
+Two interchangeable fetchers behind one interface
+(``fetch(scheduled) -> DataFrame`` adding http_status, content_type,
+content_language, body):
+
+- ``TablePageFetcher`` — joins the scheduled batch against a ``pages``
+  table keyed by canonical URL. This is the replayable-cache analog of the
+  reference's recorded DBM HTTP cache (test_full_crawl.py,
+  HTTPCACHE_IGNORE_MISSING=True): a URL missing from the table behaves as
+  a 404. At scale this is a shuffle hash join on canon_url — both sides
+  hash-partition on the same key, and AQE handles the skewed hot domain.
+
+- ``HttpFetcher`` — a real network fetch via mapInPandas (urllib), honoring
+  the reference's caps: UA 'usasearch', 15 s timeout, 15 MB max, no retries
+  (settings.py:28,36-39,50). Not exercised in the sandbox (no network);
+  the Spark-side plumbing (schema, batching, partition shape) is real.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig, DEFAULT_CONFIG
+
+FETCH_FIELDS = T.StructType(
+    [
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_language", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+    ]
+)
+
+
+class TablePageFetcher:
+    """Replay fetches from a pages table (the sandbox 'web')."""
+
+    def __init__(self, pages: DataFrame, key: str = "canon_url"):
+        self.key = key
+        self.pages = pages.select(
+            key, "http_status", "content_type", "content_language", "body"
+        )
+
+    def fetch(self, scheduled: DataFrame) -> DataFrame:
+        joined = scheduled.join(self.pages, self.key, "left")
+        # URL not in the table ⇒ 404 with no body (HTTPCACHE_IGNORE_MISSING)
+        return joined.withColumn("http_status", F.coalesce("http_status", F.lit(404)))
+
+
+class HttpFetcher:
+    """Real HTTP fetch via mapInPandas (disabled in sandbox: no network)."""
+
+    def __init__(self, config: CrawlConfig = DEFAULT_CONFIG):
+        self.config = config
+
+    def fetch(self, scheduled: DataFrame) -> DataFrame:
+        cfg = self.config
+        out_schema = T.StructType(list(scheduled.schema.fields) + list(FETCH_FIELDS.fields))
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import urllib.request  # imported on executors only
+
+            def one(url: str):
+                req = urllib.request.Request(url, headers={"User-Agent": cfg.user_agent})
+                try:
+                    with urllib.request.urlopen(req, timeout=cfg.download_timeout_sec) as resp:
+                        body = resp.read(cfg.download_maxsize)
+                        return (
+                            resp.status,
+                            resp.headers.get("Content-Type"),
+                            resp.headers.get("Content-Language"),
+                            body,
+                        )
+                except Exception:  # no retries (RETRY_ENABLED=False)
+                    return (0, None, None, None)
+
+            for pdf in batches:
+                results = [one(u) for u in pdf["url"]]
+                out = pdf.copy()
+                out["http_status"] = [r[0] for r in results]
+                out["content_type"] = [r[1] for r in results]
+                out["content_language"] = [r[2] for r in results]
+                out["body"] = [r[3] for r in results]
+                yield out
+
+        return scheduled.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,106 @@
+"""End-to-end crawl engine tests against the pure-Python oracle — the analog
+of the reference's golden-count cached-crawl tests (test_full_crawl.py).
+
+The oracle (testing/graph.simulate_crawl) independently reimplements the
+crawl semantics sequentially; the Spark engine must reproduce its exact
+seen-set, emitted-URL set, per-wave scheduled counts and crawl ordering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchgov_spider_spark.config import CrawlConfig
+from searchgov_spider_spark.plans.crawl import CrawlEngine
+from searchgov_spider_spark.sources.fetch import TablePageFetcher
+from searchgov_spider_spark.testing.graph import generate_graph, graph_to_dfs, simulate_crawl
+
+CFG = CrawlConfig(wave_seconds=30.0, salt_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return generate_graph(n_pages=300, seed=42)
+
+
+@pytest.fixture(scope="module")
+def crawl_outputs(spark, graph):
+    pages_df, seeds_df, robots_df = graph_to_dfs(spark, graph)
+    engine = CrawlEngine(
+        spark, seeds_df, TablePageFetcher(pages_df), robots=robots_df, config=CFG
+    )
+    result = engine.run(max_waves=12)
+    sim = simulate_crawl(graph, CFG, max_waves=12)
+    return result, sim
+
+
+def test_seen_set_matches_oracle(crawl_outputs):
+    result, sim = crawl_outputs
+    engine_seen = {r["canon_url"] for r in result.seen.collect()}
+    assert engine_seen == sim.seen
+
+
+def test_scheduled_counts_match_oracle(crawl_outputs):
+    result, sim = crawl_outputs
+    assert result.scheduled_per_wave == sim.scheduled_per_wave
+
+
+def test_emitted_urls_match_oracle(crawl_outputs):
+    result, sim = crawl_outputs
+    emitted = {r["url"] for r in result.documents.select("url").collect()}
+    assert emitted == sim.emitted
+    assert result.documents.count() == sim.documents
+
+
+def test_politeness_budget_respected(crawl_outputs, graph):
+    result, sim = crawl_outputs
+    # no wave schedules more than the budget for any domain: verify via
+    # metrics (scheduled <= n_domains * budget) and oracle equality above
+    budget = CFG.wave_budget(1.0)
+    assert all(w.scheduled <= 4 * budget for w in result.waves)
+
+
+def test_robots_blocked_never_fetched(crawl_outputs):
+    result, _ = crawl_outputs
+    assert result.seen.filter(F.col("canon_url").contains("/private/")).count() == 0
+
+
+def test_deny_and_offsite_never_seen(crawl_outputs):
+    result, _ = crawl_outputs
+    seen = result.seen
+    assert seen.filter(F.col("canon_url").contains("/tag/")).count() == 0
+    assert seen.filter(F.col("canon_url").contains("external-site")).count() == 0
+
+
+def test_documents_spans_match_golden(crawl_outputs, graph):
+    """Emitted documents carry the exact golden span sequences."""
+    result, _ = crawl_outputs
+    # key by canonical URL: a page may be fetched via a fragment-variant link
+    from searchgov_spider_spark.functions.urls import canonicalize_url
+
+    golden = {p.canon_url: p.spans for p in graph["pages"]}
+    rows = result.documents.filter(F.col("content_type").startswith("text/html")).collect()
+    assert rows
+    for r in rows:
+        want = golden[canonicalize_url(r["url"])]
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in (r["spans"] or [])]
+        assert got == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in want]
+
+
+def test_resume_from_checkpoint(spark, graph, tmp_path):
+    """Interrupt after N waves, resume from the persisted state, converge to
+    the same seen-set (P4 semantics: wave checkpoints + idempotent dedup)."""
+    pages_df, seeds_df, robots_df = graph_to_dfs(spark, graph)
+    state = str(tmp_path / "state")
+    e1 = CrawlEngine(spark, seeds_df, TablePageFetcher(pages_df), robots=robots_df,
+                     config=CFG, state_dir=state)
+    r1 = e1.run(max_waves=2)
+    # resume: rebuild engine, reload persisted frontier/seen, continue
+    frontier = spark.read.parquet(f"{state}/frontier/wave=2").drop("bucket")
+    seen = spark.read.parquet(f"{state}/seen/wave=2").drop("bucket").select("url_hash", "canon_url")
+    e2 = CrawlEngine(spark, seeds_df, TablePageFetcher(pages_df), robots=robots_df, config=CFG)
+    r2 = e2.run_from(frontier, seen, start_wave=2, max_waves=12)
+    sim = simulate_crawl(graph, CFG, max_waves=12)
+    resumed_seen = {r["canon_url"] for r in r2.seen.collect()}
+    assert resumed_seen == sim.seen
+    assert [w.scheduled for w in r1.waves] + [w.scheduled for w in r2.waves] == sim.scheduled_per_wave

@@ -1,0 +1,199 @@
+"""Operator-layer tests: filters matrix (reference test_middlewares.py
+behavior table), dedup family, politeness budgets, robots evaluation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchgov_spider_spark.operators import dedup, filters, politeness, robots
+
+
+@pytest.fixture(scope="module")
+def job_rules(spark):
+    seeds = spark.createDataFrame(
+        [
+            # name, allowed_domains, starting_urls, allow_qs, depth, deny, prio, target
+            ("plain", "example.com", "https://example.com", False, 3, None, 10, "csv"),
+            ("paths", "quotes.toscrape.com/tag/,other.gov", "https://quotes.toscrape.com", False, 20, None, 20, "csv"),
+            ("qs_ok", "qs.gov", "https://qs.gov", True, 3, None, 30, "csv"),
+            ("deny", "deny.gov", "https://deny.gov", False, 999, ["/private/", "/tmp/"], 40, "csv"),
+        ],
+        "name string, allowed_domains string, starting_urls string, allow_query_string boolean, "
+        "depth_limit int, deny_paths array<string>, domain_priority int, output_target string",
+    )
+    return filters.normalize_job_rules(seeds)
+
+
+def _verdicts(spark, job_rules, rows):
+    cand = spark.createDataFrame(rows, "job string, url string, depth int")
+    out = filters.with_filter_verdict(cand, job_rules).select("url", "filter_reason").collect()
+    return {r["url"]: r["filter_reason"] for r in out}
+
+
+def test_normalize_job_rules(spark, job_rules):
+    r = {row["job"]: row for row in job_rules.collect()}
+    assert r["paths"]["allowed_hosts"] == ["quotes.toscrape.com", "other.gov"]
+    assert r["paths"]["allowed_domain_paths"] == ["quotes.toscrape.com/tag/"]
+    assert r["plain"]["allowed_domain_paths"] == []
+    assert r["deny"]["depth_limit"] == 250  # clamped
+    assert r["plain"]["depth_limit"] == 3
+
+
+def test_offsite_matrix(spark, job_rules):
+    # mirror of the reference offsite behavior table (test_middlewares.py:15-24)
+    v = _verdicts(
+        spark,
+        job_rules,
+        [
+            ("plain", "https://example.com/a", 1),
+            ("plain", "https://sub.example.com/a", 1),
+            ("plain", "https://notexample.com/a", 1),
+            ("plain", "https://example.com.evil.io/a", 1),
+            ("paths", "https://quotes.toscrape.com/tag/life/", 1),
+            ("paths", "https://quotes.toscrape.com/author/", 1),  # host ok but path not in allowed paths
+            ("paths", "https://other.gov/anything", 1),  # matches other.gov... path list non-empty
+        ],
+    )
+    assert v["https://example.com/a"] is None
+    assert v["https://sub.example.com/a"] is None
+    assert v["https://notexample.com/a"] == "offsite_domain"
+    assert v["https://example.com.evil.io/a"] == "offsite_domain"
+    assert v["https://quotes.toscrape.com/tag/life/"] is None
+    assert v["https://quotes.toscrape.com/author/"] == "offsite_path"
+    # reference semantics: non-empty allowed_domain_paths applies to ALL urls
+    # of the job (should_follow AND's host and path regexes)
+    assert v["https://other.gov/anything"] == "offsite_path"
+
+
+def test_query_string_deny_ext_depth(spark, job_rules):
+    v = _verdicts(
+        spark,
+        job_rules,
+        [
+            ("plain", "https://example.com/a?x=1", 1),
+            ("qs_ok", "https://qs.gov/a?x=1", 1),
+            ("deny", "https://deny.gov/private/x", 1),
+            ("deny", "https://deny.gov/public/x", 1),
+            ("plain", "https://example.com/file.pdf", 1),  # pdf not in FILTER_EXTENSIONS
+            ("plain", "https://example.com/img.PNG", 1),
+            ("plain", "https://example.com/arch.tar.gz", 1),
+            ("plain", "https://example.com/deep", 4),
+            ("plain", "https://example.com/ok", 3),
+        ],
+    )
+    assert v["https://example.com/a?x=1"] == "query_string"
+    assert v["https://qs.gov/a?x=1"] is None
+    assert v["https://deny.gov/private/x"] == "deny_path"
+    assert v["https://deny.gov/public/x"] is None
+    assert v["https://example.com/file.pdf"] is None
+    assert v["https://example.com/img.PNG"] == "extension"
+    assert v["https://example.com/arch.tar.gz"] == "extension"
+    assert v["https://example.com/deep"] == "depth"
+    assert v["https://example.com/ok"] is None
+
+
+# --- dedup -----------------------------------------------------------------
+
+def test_bloom_roundtrip(spark):
+    df = spark.range(0, 5000).select(F.xxhash64("id").alias("url_hash"))
+    bloom = dedup.build_bloom(df, capacity=10000, fpp=0.01, n_shards=4)
+    member = df.select("url_hash").toPandas()["url_hash"].to_numpy()
+    assert bloom.contains(member).all()  # no false negatives
+    others = spark.range(100000, 105000).select(F.xxhash64("id").alias("h")).toPandas()["h"].to_numpy()
+    fp_rate = bloom.contains(others).mean()
+    assert fp_rate < 0.05
+
+
+def test_dedupe_against_seen_exact_and_bloom(spark):
+    cand = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0), (4, "d", 0)],
+        "url_hash long, canon_url string, wave int",
+    )
+    seen = spark.createDataFrame([(1, "a"), (3, "c")], "url_hash long, canon_url string")
+    out = {r["canon_url"] for r in dedup.dedupe_against_seen(cand, seen).collect()}
+    assert out == {"b", "d"}
+    bloom = dedup.build_bloom(seen, capacity=100, fpp=0.01)
+    out2 = {r["canon_url"] for r in dedup.dedupe_against_seen(cand, seen, bloom).collect()}
+    assert out2 == {"b", "d"}
+    # hash collision with different url must NOT be dropped
+    cand2 = spark.createDataFrame([(1, "not-a", 0)], "url_hash long, canon_url string, wave int")
+    assert dedup.dedupe_against_seen(cand2, seen, bloom).count() == 1
+
+
+def test_dedupe_intra_wave_deterministic(spark):
+    cand = spark.createDataFrame(
+        [(7, "u", 2, 5, "late"), (7, "u", 1, 9, "early-depth"), (7, "u", 1, 3, "first")],
+        "url_hash long, canon_url string, depth int, discovery_idx int, tag string",
+    )
+    rows = dedup.dedupe_intra_wave(cand).collect()
+    assert len(rows) == 1
+    assert rows[0]["tag"] == "first"  # min (depth, discovery_idx)
+
+
+def test_new_urls_diff(spark):
+    cur = spark.createDataFrame([("a",), ("b",), ("c",)], ["url"])
+    prev = spark.createDataFrame([("a",), ("c",)], ["url"])
+    assert {r["url"] for r in dedup.new_urls_diff(cur, prev).collect()} == {"b"}
+
+
+# --- politeness ---------------------------------------------------------------
+
+def test_schedule_wave_budget(spark):
+    rows = [
+        ("hot.gov", i, f"https://hot.gov/{i}", 100 + i, 1, i) for i in range(50)
+    ] + [("cold.gov", 900 + i, f"https://cold.gov/{i}", 900 + i, 1, i) for i in range(3)]
+    frontier = spark.createDataFrame(
+        [(d, h, u, h2, dep, idx) for d, h, u, h2, dep, idx in rows],
+        "domain string, url_hash long, url string, canon_url long, depth int, discovery_idx int",
+    ).withColumn("canon_url", F.col("canon_url").cast("string")).withColumn("priority", F.lit(10))
+    scheduled, deferred = politeness.schedule_wave(frontier, budget=5, salt_buckets=4)
+    s = scheduled.groupBy("domain").count().collect()
+    counts = {r["domain"]: r["count"] for r in s}
+    assert counts == {"hot.gov": 5, "cold.gov": 3}
+    assert deferred.count() == 53 - 5 - 3
+    # deterministic: lowest discovery_idx rows win for hot.gov
+    got = sorted(r["discovery_idx"] for r in scheduled.filter(F.col("domain") == "hot.gov").collect())
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_top_k_per_group_matches_plain_window(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v"), F.xxhash64("id").alias("url_hash")
+    )
+    out = politeness.top_k_per_group(df, ["g"], [F.col("v")], k=3)
+    got = {(r["g"], r["v"]) for r in out.collect()}
+    expect = {(g, v) for g in range(7) for v in sorted(range(g, 1000, 7))[:3]}
+    assert got == expect
+
+
+# --- robots ------------------------------------------------------------------
+
+def test_robots(spark):
+    robots_df = spark.createDataFrame(
+        [
+            ("a.gov", "usasearch", ["/pub/"], ["/pub/private/", "/admin/"], 2.0, []),
+            ("a.gov", "*", [], ["/"], None, []),
+            ("b.gov", "*", [], ["/blocked/"], None, []),
+        ],
+        "domain string, user_agent string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>, crawl_delay double, sitemap_urls array<string>",
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://a.gov/pub/x",),      # allowed (usasearch row wins over *)
+            ("https://a.gov/pub/private/x",),  # disallow longer than allow
+            ("https://a.gov/admin/x",),    # disallowed
+            ("https://b.gov/blocked/x",),  # disallowed via *
+            ("https://b.gov/open/x",),     # allowed
+            ("https://c.gov/anything",),   # no robots row -> allowed
+        ],
+        ["url"],
+    )
+    out = robots.apply_robots(cand, robots_df)
+    urls = {r["url"] for r in out.collect()}
+    assert urls == {"https://a.gov/pub/x", "https://b.gov/open/x", "https://c.gov/anything"}
+    delays = {r["url"]: r["crawl_delay"] for r in out.collect()}
+    assert delays["https://a.gov/pub/x"] == 2.0
+    assert delays["https://c.gov/anything"] is None
