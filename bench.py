@@ -1,0 +1,157 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline crawl-wave pipeline + representative operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "urls_fetched_deduped_per_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., ...}
+
+The headline metric mirrors BASELINE.json: URLs processed per second
+through one full crawl-wave pipeline — canonicalize (Arrow pandas UDF) →
+xxhash64 identity → intra-wave dedup → bloom + left_anti dedup against a
+seen-set of half the frontier → salted politeness scheduling — on a
+deterministic synthetic .gov frontier spread over 1,759 domains (the
+reference's production seed count) with a hot-domain skew.
+
+Scaling evidence (north_rule: >= 0.8 efficiency at 4N vs N executors) is
+produced by tools/scaling_bench.py, which runs this file at
+SPARK_GRAFT_CPUS=8 and =32 and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from searchgov_spider_spark import driver_queries as dq  # noqa: E402
+from searchgov_spider_spark.functions.urls import canonicalize_udf, url_hash_col  # noqa: E402
+from searchgov_spider_spark.operators.dedup import build_bloom, dedupe_against_seen  # noqa: E402
+from searchgov_spider_spark.operators.politeness import schedule_wave  # noqa: E402
+from searchgov_spider_spark.session import get_spark  # noqa: E402
+
+N_DOMAINS = 1759  # search.gov production seed-list size (BASELINE.md)
+
+
+def synthetic_frontier(spark, n: int):
+    """Deterministic synthetic .gov frontier. Skew: domain 0 receives ~25%
+    of all URLs (hot-domain salting exercise), the rest spread uniformly."""
+    base = spark.range(n)  # partitioned across all cores
+    dom_id = F.when(F.col("id") % 4 == 0, F.lit(0)).otherwise(F.col("id") % N_DOMAINS)
+    # un-canonical inputs: uppercase scheme + fragments force real work
+    raw = F.concat(
+        F.lit("HTTPS://D"), dom_id.cast("string"), F.lit(".gov/p/"),
+        F.col("id").cast("string"), F.lit("#frag"),
+    )
+    return base.select(
+        F.col("id"),
+        raw.alias("url"),
+        (F.col("id") % 5).cast("long").alias("priority"),
+        (F.col("id") % 4).cast("long").alias("depth"),
+        F.col("id").cast("long").alias("discovery_idx"),
+    )
+
+
+def crawl_wave_bench(spark, n: int) -> tuple[float, int]:
+    """One politeness-budgeted, deduped crawl wave over n candidate URLs.
+
+    ``seen`` is materialized before the timer (in production it is a
+    parquet/Iceberg state table, not recomputed per wave). The candidate
+    frontier is persisted after canonicalize+hash — the in-memory analog
+    of the engine's per-wave checkpoint — so the dedup's two branches
+    (bloom definite-new / exact-checked suspects) scan it once.
+    """
+    from pyspark import StorageLevel
+
+    seen = (
+        spark.range(0, n, 2)
+        .select(
+            F.concat(
+                F.lit("https://d"),
+                F.when(F.col("id") % 4 == 0, F.lit(0)).otherwise(F.col("id") % N_DOMAINS).cast("string"),
+                F.lit(".gov/p/"), F.col("id").cast("string"),
+            ).alias("canon_url")
+        )
+        .withColumn("url_hash", url_hash_col("canon_url"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seen.count()
+
+    t0 = time.monotonic()
+    cand = (
+        synthetic_frontier(spark, n)
+        .withColumn("canon_url", canonicalize_udf("url"))
+        .withColumn("url_hash", url_hash_col("canon_url"))
+        .withColumn("domain", F.regexp_extract("canon_url", r"^https://([^/]+)", 1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bloom = build_bloom(seen, capacity=max(n, 1 << 20), fpp=0.01)
+    fresh = dedupe_against_seen(cand, seen, bloom)
+    scheduled, _deferred = schedule_wave(fresh, budget=400, salt_buckets=16)
+    n_sched = scheduled.count()
+    dt = time.monotonic() - t0
+    cand.unpersist()
+    seen.unpersist()
+    return dt, n_sched
+
+
+HEADLINE_QUERIES = (
+    "frontier_schedule",
+    "dedup_seen",
+    "prefetch_filters",
+    "minhash_pairs",
+    "simhash_near_dups",
+    "cosine_topk",
+    "pricing_summary",
+    "top_keywords",
+    "spans_flatten",
+)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "2000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="bench")
+    spark.range(1).count()  # JVM warm-up outside all timings
+
+    # headline: crawl-wave URLs/sec (warm-up run at 1/10 scale first)
+    crawl_wave_bench(spark, max(n_frontier // 10, 10_000))
+    wave_sec, n_sched = crawl_wave_bench(spark, n_frontier)
+    urls_per_sec = n_frontier / wave_sec
+
+    queries = {}
+    all_q = dq.queries()
+    for name in HEADLINE_QUERIES:
+        all_q[name](spark, sf_dir).count()  # warm-up: one-time codegen/IO
+        t0 = time.monotonic()
+        all_q[name](spark, sf_dir).count()
+        queries[name] = round(time.monotonic() - t0, 3)
+    queries["crawl_wave"] = round(wave_sec, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "urls_fetched_deduped_per_sec",
+                "value": round(urls_per_sec, 1),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "frontier_n": n_frontier,
+                "scheduled": n_sched,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,704 @@
+"""Driver-contract queries: one entry per operator family, each with a
+DuckDB oracle twin (consumed by __spark_entry__.py).
+
+Two kinds of queries:
+
+1. Crawl-operator queries — exercise the REAL engine operators
+   (apply_prefetch_filters, apply_robots, schedule_wave,
+   dedupe_against_seen, canonicalize_udf, content-type routing, batch
+   accounting, monitors) on frontier/candidate tables synthesized
+   deterministically from the driver's parquet testdata with identical
+   expressions on both engines. Outputs never contain engine-internal
+   hashes (xxhash64 / bloom bits), so results are hash-portable while the
+   Spark plan still runs the salted windows, broadcast rule joins, and
+   bloom + anti-join dedup.
+
+2. Corpus-pipeline queries — dedup (exact / MinHash+LSH / SimHash /
+   n-gram Jaccard / embedding), similarity search, text analysis, span
+   and multimodal operators from ``pipelines/``, whose oracle generators
+   live next to the implementations.
+
+Every integer output column is cast to long (DuckDB len()/count() return
+BIGINT); every double is produced by an identical sequential fold or
+integer-exact arithmetic on both engines, so the driver's value-hash
+comparison sees bit-identical numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import FILTER_EXTENSIONS
+from .functions.content_type import is_valid_content_type_col, simple_content_type_col
+from .functions.urls import canonicalize_udf, url_hash_col
+from .operators.dedup import build_bloom, dedupe_against_seen
+from .operators.filters import apply_prefetch_filters, normalize_job_rules
+from .operators.politeness import schedule_wave, top_k_per_group
+from .operators.robots import apply_robots
+from .pipelines import dedup as pdedup
+from .pipelines import multimodal as pmm
+from .pipelines import similarity as psim
+from .pipelines import spans as pspans
+from .pipelines import textstats as pstats
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _longify(df: DataFrame) -> DataFrame:
+    """Cast every integral column to long so Spark schemas match DuckDB's
+    BIGINT outputs."""
+    cols = [
+        F.col(f.name).cast("long").alias(f.name)
+        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType))
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
+
+
+# ===========================================================================
+# 1. Crawl-operator queries
+# ===========================================================================
+
+# --- shared synthetic frontier built from events (identical in SQL) --------
+
+_FRONTIER_SQL_CTE = """
+    f AS (
+      SELECT 'd' || (user_id % 25)::VARCHAR || '.gov' AS domain,
+             'https://d' || (user_id % 25)::VARCHAR || '.gov/e/' || event_id::VARCHAR AS url,
+             (user_id % 5)::BIGINT AS priority,
+             (event_id % 4)::BIGINT AS depth,
+             event_id::BIGINT AS discovery_idx
+      FROM events
+    )
+"""
+
+
+def _frontier_from_events(events: DataFrame) -> DataFrame:
+    dom = F.concat(F.lit("d"), (F.col("user_id") % 25).cast("string"), F.lit(".gov"))
+    url = F.concat(F.lit("https://"), dom, F.lit("/e/"), F.col("event_id").cast("string"))
+    return events.select(
+        dom.alias("domain"),
+        url.alias("url"),
+        url.alias("canon_url"),  # synthetic URLs are already canonical
+        (F.col("user_id") % 5).cast("long").alias("priority"),
+        (F.col("event_id") % 4).cast("long").alias("depth"),
+        F.col("event_id").cast("long").alias("discovery_idx"),
+    ).withColumn("url_hash", url_hash_col("canon_url"))
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3: per-domain politeness budget via the salted two-phase top-k
+    (schedule_wave) on a frontier synthesized from events."""
+    frontier = _frontier_from_events(load(spark, sf_dir, "events"))
+    scheduled, _deferred = schedule_wave(frontier, budget=4, salt_buckets=8)
+    return _longify(
+        scheduled.select("domain", "url", F.col("fetch_rank").cast("long").alias("fetch_rank"))
+    )
+
+
+Q_FRONTIER_SCHEDULE_SQL = f"""
+    WITH {_FRONTIER_SQL_CTE},
+    ranked AS (
+      SELECT domain, url,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY priority, depth, discovery_idx, url) AS fetch_rank
+      FROM f
+    )
+    SELECT domain, url, fetch_rank::BIGINT AS fetch_rank
+    FROM ranked WHERE fetch_rank <= 4
+    ORDER BY domain, fetch_rank
+"""
+
+
+def q_dedup_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: bloom pre-filter + exact left_anti dedup against the seen set
+    (real operator; output is hash-free)."""
+    events = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://d"), (F.col("user_id") % 25).cast("string"), F.lit(".gov/e/"),
+        F.col("event_id").cast("string"),
+    )
+    base = events.select(url.alias("canon_url"), F.col("event_id"))
+    cand = (
+        base.filter(F.col("event_id") % 3 != 0)
+        .select("canon_url")
+        .withColumn("url_hash", url_hash_col("canon_url"))
+    )
+    seen = (
+        base.filter(F.col("event_id") % 5 == 0)
+        .select("canon_url")
+        .withColumn("url_hash", url_hash_col("canon_url"))
+    )
+    bloom = build_bloom(seen, capacity=200_000, fpp=0.01)
+    survivors = dedupe_against_seen(cand, seen, bloom)
+    return survivors.select("canon_url")
+
+
+Q_DEDUP_SEEN_SQL = """
+    WITH base AS (
+      SELECT 'https://d' || (user_id % 25)::VARCHAR || '.gov/e/' || event_id::VARCHAR AS canon_url,
+             event_id
+      FROM events
+    )
+    SELECT canon_url FROM base c
+    WHERE event_id % 3 <> 0
+      AND NOT EXISTS (SELECT 1 FROM base s WHERE s.event_id % 5 = 0 AND s.canon_url = c.canon_url)
+    ORDER BY canon_url
+"""
+
+
+def q_sitemap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: sitemap new-URL set difference (current EXCEPT previous)."""
+    events = load(spark, sf_dir, "events")
+    url = F.concat(F.lit("https://site.gov/p/"), F.col("event_id").cast("string"))
+    cur = events.filter(F.col("event_id") % 3 != 0).select(url.alias("url")).distinct()
+    prev = events.filter(F.col("event_id") % 2 == 0).select(url.alias("url")).distinct()
+    return cur.join(prev, "url", "left_anti")
+
+
+Q_SITEMAP_DIFF_SQL = """
+    WITH u AS (
+      SELECT 'https://site.gov/p/' || event_id::VARCHAR AS url, event_id FROM events
+    )
+    SELECT DISTINCT url FROM u WHERE event_id % 3 <> 0
+    EXCEPT
+    SELECT DISTINCT url FROM u WHERE event_id % 2 = 0
+    ORDER BY url
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: canonicalize_udf vs analytically-constructed expected URLs.
+    Messy variants: casing, default ports, dot-segments, unsorted query,
+    fragments, missing scheme."""
+    docs = load(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 3
+    messy = (
+        F.when(v == 0, F.concat(F.lit("HTTP://Agency"), m, F.lit(".GOV:80/a/b/../c?z=9&y=8#f")))
+        .when(v == 1, F.concat(F.lit("https://www.site"), m, F.lit(".gov/p/./q/"), i, F.lit("/?b=2&a=1")))
+        .otherwise(F.concat(F.lit("agency"), m, F.lit(".gov/docs")))
+    )
+    return docs.select(
+        F.col("doc_id"), canonicalize_udf(messy).alias("canon_url")
+    )
+
+
+Q_URL_CANONICALIZE_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN 'http://agency' || (doc_id % 7)::VARCHAR || '.gov/a/c?y=8&z=9'
+             WHEN 1 THEN 'https://www.site' || (doc_id % 7)::VARCHAR || '.gov/p/q/' || doc_id::VARCHAR || '/?a=1&b=2'
+             ELSE 'https://agency' || (doc_id % 7)::VARCHAR || '.gov/docs'
+           END AS canon_url
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+# --- prefetch filters ------------------------------------------------------
+
+# Tiny config tables are built with JVM-side VALUES, not
+# spark.createDataFrame(python_rows): the latter ships rows through a
+# Python worker (8s+ spawn cost per fresh worker) for a 2-row table.
+_FILTER_SEEDS_SQL = """
+    SELECT * FROM VALUES
+      ('A', 'agency-a.gov', 'https://agency-a.gov/', false, false, 'csv', 4, array('/tag/'), 1),
+      ('B', 'agency-b.gov/docs', 'https://agency-b.gov/docs/', true, false, 'endpoint', 6,
+       CAST(NULL AS ARRAY<STRING>), 2)
+    AS t(name, allowed_domains, starting_urls, allow_query_string, handle_javascript,
+         output_target, depth_limit, deny_paths, domain_priority)
+"""
+
+_CAND_URL_SQL = """
+    CASE doc_id % 10
+      WHEN 0 THEN 'https://agency-a.gov/page/' || doc_id::VARCHAR
+      WHEN 1 THEN 'https://agency-a.gov/page/' || doc_id::VARCHAR || '?q=1'
+      WHEN 2 THEN 'https://outside.com/p/' || doc_id::VARCHAR
+      WHEN 3 THEN 'https://agency-a.gov/assets/f' || doc_id::VARCHAR || '.png'
+      WHEN 4 THEN 'https://agency-a.gov/tag/x' || doc_id::VARCHAR
+      WHEN 5 THEN 'https://sub.agency-a.gov/p/' || doc_id::VARCHAR
+      WHEN 6 THEN 'https://agency-b.gov/docs/guide' || doc_id::VARCHAR
+      WHEN 7 THEN 'https://agency-b.gov/other/' || doc_id::VARCHAR
+      WHEN 8 THEN 'https://agency-a.gov/deep/' || doc_id::VARCHAR
+      ELSE 'https://AGENCY-A.GOV/Upper/' || doc_id::VARCHAR
+    END
+"""
+
+
+def _filter_candidates(docs: DataFrame) -> DataFrame:
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 10
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://agency-a.gov/page/"), i))
+        .when(v == 1, F.concat(F.lit("https://agency-a.gov/page/"), i, F.lit("?q=1")))
+        .when(v == 2, F.concat(F.lit("https://outside.com/p/"), i))
+        .when(v == 3, F.concat(F.lit("https://agency-a.gov/assets/f"), i, F.lit(".png")))
+        .when(v == 4, F.concat(F.lit("https://agency-a.gov/tag/x"), i))
+        .when(v == 5, F.concat(F.lit("https://sub.agency-a.gov/p/"), i))
+        .when(v == 6, F.concat(F.lit("https://agency-b.gov/docs/guide"), i))
+        .when(v == 7, F.concat(F.lit("https://agency-b.gov/other/"), i))
+        .when(v == 8, F.concat(F.lit("https://agency-a.gov/deep/"), i))
+        .otherwise(F.concat(F.lit("https://AGENCY-A.GOV/Upper/"), i))
+    )
+    job = F.when(v.isin(6, 7), F.lit("B")).otherwise(F.lit("A"))
+    return docs.select(
+        job.alias("job"), url.alias("url"), (F.col("doc_id") % 6).cast("long").alias("depth")
+    )
+
+
+def q_prefetch_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7 on synthesized candidates via the real broadcast-rule filters."""
+    docs = load(spark, sf_dir, "documents")
+    seeds = spark.sql(_FILTER_SEEDS_SQL)
+    rules = normalize_job_rules(seeds)
+    out = apply_prefetch_filters(_filter_candidates(docs), rules)
+    return out.select("job", "url", F.col("depth").cast("long").alias("depth"))
+
+
+_EXT_LIST_SQL = ", ".join(f"'{e}'" for e in FILTER_EXTENSIONS)
+
+Q_PREFETCH_FILTERS_SQL = f"""
+    WITH cand AS (
+      SELECT CASE WHEN doc_id % 10 IN (6, 7) THEN 'B' ELSE 'A' END AS job,
+             {_CAND_URL_SQL} AS url,
+             (doc_id % 6)::BIGINT AS depth
+      FROM documents
+    ), rules AS (
+      SELECT 'A' AS job, ['agency-a.gov'] AS hosts, []::VARCHAR[] AS paths,
+             false AS allow_qs, ['/tag/'] AS deny, 4 AS depth_limit
+      UNION ALL
+      SELECT 'B', ['agency-b.gov'], ['agency-b.gov/docs'], true, []::VARCHAR[], 6
+    ), checked AS (
+      SELECT c.job, c.url, c.depth,
+             lower(regexp_extract(c.url, '^https?://([^/?#]+)', 1)) AS host,
+             regexp_extract(c.url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+             r.hosts, r.paths, r.allow_qs, r.deny, r.depth_limit
+      FROM cand c JOIN rules r ON c.job = r.job
+    )
+    SELECT job, url, depth FROM checked
+    WHERE len(list_filter(hosts, d -> host = lower(d) OR suffix(host, '.' || lower(d)))) > 0
+      AND (len(paths) = 0 OR len(list_filter(paths, p -> contains(url, p))) > 0)
+      AND (allow_qs OR NOT contains(url, '?'))
+      AND len(list_filter(deny, rx -> regexp_matches(url, rx))) = 0
+      AND NOT list_contains([{_EXT_LIST_SQL}], lower(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1)))
+      AND NOT suffix(lower(url), '.tar.gz')
+      AND depth <= depth_limit
+    ORDER BY job, url
+"""
+
+
+def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: longest-prefix robots evaluation via the real broadcast join +
+    higher-order exprs; oracle restates the rule logic directly."""
+    docs = load(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 7 < 5, F.lit("h.gov")).otherwise(F.lit("open.gov"))
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/private/x"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("/private/pub/y"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("/pub/z"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("/"))
+        .otherwise(F.lit("/private/"))
+    )
+    cand = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        host.alias("domain"),
+    )
+    robots = spark.sql("""
+        SELECT * FROM VALUES
+          ('h.gov', 'usasearch', array('/private/pub/'), array('/private/'),
+           2.0D, CAST(array() AS ARRAY<STRING>))
+        AS t(domain, user_agent, allow_prefixes, disallow_prefixes, crawl_delay, sitemap_urls)
+    """)
+    out = apply_robots(cand, robots, "usasearch", host_col="domain")
+    return out.select("doc_id", "url", "crawl_delay")
+
+
+Q_ROBOTS_EVAL_SQL = """
+    WITH cand AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 < 5 THEN 'h.gov' ELSE 'open.gov' END AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN '/private/x'
+               WHEN 1 THEN '/private/pub/y'
+               WHEN 2 THEN '/pub/z'
+               WHEN 3 THEN '/'
+               ELSE '/private/'
+             END AS path
+      FROM documents
+    )
+    SELECT doc_id, 'https://' || host || path AS url,
+           CASE WHEN host = 'h.gov' THEN 2.0 ELSE NULL END AS crawl_delay
+    FROM cand
+    WHERE host <> 'h.gov'
+       OR NOT prefix(path, '/private/')
+       OR prefix(path, '/private/pub/')
+    ORDER BY doc_id
+"""
+
+
+def q_content_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: content-type validity + first-match simple type per target."""
+    docs = load(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 6
+    header = (
+        F.when(v == 0, F.lit("text/html; charset=UTF-8"))
+        .when(v == 1, F.lit("application/pdf"))
+        .when(v == 2, F.lit("text/plain; charset=us-ascii"))
+        .when(v == 3, F.lit("application/vnd.ms-excel"))
+        .when(v == 4, F.lit("application/json"))
+        .otherwise(F.lit("image/png"))
+    )
+    d = docs.select("doc_id", header.alias("header"))
+    return d.select(
+        "doc_id",
+        "header",
+        is_valid_content_type_col(F.col("header"), "csv").alias("valid_csv"),
+        simple_content_type_col(F.col("header"), "csv").alias("simple_csv"),
+        is_valid_content_type_col(F.col("header"), "elasticsearch").alias("valid_es"),
+        simple_content_type_col(F.col("header"), "elasticsearch").alias("simple_es"),
+    )
+
+
+def _ctype_sql() -> str:
+    from .config import CONTENT_TYPES_BY_TARGET
+
+    def match_any(types):
+        return " OR ".join(f"regexp_matches(header, '{t}')" for t in types)
+
+    def first_match(types):
+        whens = " ".join(f"WHEN regexp_matches(header, '{t}') THEN '{t}'" for t in types)
+        return f"CASE {whens} ELSE NULL END"
+
+    csv_t = CONTENT_TYPES_BY_TARGET["csv"]
+    es_t = CONTENT_TYPES_BY_TARGET["elasticsearch"]
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE doc_id % 6
+                   WHEN 0 THEN 'text/html; charset=UTF-8'
+                   WHEN 1 THEN 'application/pdf'
+                   WHEN 2 THEN 'text/plain; charset=us-ascii'
+                   WHEN 3 THEN 'application/vnd.ms-excel'
+                   WHEN 4 THEN 'application/json'
+                   ELSE 'image/png'
+                 END AS header
+          FROM documents
+        )
+        SELECT doc_id, header,
+               ({match_any(csv_t)}) AS valid_csv,
+               {first_match(csv_t)} AS simple_csv,
+               ({match_any(es_t)}) AS valid_es,
+               {first_match(es_t)} AS simple_es
+        FROM d
+        ORDER BY doc_id
+    """
+
+
+def q_batch_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: running-sum batch ids (100KB-flush analog) over orders, exact
+    integer cents so the cumsum is order-independent-exact."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    d = orders.select("o_orderkey", cents.alias("cents"))
+    return d.select(
+        "o_orderkey",
+        "cents",
+        F.floor((F.sum("cents").over(w) - F.col("cents")) / F.lit(5_000_000)).alias("batch_id"),
+    )
+
+
+Q_BATCH_ACCOUNTING_SQL = """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(floor((sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - CAST(round(o_totalprice * 100) AS BIGINT)) / 5000000.0) AS BIGINT) AS batch_id
+    FROM orders
+    ORDER BY o_orderkey
+"""
+
+
+def q_monitor_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-(event_type, day) counts + threshold breach flag."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .select("event_type", "day", "n", (F.col("n") > 50).alias("breach"))
+    )
+
+
+Q_MONITOR_CODES_SQL = """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n, count(*) > 50 AS breach
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ===========================================================================
+# 2. Relational breadth (TPC-H-style; exact integer-cents arithmetic)
+# ===========================================================================
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_c"),
+            F.sum(disc).alias("sum_disc_c"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_c", "sum_disc_c", "count_order",
+            F.round(F.col("sum_qty_c") / F.col("count_order"), 6).alias("avg_qty_c"),
+        )
+    )
+
+
+Q_PRICING_SUMMARY_SQL = """
+    WITH agg AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= '1998-09-02'
+      GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, sum_qty_c, sum_base_c, sum_disc_c, count_order,
+           round(sum_qty_c / count_order, 6) AS avg_qty_c
+    FROM agg ORDER BY 1, 2
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + salted top-k per group (the politeness window reused
+    as a generic top-k operator)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    totals = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("total_c"))
+        .join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    top = top_k_per_group(
+        totals,
+        group_cols=["c_mktsegment"],
+        order=[F.desc("total_c"), F.asc("c_custkey")],
+        k=3,
+    )
+    return top.select("c_mktsegment", F.col("c_custkey").cast("long").alias("c_custkey"), "total_c")
+
+
+Q_TOP_CUSTOMERS_SQL = """
+    WITH totals AS (
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders GROUP BY 1
+    ), joined AS (
+      SELECT c.c_mktsegment, c.c_custkey::BIGINT AS c_custkey, t.total_c
+      FROM totals t JOIN customer c ON t.o_custkey = c.c_custkey
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY total_c DESC, c_custkey ASC) AS r
+      FROM joined
+    )
+    SELECT c_mktsegment, c_custkey, total_c FROM ranked WHERE r <= 3
+    ORDER BY c_mktsegment, total_c DESC, c_custkey
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    df = (
+        li.filter(F.col("l_shipdate") > "1995-03-15")
+        .join(orders.filter(F.col("o_orderdate") < "1995-03-15"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(F.sum(rev).alias("revenue_c"))
+    )
+    return (
+        df.orderBy(F.desc("revenue_c"), F.asc("l_orderkey")).limit(10)
+        .select("l_orderkey", "o_orderdate", "revenue_c")
+    )
+
+
+Q_SHIPPING_PRIORITY_SQL = """
+    SELECT l_orderkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS o_orderdate,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND l_shipdate > '1995-03-15' AND o_orderdate < '1995-03-15'
+    GROUP BY 1, 2
+    ORDER BY revenue_c DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+# ===========================================================================
+# 3. Corpus-pipeline queries (oracles generated next to implementations)
+# ===========================================================================
+
+def q_exact_dedup(spark, sf_dir):
+    return _longify(pdedup.exact_dup_groups(load(spark, sf_dir, "documents")))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return _longify(pdedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.1))
+
+
+def q_simhash_sig(spark, sf_dir):
+    return _longify(pdedup.simhash(load(spark, sf_dir, "documents")))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    return _longify(pdedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return _longify(pdedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.05))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    return _longify(pdedup.embedding_near_dups(load(spark, sf_dir, "embeddings"), threshold=0.2))
+
+
+def q_cosine_topk(spark, sf_dir):
+    return _longify(psim.cosine_topk(load(spark, sf_dir, "embeddings"), n_queries=10, k=5))
+
+
+def q_lsh_ann(spark, sf_dir):
+    return _longify(psim.lsh_ann_topk(load(spark, sf_dir, "embeddings"), n_queries=10, k=5))
+
+
+def q_token_counts(spark, sf_dir):
+    return _longify(pstats.token_counts(load(spark, sf_dir, "documents")))
+
+
+def q_quality(spark, sf_dir):
+    return _longify(pstats.quality_features(load(spark, sf_dir, "documents")))
+
+
+def q_lang_id(spark, sf_dir):
+    return _longify(pstats.language_id(load(spark, sf_dir, "documents")))
+
+
+def q_fingerprints(spark, sf_dir):
+    return _longify(pstats.fingerprints(load(spark, sf_dir, "documents")))
+
+
+def q_top_keywords(spark, sf_dir):
+    return _longify(pstats.top_keywords(load(spark, sf_dir, "documents"), k=10))
+
+
+def q_spans_flatten(spark, sf_dir):
+    return _longify(pspans.flatten_spans(pspans.derive_spans(load(spark, sf_dir, "documents"))))
+
+
+def q_span_stats(spark, sf_dir):
+    return _longify(pspans.span_stats(pspans.derive_spans(load(spark, sf_dir, "documents"))))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return _longify(pmm.binary_meta(pmm.attach_binary(load(spark, sf_dir, "documents"))))
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+def queries():
+    return {
+        # crawl operators
+        "frontier_schedule": q_frontier_schedule,
+        "dedup_seen": q_dedup_seen,
+        "sitemap_diff": q_sitemap_diff,
+        "url_canonicalize": q_url_canonicalize,
+        "prefetch_filters": q_prefetch_filters,
+        "robots_eval": q_robots_eval,
+        "content_type_route": q_content_type_route,
+        "batch_accounting": q_batch_accounting,
+        "monitor_codes": q_monitor_codes,
+        # relational breadth
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "shipping_priority": q_shipping_priority,
+        # corpus pipelines
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_sig": q_simhash_sig,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann": q_lsh_ann,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "top_keywords": q_top_keywords,
+        "spans_flatten": q_spans_flatten,
+        "span_stats": q_span_stats,
+        "multimodal_meta": q_multimodal_meta,
+    }
+
+
+def oracle_sql():
+    return {
+        "frontier_schedule": Q_FRONTIER_SCHEDULE_SQL,
+        "dedup_seen": Q_DEDUP_SEEN_SQL,
+        "sitemap_diff": Q_SITEMAP_DIFF_SQL,
+        "url_canonicalize": Q_URL_CANONICALIZE_SQL,
+        "prefetch_filters": Q_PREFETCH_FILTERS_SQL,
+        "robots_eval": Q_ROBOTS_EVAL_SQL,
+        "content_type_route": _ctype_sql(),
+        "batch_accounting": Q_BATCH_ACCOUNTING_SQL,
+        "monitor_codes": Q_MONITOR_CODES_SQL,
+        "pricing_summary": Q_PRICING_SUMMARY_SQL,
+        "top_customers": Q_TOP_CUSTOMERS_SQL,
+        "shipping_priority": Q_SHIPPING_PRIORITY_SQL,
+        "exact_dedup": pdedup.exact_dup_groups_sql(),
+        "minhash_pairs": pdedup.minhash_lsh_pairs_sql(threshold=0.1),
+        "simhash_sig": pdedup.simhash_sql(),
+        "simhash_near_dups": pdedup.simhash_near_dups_sql(max_hamming=3),
+        "ngram_jaccard": pdedup.ngram_jaccard_pairs_sql(threshold=0.05),
+        "embedding_near_dups": pdedup.embedding_near_dups_sql(threshold=0.2),
+        "cosine_topk": psim.cosine_topk_sql(n_queries=10, k=5),
+        "lsh_ann": psim.lsh_ann_topk_sql(n_queries=10, k=5),
+        "token_counts": pstats.token_counts_sql(),
+        "quality": pstats.quality_features_sql(),
+        "lang_id": pstats.language_id_sql(),
+        "fingerprints": pstats.fingerprints_sql(),
+        "top_keywords": pstats.top_keywords_sql(k=10),
+        "spans_flatten": pspans.flatten_spans_sql(),
+        "span_stats": pspans.span_stats_sql(),
+        "multimodal_meta": pmm.attach_binary_sql(),
+    }

@@ -130,21 +130,40 @@ def build_bloom(
     """
     spec = BloomSpec.for_capacity(capacity, fpp, n_shards)
 
-    def to_bits(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = _empty_bits(spec)
-        h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
-        _add_to_bits(bits, h, spec)
-        return pd.DataFrame({"shard": [int(pdf["_shard"].iloc[0])], "bits": [bits.tobytes()]})
+    def partial_bits(batches):
+        """One partial bitmap per shard per PARTITION (accumulated across
+        all Arrow batches of the partition) — no shuffle of row data; the
+        bitmap is the map-side combine."""
+        acc: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+            if n_shards == 1:
+                acc.setdefault(0, _empty_bits(spec))
+                _add_to_bits(acc[0], h, spec)
+            else:
+                shard_of = (h % np.uint64(n_shards)).astype(np.int64)
+                for s in np.unique(shard_of):
+                    acc.setdefault(int(s), _empty_bits(spec))
+                    _add_to_bits(acc[int(s)], h[shard_of == s], spec)
+        if acc:
+            yield pd.DataFrame(
+                {"shard": list(acc), "bits": [b.tobytes() for b in acc.values()]}
+            )
 
-    sharded = df.select(
-        F.col(hash_col), F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int").alias("_shard")
-    )
     rows = (
-        sharded.groupBy("_shard")
-        .applyInPandas(to_bits, schema="shard int, bits binary")
+        df.select(F.col(hash_col))
+        .mapInPandas(partial_bits, schema="shard int, bits binary")
         .collect()
     )
-    shards = {int(r["shard"]): np.frombuffer(r["bits"], dtype=np.uint8).copy() for r in rows}
+    # driver-side OR-reduce: n_partitions x n_shards bitmaps, never row data
+    shards: dict[int, np.ndarray] = {}
+    for r in rows:
+        s = int(r["shard"])
+        part = np.frombuffer(r["bits"], dtype=np.uint8)
+        if s in shards:
+            np.bitwise_or(shards[s], part, out=shards[s])
+        else:
+            shards[s] = part.copy()
     for s in range(n_shards):
         shards.setdefault(s, _empty_bits(spec))
     return ShardedBloom(spec, shards)

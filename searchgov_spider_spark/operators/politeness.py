@@ -81,10 +81,16 @@ def top_k_per_group(
     rank_fn=F.row_number,
 ) -> DataFrame:
     """Generic salted top-k per group (used for politeness, keyword top-10,
-    priority scheduling). ``salt_col`` defaults to a hash of all order
-    columns so the pre-prune is correct for any deterministic order."""
+    priority scheduling).
+
+    Any assignment of rows to salt buckets is correct: phase 1 keeps the
+    top-k of each (group, salt) slice, which is always a superset of the
+    group's true top-k, and phase 2 re-ranks exactly. The default salt is
+    therefore the partition id — free, no hash, and it cannot collide all
+    of a hot group onto one task.
+    """
     if salt_col is None:
-        salt_col = F.pmod(F.xxhash64(*order), F.lit(max(1, salt_buckets))).cast("int")
+        salt_col = F.pmod(F.spark_partition_id().cast("long"), F.lit(max(1, salt_buckets))).cast("int")
     salted = df.withColumn("_salt", salt_col)
     w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
     pruned = salted.withColumn("_r1", rank_fn().over(w1)).filter(F.col("_r1") <= k)

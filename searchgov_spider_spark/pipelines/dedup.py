@@ -1,0 +1,437 @@
+"""Corpus deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding cosine near-dup.
+
+Scale design (the whole point of these operators):
+
+- Exact dedup is a single hash aggregate on a digest key — map-side
+  partial aggregation, one shuffle, no O(n^2) anywhere.
+- MinHash+LSH: signature computation is per-row (narrow); candidate
+  generation shuffles once on (band_idx, band_key) so only same-bucket
+  docs ever meet — the classic shingle→minhash→band→bucket-join plan.
+  Verification joins candidate pairs back to shingle sets and computes
+  exact Jaccard, so false positives never escape.
+- SimHash: 4 bands x 8 bits of a 32-bit signature. By pigeonhole, any
+  pair within Hamming distance 3 agrees exactly on >= 1 band, so the
+  band-equality join is a *complete* blocking scheme for hd<=3 — exact
+  results with a shuffle keyed on (band, value) instead of a cross join.
+- n-gram Jaccard runs inside user-chosen blocks (e.g. same source);
+  embedding near-dup runs inside label blocks. Both are exact within
+  the block and embarrassingly parallel across blocks.
+
+Every hash is the portable md5-based 32-bit family
+(functions/hashing.py), so each operator ships a DuckDB oracle-SQL
+generator that reproduces bit-identical values. Reference analogs: the
+crawler's own dedup is URL-level (operators/dedup.py, SURVEY.md §2.4);
+these content-level operators are the corpus-prep additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32_col, portable_hash32_sql
+from .textstats import tokens_col, tokens_sql
+
+# MinHash defaults: 16 permutations in 4 bands of 4 rows.
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def normalized_text_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def normalized_text_sql(expr: str) -> str:
+    return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization)
+    documents: (dup_key, n_docs, keep_doc_id). One hash aggregate."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(normalized_text_col(text_col)).alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def exact_dup_groups_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT md5({normalized_text_sql('text')}) AS dup_key,
+               count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        FROM {table}
+        GROUP BY 1
+        ORDER BY dup_key
+    """
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles_col(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as space-joined strings; [] when < n tokens."""
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(toks_expr: str, n: int = 3) -> str:
+    return (
+        f"list_distinct([array_to_string(array_slice({toks_expr}, i, i + {n - 1}), ' ') "
+        f"for i in generate_series(1, len({toks_expr}) - {n - 1})])"
+    )
+
+
+def minhash_signature_cols(sh: Column, perms: int = MINHASH_PERMS) -> list[Column]:
+    """perms mins over the seeded portable hash family — all native exprs."""
+    return [
+        F.array_min(F.transform(sh, lambda s, i=i: portable_hash32_col(F.concat(F.lit(f"{i}|"), s))))
+        for i in range(perms)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", ngram: int = 3, perms: int = MINHASH_PERMS
+) -> DataFrame:
+    """(doc_id, shingles, sig: array<long>[perms]); drops docs with no shingles."""
+    sh = shingles_col(tokens_col(text_col), ngram)
+    sigs = minhash_signature_cols(F.col("shingles"), perms)
+    return (
+        docs.select("doc_id", sh.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles", F.array(*sigs).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    ngram: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard >= threshold.
+
+    Plan: narrow signature computation → explode to (band, key) [rows x
+    bands] → shuffle once on the band key → same-bucket self-join →
+    distinct pairs → join back for exact verification. No cross join.
+    """
+    rows = perms // bands
+    sigs = minhash_signatures(docs, text_col, ngram, perms)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("-", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    pairs = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents",
+    ngram: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB mirror of the full LSH plan (signatures, banding, bucket
+    join, exact-Jaccard verify) — bit-identical via the md5 hash family."""
+    rows = perms // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(shingles, s -> {portable_hash32_sql(_seeded_input_sql(i))}))"
+        for i in range(perms)
+    )
+    band_keys = ", ".join(
+        "concat_ws('-', "
+        + ", ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows))
+        + f") AS key_{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, key_{b} AS key FROM banded" for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {tokens_sql('text')} AS toks FROM {table}
+        ), sh AS (
+          SELECT doc_id, {shingles_sql('toks', ngram)} AS shingles FROM toks
+        ), sh2 AS (
+          SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+        ), sigs AS (
+          SELECT doc_id, shingles, [{sig_items}] AS sig FROM sh2
+        ), banded AS (
+          SELECT doc_id, {band_keys} FROM sigs
+        ), buckets AS (
+          {band_union}
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               round(len(list_intersect(sa.shingles, sb.shingles))
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+        FROM pairs p
+        JOIN sh2 sa ON sa.doc_id = p.doc_a
+        JOIN sh2 sb ON sb.doc_id = p.doc_b
+        WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+                    / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _seeded_input_sql(i: int) -> str:
+    """SQL expr for the seeded-hash input: '<i>|' || s"""
+    return f"'{i}|' || s"
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over token-frequency weights: (doc_id, simhash).
+
+    Plan: explode tokens → one hash-agg to (doc, token, cnt) → one
+    hash-agg to per-doc 32 signed bit sums → signature. Both aggregates
+    get map-side combine; no window, no UDF.
+    """
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", portable_hash32_col("token"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok_counts.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_sql_cte(table: str = "documents") -> str:
+    """CTE text computing (doc_id, simhash) in DuckDB; reused by callers."""
+    h = portable_hash32_sql("token")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        tc AS (
+          SELECT doc_id, token, count(*) AS cnt, {h} AS h
+          FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM {table})
+          WHERE token <> ''
+          GROUP BY doc_id, token
+        ), bits AS (
+          SELECT doc_id, {bit_sums} FROM tc GROUP BY doc_id
+        ), sims AS (
+          SELECT doc_id, {sig} AS simhash FROM bits
+        )
+    """
+
+
+def simhash_sql(table: str = "documents") -> str:
+    return f"WITH {simhash_sql_cte(table)} SELECT doc_id, simhash FROM sims ORDER BY doc_id"
+
+
+def simhash_near_dups(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance <= max_hamming of the 32-bit SimHash.
+
+    Complete blocking: with 4 bands of 8 bits, any pair at hd <= 3 shares
+    at least one exact band (pigeonhole), so the band join loses nothing
+    while keying the shuffle on (band, 8-bit value).
+    """
+    assert max_hamming < SIMHASH_BANDS, "band blocking complete only for hd < bands"
+    sims = simhash(docs, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                .alias("key"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    buckets = sims.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    pairs = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def simhash_near_dups_sql(table: str = "documents", max_hamming: int = 3) -> str:
+    # the oracle can afford the O(n^2) formulation — results are identical
+    return f"""
+        WITH {simhash_sql_cte(table)}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "source",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within blocks (doc_a < doc_b)."""
+    sh = docs.select(
+        F.col("doc_id"), F.col(block_col).alias("block"), shingles_col(tokens_col(text_col), ngram).alias("sh")
+    ).filter(F.size("sh") > 0)
+    return (
+        sh.alias("a")
+        .join(sh.alias("b"), "block")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str = "documents", block_col: str = "source", ngram: int = 3, threshold: float = 0.2
+) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {block_col} AS block, {tokens_sql('text')} AS toks FROM {table}
+        ), sh AS (
+          SELECT doc_id, block, {shingles_sql('toks', ngram)} AS sh FROM toks
+        ), sh2 AS (SELECT * FROM sh WHERE len(sh) > 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh2 a JOIN sh2 b ON a.block = b.block AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh))
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (blocked exact)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    emb: DataFrame, block_col: str = "label", threshold: float = 0.95
+) -> DataFrame:
+    """Pairs with cosine >= threshold inside blocks. Sequential-fold dot
+    products (F.aggregate) so the oracle's doubles match bit-for-bit."""
+    from .similarity import cosine_col
+
+    e = emb.select(
+        F.col("vec_id"), F.col(block_col).alias("block"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        e.alias("a")
+        .join(e.alias("b"), "block")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dups_sql(
+    table: str = "embeddings", block_col: str = "label", threshold: float = 0.95
+) -> str:
+    from .similarity import cosine_sql
+
+    cos = cosine_sql("a.v", "b.v")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, {block_col} AS block, embedding::DOUBLE[] AS v FROM {table}
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos_sim
+        FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+        WHERE round({cos}, 6) >= {threshold}
+        ORDER BY vec_a, vec_b
+    """

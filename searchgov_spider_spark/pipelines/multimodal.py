@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct; decode / feature-extract / resize / frame-sample
+run as Arrow-batched functions over ``mapInPandas`` so each executor
+processes whole record batches (the shape a real decoder wants).
+
+The actual codecs are NOT in this container, so the decode kernels are
+STUBBED: ``decode_media(..., real=True)`` raises NotImplementedError at
+the first batch; the default deterministic fake derives pseudo-features
+from the payload bytes so schema, partitioning, batch shape, and
+downstream joins are fully real and tested.
+
+``attach_binary`` lifts the flat text testdata into this shape
+deterministically (payload = utf-8 bytes of the text), which also gives
+the driver an oracle-checkable query over octet lengths / magic bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MODALITIES = ("image", "audio", "video")
+
+META_SCHEMA = "struct<modality:string,n_bytes:int,magic:string>"
+FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes int, feat_dim int, "
+    "width int, height int, duration_ms int, frames int"
+)
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, body: binary, meta: struct) — modality assigned
+    deterministically by doc_id % 3; payload = utf-8 bytes of text."""
+    body = F.encode(F.col(text_col), "utf-8")
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    meta = F.struct(
+        modality.alias("modality"),
+        F.octet_length(body).cast("int").alias("n_bytes"),
+        F.substring(F.hex(body), 1, 8).alias("magic"),
+    )
+    return docs.select("doc_id", body.alias("body"), meta.alias("meta"))
+
+
+def attach_binary_sql(table: str = "documents") -> str:
+    """Oracle for the metadata projection of ``attach_binary``."""
+    mods = ", ".join(f"'{m}'" for m in MODALITIES)
+    return f"""
+        SELECT doc_id,
+               [{mods}][(doc_id % 3 + 1)::INT] AS modality,
+               octet_length(encode(text))::INT AS n_bytes,
+               substr(upper(hex(encode(text))), 1, 8) AS magic
+        FROM {table}
+        ORDER BY doc_id
+    """
+
+
+def binary_meta(media: DataFrame) -> DataFrame:
+    """Flatten the metadata struct (the oracle-checked projection)."""
+    return media.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.magic").alias("magic"),
+    )
+
+
+def _fake_features(doc_id: int, modality: str, payload: bytes) -> dict:
+    """Deterministic stand-in for a real decoder: pseudo-dimensions from
+    payload length/content. Clearly fake; replaced by real codecs
+    (PIL/ffmpeg/torchaudio) outside this sandbox."""
+    n = len(payload or b"")
+    base = {"doc_id": doc_id, "modality": modality, "n_bytes": n, "feat_dim": 64,
+            "width": None, "height": None, "duration_ms": None, "frames": None}
+    if modality == "image":
+        base["width"] = 16 + n % 1024
+        base["height"] = 16 + (n * 7) % 1024
+    elif modality == "audio":
+        base["duration_ms"] = 100 + n % 60_000
+    else:
+        base["duration_ms"] = 1000 + n % 600_000
+        base["frames"] = 1 + n % 2400
+    return base
+
+
+def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
+    """Decode/feature-extract stage over mapInPandas.
+
+    real=True is the integration point for actual codecs and raises
+    NotImplementedError here (libs not in container). The fake path is
+    deterministic so tests pin exact outputs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real:
+                raise NotImplementedError(
+                    "real media decoding requires image/audio codecs not present "
+                    "in this container; use real=False for the deterministic stub"
+                )
+            rows = [
+                _fake_features(int(r.doc_id), r.meta["modality"], r.body)
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(rows, columns=[f.split(" ")[0] for f in FEATURE_SCHEMA.split(", ")])
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(features: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plan for video rows: expands to one row per sampled
+    frame index. Native sequence/explode — the decoder only ever sees
+    per-frame work items, which is what distributes."""
+    vids = features.filter(F.col("modality") == "video")
+    return vids.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("frames") - 1, F.lit(every_n))).alias("frame_idx"),
+    )

@@ -1,0 +1,246 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; dot products are native ``F.aggregate`` over
+  ``F.zip_with`` (sequential left-to-right fold → bit-identical to the
+  DuckDB oracle's list_reduce). At 100 TB the corpus side stays
+  partitioned; only queries are broadcast, so the scan is
+  embarrassingly parallel with no shuffle until the per-query top-k
+  aggregate (a window over |Q| x k rows).
+
+- ``lsh_ann_topk`` — the scale path: random-hyperplane LSH. P
+  deterministic hyperplanes (generated from the portable md5 hash
+  family, inlined as literals on both engines) sign-hash every vector
+  into a 2^P-bucket code; candidates = same-bucket rows; exact cosine
+  re-ranks within the bucket. One shuffle keyed on the bucket code.
+  An IVF variant would swap the hash for k-means centroids; the
+  plumbing (bucket column + co-partitioned join + re-rank) is the same.
+
+Also ``cosine_topk_pandas`` — the identical brute-force computation as
+an Arrow-batched pandas UDF over numpy (the practical hot path when k
+and Q are large); tested for equality with the native-expression plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32
+
+ANN_PLANES = 8
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_reduce order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({a}, x -> x * x)), (x, y) -> x + y))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Output: (query_id, neighbor_id, rank, cos_sim) with deterministic
+    (cos desc, neighbor asc) ordering.
+    """
+    e = emb.select(F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    queries = e.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def cosine_topk_sql(table: str = "embeddings", n_queries: int = 10, k: int = 5) -> str:
+    cos = cosine_sql("q.v", "c.v")
+    return f"""
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM {table}),
+        q AS (SELECT id AS query_id, v FROM e WHERE id < {n_queries}),
+        scored AS (
+          SELECT q.query_id, c.id AS neighbor_id, round({cos}, 6) AS cos_sim
+          FROM q JOIN e c ON c.id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def cosine_topk_pandas(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Same result as ``cosine_topk`` via one numpy matmul per Arrow batch
+    (mapInPandas): the practical path when |corpus-batch| x |Q| is large.
+    Queries are collected (small, bounded) and closed over — the corpus
+    never leaves its partitions; the final exact top-k is a window over
+    the per-batch prefilter (each batch keeps its own top-k, a safe
+    superset of the global top-k)."""
+    import numpy as np
+    import pandas as pd
+
+    e = emb.select(F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    qrows = e.filter(F.col("id") < n_queries).collect()
+    q_ids = np.array([r["id"] for r in qrows])
+    q_mat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ q_mat.T) / np.outer(norms, q_norm)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = pdf["id"].to_numpy() != qid
+                ids = pdf["id"].to_numpy()[mask]
+                vals = col[mask]
+                take = min(k, len(vals))
+                idx = np.argsort(-vals, kind="stable")[:take]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids[idx], "cos_sim": np.round(vals[idx], 6)}
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    scored = e.mapInPandas(score_batches, "query_id long, neighbor_id long, cos_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) ANN
+# ---------------------------------------------------------------------------
+
+def hyperplanes(dim: int, planes: int = ANN_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): weight[p][d] =
+    h32(f"{p},{d}") / 2^31 - 1. Same constants are inlined into the
+    DuckDB oracle, so bucket codes agree exactly."""
+    return [
+        [portable_hash32(f"{p},{d}") / 2147483648.0 - 1.0 for d in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def _bucket_col(v: Column, planes: list[list[float]]) -> Column:
+    code = F.lit(0)
+    for p, w in enumerate(planes):
+        wcol = F.array(*[F.lit(x) for x in w])
+        code = code + F.when(dot_col(v, wcol) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return code
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    dim: int = 64,
+    planes: int = ANN_PLANES,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: same-bucket candidates re-ranked by exact cosine.
+
+    Output (query_id, neighbor_id, rank, cos_sim); rank over candidates
+    only — approximate recall vs ``cosine_topk``, one bucket-keyed
+    shuffle instead of a full scan per query at scale.
+    """
+    hp = hyperplanes(dim, planes)
+    e = emb.select(F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    coded = e.withColumn("bucket", _bucket_col(F.col("v"), hp))
+    queries = coded.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cands = (
+        coded.join(F.broadcast(queries), "bucket")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def lsh_ann_topk_sql(
+    table: str = "embeddings", dim: int = 64, planes: int = ANN_PLANES, n_queries: int = 10, k: int = 5
+) -> str:
+    hp = hyperplanes(dim, planes)
+    plane_terms = " + ".join(
+        f"(CASE WHEN {dot_sql('v', '([' + ', '.join(repr(x) for x in w) + ']::DOUBLE[])')} > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(hp)
+    )
+    cos = cosine_sql("q.qv", "c.v")
+    return f"""
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM {table}),
+        coded AS (SELECT id, v, {plane_terms} AS bucket FROM e),
+        q AS (SELECT id AS query_id, v AS qv, bucket FROM coded WHERE id < {n_queries}),
+        cands AS (
+          SELECT q.query_id, c.id AS neighbor_id, round({cos}, 6) AS cos_sim
+          FROM q JOIN coded c ON c.bucket = q.bucket AND c.id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM cands
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """

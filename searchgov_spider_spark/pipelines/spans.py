@@ -1,0 +1,144 @@
+"""Operators over the interleaved text+media span model.
+
+The canonical input table (BASELINE.json input_hint) is
+
+    documents(doc_id: string,
+              spans: array<struct<kind:string, text:string,
+                                  media_ref:string, offset:int>>)
+
+The crawl engine produces this shape from fetched pages
+(operators/extraction.py); here are the generic span-level operators a
+corpus pipeline needs — all native higher-order array functions, order-
+preserving by construction (the per-row invariant is span-sequence
+equality on (kind, text, media_ref, order)).
+
+``derive_spans`` deterministically lifts a flat text table into the
+interleaved shape (every 7th token becomes a media span) so these
+operators are exercised — and oracle-checked — on the driver's flat
+``documents`` testdata too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col, tokens_sql
+
+SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+MEDIA_EVERY = 7  # token positions p with p % 7 == 3 become media spans
+
+
+def derive_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, spans) with spans interleaved deterministically from text:
+    1-based token position p -> media span iff p % 7 == 3, else text span.
+    offset = p - 1; media_ref = 'https://cdn.example.gov/<doc>/<p>.png'."""
+    toks = tokens_col(text_col)
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda p: F.when(
+            p % MEDIA_EVERY == 3,
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(
+                    F.lit("https://cdn.example.gov/"), F.col(id_col).cast("string"), F.lit("/"),
+                    p.cast("string"), F.lit(".png"),
+                ).alias("media_ref"),
+                (p - 1).cast("int").alias("offset"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.element_at(toks, p).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                (p - 1).cast("int").alias("offset"),
+            )
+        ),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), spans.alias("spans"))
+
+
+def derive_spans_sql_cte(table: str = "documents") -> str:
+    """DuckDB CTE producing the identical (doc_id, spans) rows."""
+    return f"""
+        sp AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(toks)), p ->
+                   CASE WHEN p % {MEDIA_EVERY} = 3 THEN
+                     {{'kind': 'media', 'text': NULL,
+                       'media_ref': 'https://cdn.example.gov/' || doc_id::VARCHAR || '/' || p::VARCHAR || '.png',
+                       'offset': p - 1}}
+                   ELSE
+                     {{'kind': 'text', 'text': toks[p], 'media_ref': NULL, 'offset': p - 1}}
+                   END) AS spans
+          FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {table})
+        )
+    """
+
+
+def flatten_spans(spanned: DataFrame) -> DataFrame:
+    """posexplode preserving order: (doc_id, pos, kind, text, media_ref,
+    offset). The pos == offset invariant holds for engine output."""
+    return spanned.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id", "pos", F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"), F.col("s.offset").alias("offset"),
+    )
+
+
+def flatten_spans_sql(table: str = "documents") -> str:
+    return f"""
+        WITH {derive_spans_sql_cte(table)}
+        SELECT doc_id, u.pos - 1 AS pos, u.s['kind'] AS kind, u.s['text'] AS text,
+               u.s['media_ref'] AS media_ref, u.s['offset'] AS "offset"
+        FROM sp, (SELECT unnest(spans) AS s, generate_subscripts(spans, 1) AS pos) u
+        ORDER BY doc_id, pos
+    """
+
+
+def span_stats(spanned: DataFrame) -> DataFrame:
+    """Per-doc span accounting: counts per kind, total text chars, media
+    refs in order — pure higher-order functions, no explode."""
+    spans = F.col("spans")
+    texts = F.filter(spans, lambda s: s["kind"] == "text")
+    media = F.filter(spans, lambda s: s["kind"] == "media")
+    return spanned.select(
+        "doc_id",
+        F.size(spans).alias("n_spans"),
+        F.size(texts).alias("n_text"),
+        F.size(media).alias("n_media"),
+        F.aggregate(texts, F.lit(0), lambda acc, s: acc + F.length(s["text"])).alias("text_chars"),
+        F.transform(media, lambda s: s["media_ref"]).alias("media_refs"),
+    )
+
+
+def span_stats_sql(table: str = "documents") -> str:
+    return f"""
+        WITH {derive_spans_sql_cte(table)}
+        SELECT doc_id,
+               len(spans) AS n_spans,
+               len(list_filter(spans, s -> s['kind'] = 'text')) AS n_text,
+               len(list_filter(spans, s -> s['kind'] = 'media')) AS n_media,
+               list_reduce(list_prepend(0,
+                 list_transform(list_filter(spans, s -> s['kind'] = 'text'),
+                                s -> length(s['text']))), (a, b) -> a + b) AS text_chars,
+               list_transform(list_filter(spans, s -> s['kind'] = 'media'),
+                              s -> s['media_ref']) AS media_refs
+        FROM sp
+        ORDER BY doc_id
+    """
+
+
+def reassemble_text(spanned: DataFrame) -> DataFrame:
+    """Inverse of derive_spans for the text spans: space-joined text spans
+    in offset order (round-trip invariant used by tests)."""
+    ordered = F.array_sort(
+        F.col("spans"), lambda a, b: F.when(a["offset"] < b["offset"], -1).when(a["offset"] > b["offset"], 1).otherwise(0)
+    )
+    texts = F.filter(ordered, lambda s: s["kind"] == "text")
+    return spanned.select(
+        "doc_id",
+        F.array_join(F.transform(texts, lambda s: s["text"]), " ").alias("text"),
+    )

@@ -1,0 +1,275 @@
+"""Text analysis over document corpora: tokenization, quality scoring,
+language identification, fingerprinting.
+
+All expressions are native Spark SQL functions (no UDFs) and each has a
+DuckDB-SQL twin generator so the driver's oracle check verifies the exact
+values. The reference's analogs: NLTK word counting in
+elasticsearch/i14y_helper.py:78-133 (summarize_text) and the language
+cascade in helpers/domain_spider.py:150-167; the scale-oriented quality /
+fingerprint operators are corpus-preparation additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32_col, portable_hash32_sql
+
+# Word-ish tokens: letters, digit runs, or single punctuation (BPE-ish).
+REGEX_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Stopword list used for quality scoring and keyword extraction. Kept tiny
+# and inline so the oracle SQL embeds the identical list.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "is",
+    "are", "was", "be", "with", "as", "at", "by", "it", "this", "that",
+)
+
+# Marker-word profiles for the n-gram/stopword language-ID heuristic.
+# Deliberately small: language ID at corpus scale is a cheap first-pass
+# filter, not a classifier. Order = tie-break preference.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as")),
+    ("es", ("el", "la", "de", "que", "los", "las", "una", "por", "con", "para")),
+    ("de", ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den")),
+    ("fr", ("le", "la", "les", "des", "est", "une", "dans", "pour", "qui", "pas")),
+)
+
+ROLL_MULT = 1_000_003
+ROLL_MOD = 2_147_483_647
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + regex(BPE-ish) token counts per document."""
+    text = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(text)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(REGEX_TOKEN), 0)).alias("re_tokens"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def token_counts_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               len({tokens_sql('text')}) AS ws_tokens,
+               len(regexp_extract_all(text, '{REGEX_TOKEN}')) AS re_tokens,
+               length(text) AS n_chars
+        FROM {table}
+        ORDER BY doc_id
+    """
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / digit ratios + a composite score.
+
+    Everything is exact integer counting followed by one rounded division,
+    so the DuckDB oracle reproduces identical doubles.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    digit_ratio = F.round(n_digit / n_chars, 6)
+    # Composite: reward stopword presence (naturalness), penalize
+    # punctuation/digit soup and degenerate length.
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio + digit_ratio, F.lit(1.0))) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def quality_features_sql(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 {tokens_sql('text')} AS toks,
+                 length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+          FROM {table}
+        ), r AS (
+          SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                 round(len(list_filter(toks, x -> list_contains([{stop_list}], lower(x)))) / len(toks), 6) AS stop_ratio,
+                 round(n_punct / n_chars, 6) AS punct_ratio,
+                 round(n_digit / n_chars, 6) AS digit_ratio
+          FROM t
+        )
+        SELECT doc_id, n_chars, n_tokens, stop_ratio, punct_ratio, digit_ratio,
+               round(least(n_tokens / 100.0, 1.0) * 0.4
+                     + least(stop_ratio * 4.0, 1.0) * 0.4
+                     + (1.0 - least(punct_ratio + digit_ratio, 1.0)) * 0.2, 6) AS quality_score
+        FROM r
+        ORDER BY doc_id
+    """
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID with CJK script short-circuit.
+
+    predicted = 'zh' if any CJK chars else argmax over marker-word hit
+    counts (ties broken by LANG_MARKERS order), 'und' when nothing hits.
+    """
+    text = F.col(text_col)
+    toks = F.transform(tokens_col(text), F.lower)
+    has_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")) > 0
+    def _contains(arr):
+        # single-arg lambda: a 2-arg lambda would make F.filter pass the
+        # element index as the second argument
+        return lambda t: F.array_contains(arr, t)
+
+    scores = []
+    for lang, markers in LANG_MARKERS:
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append((lang, F.size(F.filter(toks, _contains(arr)))))
+    # deterministic argmax fold: a later language wins only on a strictly
+    # greater score, so ties resolve to LANG_MARKERS order
+    pred = F.lit("und")
+    acc = F.lit(0)
+    for lang, sc in scores:
+        pred = F.when(sc > acc, F.lit(lang)).otherwise(pred)
+        acc = F.greatest(acc, sc)
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(pred)
+    out = [F.col("doc_id"), pred.alias("predicted_lang")]
+    out += [sc.alias(f"score_{lang}") for lang, sc in scores]
+    return docs.select(*out)
+
+
+def language_id_sql(table: str = "documents") -> str:
+    score_exprs = []
+    for lang, markers in LANG_MARKERS:
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(list_transform(toks, x -> lower(x)), t -> list_contains([{lst}], t))) AS score_{lang}"
+        )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    # cascade argmax matching the Spark fold: later languages only win on
+    # strictly greater score
+    pred = "'und'"
+    acc = "0"
+    for lang in langs:
+        pred = f"CASE WHEN score_{lang} > {acc} THEN '{lang}' ELSE {pred} END"
+        acc = f"greatest({acc}, score_{lang})"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, {tokens_sql('text')} AS toks FROM {table}
+        ), s AS (
+          SELECT doc_id, text, {', '.join(score_exprs)} FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
+                    THEN 'zh' ELSE {pred} END AS predicted_lang,
+               {', '.join(f'score_{lang}' for lang in langs)}
+        FROM s
+        ORDER BY doc_id
+    """
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two document fingerprints:
+
+    - content_md5: md5 of whitespace-normalized lowercased text (exact-dup key)
+    - roll_hash: order-sensitive rolling polynomial hash over the portable
+      32-bit token hashes (near-shingle fingerprint; mod 2^31-1)
+    """
+    text = F.col(text_col)
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: portable_hash32_col(t))
+    roll = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLL_MULT + h) % ROLL_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        roll.alias("roll_hash"),
+    )
+
+
+def fingerprints_sql(table: str = "documents") -> str:
+    h = portable_hash32_sql("t")
+    return f"""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_md5,
+               list_reduce(
+                 list_prepend(0::BIGINT, list_transform({tokens_sql('text')}, t -> {h})),
+                 (acc, h) -> (acc * {ROLL_MULT} + h) % {ROLL_MOD}
+               ) AS roll_hash
+        FROM {table}
+        ORDER BY doc_id
+    """
+
+
+def top_keywords(docs: DataFrame, k: int = 10, text_col: str = "text") -> DataFrame:
+    """A2 word-frequency keywords (i14y_helper.py:78-133 restated as a
+    relational plan): explode tokens, drop stopwords, count per (source,
+    word), keep top-k per source with (count desc, word asc) ordering.
+
+    Scale shape: hash-agg with map-side partial aggregation, then a
+    per-group top-k window over the already-aggregated (small) table —
+    the explode never passes through a window.
+    """
+    from pyspark.sql import Window
+
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    words = docs.select(
+        "source", F.explode(F.transform(tokens_col(text_col), F.lower)).alias("word")
+    ).filter(~F.array_contains(stop_arr, F.col("word")) & (F.col("word") != ""))
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "word", "n", "rank")
+    )
+
+
+def top_keywords_sql(k: int = 10, table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        WITH words AS (
+          SELECT source, lower(w) AS word
+          FROM {table}, unnest({tokens_sql('text')}) AS u(w)
+          WHERE NOT list_contains([{stop_list}], lower(w)) AND w <> ''
+        ), counts AS (
+          SELECT source, word, count(*) AS n FROM words GROUP BY source, word
+        ), ranked AS (
+          SELECT source, word, n,
+                 row_number() OVER (PARTITION BY source ORDER BY n DESC, word ASC) AS rank
+          FROM counts
+        )
+        SELECT source, word, n, rank FROM ranked WHERE rank <= {k}
+        ORDER BY source, rank
+    """
