@@ -101,10 +101,12 @@ def shingles_sql(toks_expr: str, n: int = 3) -> str:
 
 def minhash_signature_cols(sh: Column, perms: int = MINHASH_PERMS) -> list[Column]:
     """perms mins over the seeded portable hash family — all native exprs."""
-    return [
-        F.array_min(F.transform(sh, lambda s, i=i: portable_hash32_col(F.concat(F.lit(f"{i}|"), s))))
-        for i in range(perms)
-    ]
+
+    def seeded(i):
+        # one-arg lambda: F.transform feeds a 2-arg lambda the element index
+        return lambda s: portable_hash32_col(F.concat(F.lit(f"{i}|"), s))
+
+    return [F.array_min(F.transform(sh, seeded(i))) for i in range(perms)]
 
 
 def minhash_signatures(

@@ -1,0 +1,270 @@
+"""Tests for corpus-pipeline operators (dedup / similarity / textstats /
+spans / multimodal) against pure-Python oracles on small synthetic docs."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchgov_spider_spark.functions.hashing import portable_hash32
+from searchgov_spider_spark.pipelines import dedup as pdedup
+from searchgov_spider_spark.pipelines import multimodal as pmm
+from searchgov_spider_spark.pipelines import similarity as psim
+from searchgov_spider_spark.pipelines import spans as pspans
+from searchgov_spider_spark.pipelines import textstats as pstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "a"),
+    (1, "the quick brown fox jumps over the lazy cat", "a"),  # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog", "b"),  # exact dup of 0
+    (3, "completely different text about spark engines and shuffles", "b"),
+    (4, "el gato y el perro y el raton en la casa", "a"),
+    (5, "short", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t, s) for i, t, s in DOCS], "doc_id long, text string, source string"
+    ).cache()
+
+
+def _tokens(text):
+    return text.strip().split()
+
+
+def _shingles(text, n=3):
+    toks = _tokens(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a, b):
+    return len(a & b) / len(a | b)
+
+
+class TestExactDedup:
+    def test_groups(self, docs_df):
+        rows = {r["dup_key"]: r for r in pdedup.exact_dup_groups(docs_df).collect()}
+        key0 = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+        assert rows[key0]["n_docs"] == 2
+        assert rows[key0]["keep_doc_id"] == 0
+        assert len(rows) == 5  # 6 docs, one pair merged
+
+
+class TestMinHash:
+    def test_signature_matches_python(self, docs_df):
+        sigs = {r["doc_id"]: r["sig"] for r in pdedup.minhash_signatures(docs_df).collect()}
+        for doc_id, text, _ in DOCS:
+            sh = _shingles(text)
+            if not sh:
+                assert doc_id not in sigs
+                continue
+            expected = [
+                min(portable_hash32(f"{i}|{s}") for s in sh) for i in range(pdedup.MINHASH_PERMS)
+            ]
+            assert list(sigs[doc_id]) == expected, doc_id
+
+    def test_lsh_finds_near_dup_pair(self, docs_df):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in pdedup.minhash_lsh_pairs(docs_df, threshold=0.4).collect()
+        }
+        assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact dup
+        assert (0, 1) in pairs  # near dup shares most shingles
+        exact = _jaccard(_shingles(DOCS[0][1]), _shingles(DOCS[1][1]))
+        assert pairs[(0, 1)] == pytest.approx(round(exact, 6))
+        assert (0, 3) not in pairs
+
+
+class TestSimHash:
+    def test_simhash_matches_python(self, docs_df):
+        sims = {r["doc_id"]: r["simhash"] for r in pdedup.simhash(docs_df).collect()}
+        for doc_id, text, _ in DOCS:
+            counts = {}
+            for t in _tokens(text):
+                counts[t] = counts.get(t, 0) + 1
+            sig = 0
+            for b in range(pdedup.SIMHASH_BITS):
+                acc = sum(
+                    (cnt if (portable_hash32(t) >> b) & 1 else -cnt) for t, cnt in counts.items()
+                )
+                if acc > 0:
+                    sig |= 1 << b
+            assert sims[doc_id] == sig, doc_id
+
+    def test_near_dups_include_exact_pair(self, docs_df):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in pdedup.simhash_near_dups(docs_df, max_hamming=3).collect()
+        }
+        assert pairs[(0, 2)] == 0
+
+    def test_band_blocking_is_complete(self, docs_df):
+        """Band join must find exactly the pairs a cross join finds."""
+        sims = {r["doc_id"]: r["simhash"] for r in pdedup.simhash(docs_df).collect()}
+        expected = set()
+        ids = sorted(sims)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if bin(sims[a] ^ sims[b]).count("1") <= 3:
+                    expected.add((a, b))
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in pdedup.simhash_near_dups(docs_df, max_hamming=3).collect()
+        }
+        assert got == expected
+
+
+class TestNgramJaccard:
+    def test_blocked_pairs(self, docs_df):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in pdedup.ngram_jaccard_pairs(docs_df, block_col="source", threshold=0.1).collect()
+        }
+        # 0 and 1 share block 'a'; 2 is in block 'b' so (0,2) must NOT appear
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(30)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+    def test_bruteforce_topk_matches_numpy(self, emb_df):
+        import numpy as np
+
+        got = psim.cosine_topk(emb_df, n_queries=3, k=4).collect()
+        data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb_df.collect()}
+        for q in range(3):
+            mine = [(r["neighbor_id"], r["cos_sim"]) for r in got if r["query_id"] == q]
+            sims = []
+            for nid, v in data.items():
+                if nid == q:
+                    continue
+                c = float(np.dot(data[q], v) / (np.linalg.norm(data[q]) * np.linalg.norm(v)))
+                sims.append((nid, round(c, 6)))
+            sims.sort(key=lambda x: (-x[1], x[0]))
+            assert [n for n, _ in mine] == [n for n, _ in sims[:4]]
+            for (n1, c1), (n2, c2) in zip(mine, sims[:4]):
+                assert c1 == pytest.approx(c2, abs=1e-6)
+
+    def test_pandas_variant_agrees(self, emb_df):
+        a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in psim.cosine_topk(emb_df, n_queries=3, k=4).collect()}
+        b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in psim.cosine_topk_pandas(emb_df, n_queries=3, k=4).collect()}
+        assert a == b
+
+    def test_lsh_ann_neighbors_share_bucket(self, emb_df):
+        got = psim.lsh_ann_topk(emb_df, dim=8, planes=4, n_queries=3, k=4).collect()
+        hp = psim.hyperplanes(8, 4)
+        data = {r["vec_id"]: r["embedding"] for r in emb_df.collect()}
+
+        def bucket(v):
+            code = 0
+            for p, w in enumerate(hp):
+                if sum(x * y for x, y in zip(v, w)) > 0:
+                    code |= 1 << p
+            return code
+
+        for r in got:
+            assert bucket(data[r["query_id"]]) == bucket(data[r["neighbor_id"]])
+            assert r["neighbor_id"] != r["query_id"]
+
+
+class TestTextStats:
+    def test_token_counts(self, spark, docs_df):
+        rows = {r["doc_id"]: r for r in pstats.token_counts(docs_df).collect()}
+        assert rows[0]["ws_tokens"] == 9
+        assert rows[5]["ws_tokens"] == 1
+
+    def test_quality_monotone_and_bounded(self, docs_df):
+        rows = {r["doc_id"]: r for r in pstats.quality_features(docs_df).collect()}
+        for r in rows.values():
+            assert 0.0 <= r["quality_score"] <= 1.0
+        # doc 0 has stopword 'the' twice among 9 tokens
+        assert rows[0]["stop_ratio"] == pytest.approx(round(2 / 9, 6))
+
+    def test_lang_id(self, docs_df):
+        rows = {r["doc_id"]: r["predicted_lang"] for r in pstats.language_id(docs_df).collect()}
+        assert rows[0] == "en"
+        assert rows[4] == "es"
+
+    def test_lang_id_cjk(self, spark):
+        df = spark.createDataFrame([(9, "北京 上海 广州", "x")], "doc_id long, text string, source string")
+        assert pstats.language_id(df).collect()[0]["predicted_lang"] == "zh"
+
+    def test_fingerprints_match_python(self, docs_df):
+        rows = {r["doc_id"]: r for r in pstats.fingerprints(docs_df).collect()}
+        for doc_id, text, _ in DOCS:
+            roll = 0
+            for t in _tokens(text):
+                roll = (roll * pstats.ROLL_MULT + portable_hash32(t)) % pstats.ROLL_MOD
+            assert rows[doc_id]["roll_hash"] == roll
+            norm = " ".join(text.split()).lower()
+            assert rows[doc_id]["content_md5"] == hashlib.md5(norm.encode()).hexdigest()
+
+
+class TestSpans:
+    def test_roundtrip(self, docs_df):
+        spanned = pspans.derive_spans(docs_df)
+        back = {r["doc_id"]: r["text"] for r in pspans.reassemble_text(spanned).collect()}
+        for doc_id, text, _ in DOCS:
+            toks = _tokens(text)
+            expected = " ".join(t for i, t in enumerate(toks, start=1) if i % 7 != 3)
+            assert back[doc_id] == expected
+
+    def test_order_preserved(self, docs_df):
+        flat = pspans.flatten_spans(pspans.derive_spans(docs_df)).collect()
+        by_doc = {}
+        for r in flat:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, rows in by_doc.items():
+            offs = [r["offset"] for r in sorted(rows, key=lambda r: r["pos"])]
+            assert offs == sorted(offs) == [r["pos"] for r in sorted(rows, key=lambda r: r["pos"])]
+
+    def test_span_stats(self, docs_df):
+        stats = {r["doc_id"]: r for r in pspans.span_stats(pspans.derive_spans(docs_df)).collect()}
+        toks0 = _tokens(DOCS[0][1])
+        n_media = sum(1 for i in range(1, len(toks0) + 1) if i % 7 == 3)
+        assert stats[0]["n_media"] == n_media
+        assert stats[0]["n_spans"] == len(toks0)
+        assert len(stats[0]["media_refs"]) == n_media
+
+
+class TestMultimodal:
+    def test_meta(self, docs_df):
+        rows = {r["doc_id"]: r for r in pmm.binary_meta(pmm.attach_binary(docs_df)).collect()}
+        assert rows[0]["n_bytes"] == len(DOCS[0][1].encode())
+        assert rows[0]["modality"] == "image"
+        assert rows[1]["modality"] == "audio"
+        assert rows[2]["modality"] == "video"
+
+    def test_decode_stub_deterministic(self, docs_df):
+        feats = {r["doc_id"]: r for r in pmm.decode_media(pmm.attach_binary(docs_df)).collect()}
+        n = len(DOCS[0][1].encode())
+        assert feats[0]["width"] == 16 + n % 1024
+        assert feats[2]["frames"] is not None  # video row
+
+    def test_decode_real_raises(self, docs_df):
+        with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+            pmm.decode_media(pmm.attach_binary(docs_df), real=True).collect()
+
+    def test_frame_sample(self, docs_df):
+        feats = pmm.decode_media(pmm.attach_binary(docs_df))
+        frames = pmm.frame_sample(feats, every_n=100).collect()
+        vids = {r["doc_id"] for r in feats.filter(F.col("modality") == "video").collect()}
+        assert {r["doc_id"] for r in frames} == vids
+        for r in frames:
+            assert r["frame_idx"] % 100 == 0
