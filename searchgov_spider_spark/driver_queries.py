@@ -407,6 +407,103 @@ def _ctype_sql() -> str:
     """
 
 
+def q_sitemap_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: recursive sitemap resolution (urlset leaves + one nested index)
+    through the real XML-parsing wave loop; the oracle constructs the
+    expected (sitemap_url, url) rows analytically from the same arithmetic."""
+    from .operators.sitemap import resolve_sitemaps
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    i = F.col("doc_id").cast("string")
+    sm_url = F.concat(F.lit("https://s.gov/sm"), i, F.lit(".xml"))
+    locs = F.concat(
+        *[
+            F.concat(
+                F.lit("<url><loc>https://s.gov/p/"),
+                (F.col("doc_id") * 3 + k).cast("string"),
+                F.lit("</loc></url>"),
+            )
+            for k in range(3)
+        ]
+    )
+    leaf_web = docs.select(
+        sm_url.alias("url"),
+        F.lit(200).alias("http_status"),
+        F.encode(F.concat(F.lit("<urlset>"), locs, F.lit("</urlset>")), "utf-8").alias("body"),
+    )
+    index_body = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(F.concat(F.lit("<sitemap><loc>"), sm_url, F.lit("</loc></sitemap>")).alias("entry"))
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("entry"))).alias("entries"))
+        .select(
+            F.lit("https://s.gov/index.xml").alias("url"),
+            F.lit(200).alias("http_status"),
+            F.encode(
+                F.concat(F.lit("<sitemapindex>"), F.col("entries"), F.lit("</sitemapindex>")), "utf-8"
+            ).alias("body"),
+        )
+    )
+    web = leaf_web.unionByName(index_body)
+    seeds = (
+        docs.filter(F.col("doc_id") >= 50)
+        .select(sm_url.alias("sitemap_url"))
+        .unionByName(spark.sql("SELECT 'https://s.gov/index.xml' AS sitemap_url"))
+    )
+    return resolve_sitemaps(seeds, web).select("sitemap_url", "url")
+
+
+Q_SITEMAP_RESOLVE_SQL = """
+    WITH sm AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    expanded AS (
+      SELECT doc_id, doc_id * 3 + k AS page
+      FROM sm, unnest([0, 1, 2]) AS t(k)
+    )
+    SELECT CASE WHEN doc_id < 50 THEN 'https://s.gov/index.xml'
+                ELSE 'https://s.gov/sm' || doc_id::VARCHAR || '.xml' END AS sitemap_url,
+           'https://s.gov/p/' || page::VARCHAR AS url
+    FROM expanded
+    ORDER BY sitemap_url, url
+"""
+
+
+def q_endpoint_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2+A3: 100KB-flush batch assembly (scaled-down flush size)."""
+    from .sources.sinks import with_batch_ids
+
+    events = load(spark, sf_dir, "events")
+    urls = events.select(
+        F.concat(F.lit("https://api.gov/e/"), F.col("event_id").cast("string")).alias("url")
+    )
+    batched = with_batch_ids(urls, max_bytes=2000)
+    return batched.groupBy("batch_id").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.octet_length("url")).alias("total_bytes"),
+    )
+
+
+Q_ENDPOINT_BATCHES_SQL = """
+    WITH b AS (
+      SELECT url,
+             CAST(floor((sum(octet_length(encode(url))) OVER (ORDER BY url ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - octet_length(encode(url))) / 2000) AS BIGINT) AS batch_id
+      FROM (SELECT 'https://api.gov/e/' || event_id::VARCHAR AS url FROM events)
+    )
+    SELECT batch_id, count(*) AS n_urls,
+           CAST(sum(octet_length(encode(url))) AS BIGINT) AS total_bytes
+    FROM b GROUP BY batch_id ORDER BY batch_id
+"""
+
+
+def q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-doc summary/keywords via the vectorized pandas UDF kernel.
+    Pure-Python loop semantics (i14y_helper.py:78-133) are not
+    SQL-expressible — rows-only check; parity is pinned by pytest."""
+    from .functions.summarize import with_summary
+
+    docs = load(spark, sf_dir, "documents")
+    return with_summary(docs, "text").select("doc_id", "keywords")
+
+
 def q_batch_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: running-sum batch ids (100KB-flush analog) over orders, exact
     integer cents so the cumsum is order-independent-exact."""
@@ -647,6 +744,9 @@ def queries():
         "content_type_route": q_content_type_route,
         "batch_accounting": q_batch_accounting,
         "monitor_codes": q_monitor_codes,
+        "sitemap_resolve": q_sitemap_resolve,
+        "endpoint_batches": q_endpoint_batches,
+        "summarize": q_summarize,
         # relational breadth
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -682,6 +782,9 @@ def oracle_sql():
         "content_type_route": _ctype_sql(),
         "batch_accounting": Q_BATCH_ACCOUNTING_SQL,
         "monitor_codes": Q_MONITOR_CODES_SQL,
+        "sitemap_resolve": Q_SITEMAP_RESOLVE_SQL,
+        "endpoint_batches": Q_ENDPOINT_BATCHES_SQL,
+        # "summarize" intentionally has no oracle (non-SQL pandas-UDF loop)
         "pricing_summary": Q_PRICING_SUMMARY_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,
         "shipping_priority": Q_SHIPPING_PRIORITY_SQL,

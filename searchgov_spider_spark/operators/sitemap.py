@@ -1,0 +1,220 @@
+"""Sitemap operators S5/S6 + D5/A4 (SURVEY.md §2.1, §2.4, §2.6).
+
+Reference behavior (all in /root/reference/search_gov_crawler/search_gov_spiders/sitemaps/):
+
+- S5 recursive fetch+parse — sitemap_monitor.py:164-224 ``_fetch_sitemap``:
+  parse XML; ``sitemapindex`` entries recurse (max depth 10) but only when
+  the loc "looks like" a sitemap (endswith .xml or contains 'sitemap');
+  ``urlset`` entries contribute page URLs; anything else is skipped.
+- S6 discovery cascade — sitemap_finder.py:69-98: (1) common paths probe,
+  (2) robots.txt ``Sitemap:`` directive, (3) homepage ``<link rel>``, (4)
+  root-dir XML listing; first hit wins.
+- D5 diff — sitemap_monitor.py:227-254: ``new = current - previous``.
+- A4 report — sitemap_monitor.py:294-331: new vs total counts.
+
+Spark restatement: the network is a ``web(url, http_status, content_type,
+body)`` table (the recorded-HTTP-cache analog used throughout the test
+suite). Parsing is a vectorized pandas UDF (xml.etree per batch row —
+pure-Python XML parse, Arrow-batched transfer); recursion is an iterative
+driver loop of joins, one wave per depth level, each wave a single
+co-partitioned join against ``web`` — the idiomatic Spark shape for a
+bounded-depth graph traversal (same pattern as the crawl wave loop).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_SITEMAP_DEPTH = 10  # sitemap_monitor.py:164 max_depth
+
+COMMON_SITEMAP_NAMES = (  # sitemap_finder.py common_sitemap_names analog
+    "sitemap.xml", "sitemap_index.xml", "sitemap-index.xml", "sitemaps.xml",
+)
+
+_PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("locs", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def parse_sitemap_xml(body: bytes | str | None) -> tuple[str, list[str]]:
+    """Pure-Python sitemap parse (the per-row kernel + unit-test oracle).
+
+    Returns (kind, locs): kind in {'sitemapindex','urlset','invalid'};
+    for sitemapindex, locs are lowercased child sitemap URLs filtered by
+    the reference's looks-like-a-sitemap heuristic
+    (sitemap_monitor.py:196-204); for urlset, locs are page URLs stripped
+    (sitemap_monitor.py:205-210).
+    """
+    if body is None:
+        return "invalid", []
+    if isinstance(body, bytes):
+        raw = body
+    else:
+        raw = body.encode()
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError:
+        return "invalid", []
+    ns = root.tag.split("}")[0] + "}" if "}" in root.tag else ""
+    if root.tag.endswith("sitemapindex"):
+        locs = []
+        for sm in root.findall(f"{ns}sitemap"):
+            loc = sm.find(f"{ns}loc")
+            if loc is not None and loc.text:
+                loc_text = loc.text.strip().lower()
+                if loc_text.endswith(".xml") or "sitemap" in loc_text:
+                    locs.append(loc_text)
+        return "sitemapindex", locs
+    if root.tag.endswith("urlset"):
+        locs = []
+        for u in root.findall(f"{ns}url"):
+            loc = u.find(f"{ns}loc")
+            if loc is not None and loc.text:
+                locs.append(loc.text.strip())
+        return "urlset", locs
+    return "invalid", []
+
+
+@F.pandas_udf(_PARSED_SCHEMA)
+def parse_sitemap_udf(bodies: pd.Series) -> pd.DataFrame:
+    parsed = [parse_sitemap_xml(b) for b in bodies]
+    return pd.DataFrame({"kind": [p[0] for p in parsed], "locs": [p[1] for p in parsed]})
+
+
+def resolve_sitemaps(
+    seeds: DataFrame, web: DataFrame, max_depth: int = MAX_SITEMAP_DEPTH
+) -> DataFrame:
+    """S5: expand sitemap URLs (possibly nested indexes) into page URLs.
+
+    seeds: (sitemap_url) roots; web: (url, http_status, body).
+    Returns (sitemap_url, url) — page URLs attributed to their root.
+    One join + parse per nesting level; visited-set anti-join prevents
+    index cycles (the reference's depth counter handles this implicitly).
+    """
+    spark = seeds.sparkSession
+    pending = seeds.select(
+        F.col("sitemap_url"), F.lower(F.trim("sitemap_url")).alias("url")
+    )
+    visited = pending.select("sitemap_url", "url")
+    out = None
+    for _depth in range(max_depth + 1):
+        if pending.isEmpty():
+            break
+        fetched = pending.join(web.select("url", "http_status", "body"), "url", "left")
+        parsed = fetched.withColumn(
+            "p",
+            F.when(F.col("http_status") == 200, parse_sitemap_udf("body")).otherwise(
+                F.struct(F.lit("invalid").alias("kind"), F.array().cast("array<string>").alias("locs"))
+            ),
+        ).select("sitemap_url", F.col("p.kind").alias("kind"), F.col("p.locs").alias("locs"))
+        pages = parsed.filter(F.col("kind") == "urlset").select(
+            "sitemap_url", F.explode("locs").alias("url")
+        )
+        out = pages if out is None else out.unionByName(pages)
+        children = (
+            parsed.filter(F.col("kind") == "sitemapindex")
+            .select("sitemap_url", F.explode("locs").alias("url"))
+            .join(visited, ["sitemap_url", "url"], "left_anti")
+            .distinct()
+        )
+        visited = visited.unionByName(children).localCheckpoint(eager=True)
+        pending = children
+    if out is None:
+        return spark.createDataFrame([], "sitemap_url string, url string")
+    return out.distinct()
+
+
+ROBOTS_SITEMAP_RE = r"(?i)Sitemap:\s*(https?://\S+)"  # sitemap_finder.py:137
+HTML_LINK_RE = r'(?i)<link[^>]*rel=["\']sitemap["\'][^>]*href=["\']([^"\']+)["\']'
+
+
+def discover_sitemaps(domains: DataFrame, web: DataFrame) -> DataFrame:
+    """S6: the 4-method discovery cascade, relationally.
+
+    domains: (domain); web: (url, http_status, content_type, body) with
+    body as string for text resources. Output: (domain, sitemap_url,
+    method) — first method that hits, in reference order.
+    """
+    base = domains.select("domain", F.concat(F.lit("https://"), F.col("domain"), F.lit("/")).alias("base"))
+    txt = F.col("body").cast("string")
+
+    # method 1: common locations that answer 200
+    common = None
+    for i, name in enumerate(COMMON_SITEMAP_NAMES):
+        probe = base.select(
+            "domain", F.concat(F.col("base"), F.lit(name)).alias("url"), F.lit(i).alias("pref")
+        )
+        common = probe if common is None else common.unionByName(probe)
+    m1 = (
+        common.join(web.filter(F.col("http_status") == 200).select("url"), "url")
+        .groupBy("domain")
+        .agg(F.min_by("url", "pref").alias("m1"))
+    )
+
+    # method 2: robots.txt Sitemap: directive
+    robots = base.select("domain", F.concat(F.col("base"), F.lit("robots.txt")).alias("url"))
+    m2 = (
+        robots.join(web.filter(F.col("http_status") == 200).select("url", "body"), "url")
+        .select("domain", F.regexp_extract(txt, ROBOTS_SITEMAP_RE, 1).alias("m2"))
+        .filter(F.col("m2") != "")
+    )
+
+    # method 3: homepage <link rel="sitemap">
+    m3 = (
+        base.select("domain", F.col("base").alias("url"))
+        .join(web.filter(F.col("http_status") == 200).select("url", "body"), "url")
+        .select("domain", F.regexp_extract(txt, HTML_LINK_RE, 1).alias("m3"))
+        .filter(F.col("m3") != "")
+    )
+
+    # method 4: any .xml with 'sitemap' in the name listed at the root dir
+    m4 = (
+        web.filter(
+            (F.col("http_status") == 200)
+            & F.col("url").rlike(r"(?i)^https://[^/]+/[^/]*sitemap[^/]*\.xml$")
+        )
+        .select(F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("domain"), F.col("url").alias("m4"))
+        .groupBy("domain")
+        .agg(F.min("m4").alias("m4"))
+    )
+
+    joined = (
+        domains.join(m1, "domain", "left")
+        .join(m2, "domain", "left")
+        .join(m3, "domain", "left")
+        .join(m4, "domain", "left")
+    )
+    method = (
+        F.when(F.col("m1").isNotNull(), F.lit("common_location"))
+        .when(F.col("m2").isNotNull(), F.lit("robots_txt"))
+        .when(F.col("m3").isNotNull(), F.lit("html_link"))
+        .when(F.col("m4").isNotNull(), F.lit("root_listing"))
+    )
+    return joined.select(
+        "domain",
+        F.coalesce("m1", "m2", "m3", "m4").alias("sitemap_url"),
+        method.alias("method"),
+    ).filter(F.col("sitemap_url").isNotNull())
+
+
+def sitemap_new_urls(current: DataFrame, previous: DataFrame) -> DataFrame:
+    """D5: per-sitemap set difference (current minus previous)."""
+    return current.join(previous, ["sitemap_url", "url"], "left_anti")
+
+
+def sitemap_report(current: DataFrame, previous: DataFrame) -> DataFrame:
+    """A4: per-sitemap counts of new vs total URLs."""
+    new = sitemap_new_urls(current, previous).groupBy("sitemap_url").agg(F.count("*").alias("new_urls"))
+    total = current.groupBy("sitemap_url").agg(F.count("*").alias("total_urls"))
+    return total.join(new, "sitemap_url", "left").select(
+        "sitemap_url", F.coalesce("new_urls", F.lit(0)).alias("new_urls"), "total_urls"
+    )
