@@ -129,9 +129,13 @@ class CrawlEngine:
 
     def _prepare_candidates(self, cand: DataFrame) -> DataFrame:
         """filters → robots → canonical identity; candidates must arrive with
-        (job, url, depth, discovery_idx); priority comes from the rules join."""
+        (job, url, depth, discovery_idx); priority comes from the rules join.
+        An optional ``prevent_follow`` column (sitemap-monitor rows, SURVEY
+        §3.3) rides along; absent ⇒ false."""
+        if "prevent_follow" not in cand.columns:
+            cand = cand.withColumn("prevent_follow", F.lit(False))
         filtered = apply_prefetch_filters(cand, self.rules).select(
-            "job", "url", "depth", "discovery_idx", "priority"
+            "job", "url", "depth", "discovery_idx", "priority", "prevent_follow"
         )
         withc = filtered.withColumn("canon_url", canonicalize_udf("url")).withColumn(
             "url_hash", url_hash_col("canon_url")
@@ -180,6 +184,8 @@ class CrawlEngine:
         max_waves = max_waves or cfg.max_waves
         result = CrawlResult()
         documents: DataFrame | None = None
+        if "prevent_follow" not in frontier.columns:  # pre-flag checkpoints
+            frontier = frontier.withColumn("prevent_follow", F.lit(False))
 
         for wave in range(start_wave, max_waves):
             t0 = time.monotonic()
@@ -212,7 +218,10 @@ class CrawlEngine:
             )
             parsed = extract_spans(
                 fetched.filter(ok & F.col("content_type").startswith("text/html")),
-                keep_cols=["url", "canon_url", "url_hash", "job", "domain", "depth", "fetch_rank", "priority"],
+                keep_cols=[
+                    "url", "canon_url", "url_hash", "job", "domain", "depth",
+                    "fetch_rank", "priority", "prevent_follow",
+                ],
             ).cache()
 
             docs_wave = (
@@ -240,7 +249,10 @@ class CrawlEngine:
             documents = docs_wave if documents is None else documents.unionByName(docs_wave)
 
             # next-wave candidates: explode out-links with deterministic order
-            links = parsed.select(
+            # (prevent_follow rows — sitemap-discovered URLs — emit documents
+            # but never feed the frontier, matching prevent_follow=True +
+            # depth_limit=1 crawls at sitemap_monitor.py:304-325)
+            links = parsed.filter(~F.col("prevent_follow")).select(
                 F.col("job"),
                 (F.col("depth") + 1).alias("depth"),
                 F.col("fetch_rank"),

@@ -218,3 +218,70 @@ class TestFileSinks:
         sinks.write_metrics_log([{"wave": 0, "n": 5}, {"wave": 1, "n": 7}], path)
         lines = [json.loads(ln) for ln in open(path)]
         assert lines == [{"n": 5, "wave": 0}, {"n": 7, "wave": 1}]
+
+
+class TestSitemapMonitorPlan:
+    """SURVEY §3.3: resolve → diff → prevent_follow frontier → one wave."""
+
+    def _web(self, spark, extra_urls=()):
+        urls = ["https://agency-a.gov/p/1", "https://agency-a.gov/p/2", *extra_urls]
+        sm = urlset(*urls)
+        rows = [("https://agency-a.gov/sitemap.xml", 200, sm.encode())]
+        return spark.createDataFrame(rows, "url string, http_status int, body binary")
+
+    def test_first_run_stores_without_emitting(self, spark):
+        from searchgov_spider_spark.plans.sitemap_monitor import sitemap_frontier_candidates
+
+        jobs = spark.createDataFrame(
+            [("https://agency-a.gov/sitemap.xml", "agency-a")], "sitemap_url string, job string"
+        )
+        cand, snapshot = sitemap_frontier_candidates(jobs, self._web(spark), None)
+        assert cand.count() == 0
+        assert snapshot.count() == 2
+
+    def test_new_urls_flagged_and_not_followed(self, spark):
+        from searchgov_spider_spark.config import CrawlConfig
+        from searchgov_spider_spark.plans.crawl import CrawlEngine
+        from searchgov_spider_spark.plans.sitemap_monitor import sitemap_frontier_candidates
+        from searchgov_spider_spark.sources.fetch import TablePageFetcher
+        from searchgov_spider_spark.testing.graph import PAGES_SCHEMA, render_html
+
+        jobs = spark.createDataFrame(
+            [("https://agency-a.gov/sitemap.xml", "agency-a")], "sitemap_url string, job string"
+        )
+        _, prev = sitemap_frontier_candidates(jobs, self._web(spark), None)
+        cand, cur = sitemap_frontier_candidates(
+            jobs, self._web(spark, ["https://agency-a.gov/p/NEW"]), prev
+        )
+        rows = cand.collect()
+        assert {r["url"] for r in rows} == {"https://agency-a.gov/p/NEW"}
+        assert all(r["prevent_follow"] for r in rows)
+
+        # drain through the engine: the new page links elsewhere, but
+        # prevent_follow must keep its children out of the frontier
+        spans = [
+            {"kind": "text", "text": "hello", "media_ref": None, "offset": 0},
+            {"kind": "link", "text": None, "media_ref": "https://agency-a.gov/child", "offset": 1},
+        ]
+        body = render_html("NEW", "en", spans)
+        pages = spark.createDataFrame(
+            [(
+                "https://agency-a.gov/p/NEW", "agency-a.gov", 200, "text/html; charset=UTF-8",
+                None, spans, ["https://agency-a.gov/child"], body, "https://agency-a.gov/p/NEW",
+            )],
+            PAGES_SCHEMA,
+        )
+        seeds = spark.createDataFrame(
+            [("agency-a", "agency-a.gov", "https://agency-a.gov/", False, False, "csv", 3, None, 1)],
+            "name string, allowed_domains string, starting_urls string, allow_query_string boolean, "
+            "handle_javascript boolean, output_target string, depth_limit int, "
+            "deny_paths array<string>, domain_priority int",
+        )
+        eng = CrawlEngine(spark, seeds, TablePageFetcher(pages), config=CrawlConfig(wave_seconds=30.0))
+        frontier = eng._prepare_candidates(cand)
+        seen0 = spark.createDataFrame([], "url_hash long, canon_url string")
+        res = eng.run_from(frontier, seen0, max_waves=4)
+        assert res.waves[0].scheduled == 1
+        assert res.waves[0].emitted == 1
+        # child link NOT followed: one wave only
+        assert len(res.waves) == 1
