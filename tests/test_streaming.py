@@ -1,0 +1,65 @@
+"""Streaming monitor tests: file-source stream drained with
+trigger(availableNow) into a memory sink."""
+
+from __future__ import annotations
+
+import json
+
+from searchgov_spider_spark.streaming.monitor import (
+    domain_rate_monitor,
+    no_item_monitor,
+    read_fetch_log_stream,
+    run_to_memory,
+    status_code_monitor,
+)
+
+
+def _write_fetch_log(tmp_path, rows):
+    p = tmp_path / "fetchlog"
+    p.mkdir()
+    with (p / "part-0.json").open("w") as f:
+        for ts, url, domain, status, emitted in rows:
+            f.write(
+                json.dumps(
+                    {"ts": ts, "url": url, "domain": domain, "http_status": status,
+                     "emitted": emitted, "wave": 0}
+                )
+                + "\n"
+            )
+    return str(p)
+
+
+def test_status_and_rate_monitors(spark, tmp_path):
+    rows = (
+        [(f"2024-01-01T00:00:{i:02d}", f"https://a.gov/{i}", "a.gov", 200, True) for i in range(30)]
+        + [(f"2024-01-01T00:01:{i:02d}", f"https://b.gov/{i}", "b.gov", 429, False) for i in range(55)]
+    )
+    path = _write_fetch_log(tmp_path, rows)
+    stream = read_fetch_log_stream(spark, path)
+
+    run_to_memory(status_code_monitor(stream, window="10 minutes"), "codes")
+    codes = {r["http_status"]: r for r in spark.sql("SELECT * FROM codes").collect()}
+    assert codes[200]["n"] == 30 and not codes[200]["breach"]
+    assert codes[429]["n"] == 55 and codes[429]["breach"]  # > 50 unwanted
+
+    run_to_memory(domain_rate_monitor(stream, max_per_minute=40), "rates")
+    rates = {(r["domain"], str(r["window_start"])): r for r in spark.sql("SELECT * FROM rates").collect()}
+    assert any(r["over_budget"] for r in rates.values()) is True
+    a_rows = [r for r in rates.values() if r["domain"] == "a.gov"]
+    assert all(not r["over_budget"] for r in a_rows)  # 30/min <= 40
+
+
+def test_no_item_monitor(spark, tmp_path):
+    rows = [
+        ("2024-01-01T00:00:05", "https://a.gov/1", "a.gov", 200, False),
+        ("2024-01-01T00:10:05", "https://a.gov/2", "a.gov", 500, False),
+        ("2024-01-01T01:00:05", "https://a.gov/3", "a.gov", 200, True),
+    ]
+    path = _write_fetch_log(tmp_path, rows)
+    stream = read_fetch_log_stream(spark, path)
+    run_to_memory(no_item_monitor(stream, window="30 minutes"), "noitem")
+    wins = {str(r["window_start"]): r for r in spark.sql("SELECT * FROM noitem").collect()}
+    alarm = [r for r in wins.values() if r["no_item_alarm"]]
+    ok = [r for r in wins.values() if not r["no_item_alarm"]]
+    assert len(alarm) == 1 and alarm[0]["fetches"] == 2
+    assert len(ok) == 1 and ok[0]["emitted"] == 1
