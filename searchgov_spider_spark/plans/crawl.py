@@ -111,6 +111,8 @@ class CrawlEngine:
         )
         self.user_agent = user_agent
         self.use_bloom_over = use_bloom_over
+        self._bloom = None
+        self._bloom_capacity = 0
 
     # -- plumbing -----------------------------------------------------------
 
@@ -181,6 +183,29 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("discovery_idx"),
         )
         return dedupe_intra_wave(self._prepare_candidates(starts), order_cols=INTRA_WAVE_ORDER)
+
+    def _maintain_bloom(self, seen: DataFrame, seen_count: int, scheduled: DataFrame):
+        """Incremental bloom maintenance (the Redis-SADD analog): per wave,
+        build a delta bloom from just the newly scheduled fingerprints and
+        OR it into the cumulative filter. A full rebuild happens only on
+        first use (or resume) and when the seen set outgrows the spec's
+        design capacity — O(seen) work amortized, not per wave."""
+        cfg = self.config
+        if seen_count <= self.use_bloom_over:
+            return None
+        capacity_for = lambda n: max(n * 4, cfg.bloom_capacity)  # noqa: E731
+        if self._bloom is None or seen_count > self._bloom_capacity:
+            self._bloom_capacity = capacity_for(seen_count)
+            self._bloom = build_bloom(
+                seen, capacity=self._bloom_capacity,
+                fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards,
+            )
+        else:
+            delta = build_bloom(
+                scheduled.select("url_hash"), spec=self._bloom.spec,
+            )
+            self._bloom.merge(delta)
+        return self._bloom
 
     def _budget_col(self):
         cfg = self.config
@@ -294,12 +319,7 @@ class CrawlEngine:
             deduped = dedupe_intra_wave(candidates, order_cols=INTRA_WAVE_ORDER)
 
             seen_count = seen.count()
-            bloom = None
-            if seen_count > self.use_bloom_over:
-                bloom = build_bloom(
-                    seen, capacity=max(seen_count * 2, cfg.bloom_capacity),
-                    fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards,
-                )
+            bloom = self._maintain_bloom(seen, seen_count, scheduled)
             new_urls = dedupe_against_seen(deduped, seen, bloom)
 
             frontier_next = dedupe_intra_wave(

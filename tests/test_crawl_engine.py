@@ -131,3 +131,17 @@ def test_resume_classmethod_and_state_store(spark, graph, tmp_path):
     assert store.committed_waves("seen") == [waves[-1]]
     # latest wave still readable after expiry
     assert store.read("seen").count() == len(sim.seen)
+
+
+def test_engine_with_incremental_bloom(spark, graph):
+    """Force the bloom path from wave 0 (use_bloom_over=1): per-wave delta
+    merge must preserve exactness (no false negatives), converging to the
+    simulator's seen set."""
+    pages_df, seeds_df, robots_df = graph_to_dfs(spark, graph)
+    eng = CrawlEngine(spark, seeds_df, TablePageFetcher(pages_df), robots=robots_df,
+                      config=CFG, use_bloom_over=1)
+    res = eng.run(max_waves=12)
+    sim = simulate_crawl(graph, CFG, max_waves=12)
+    assert {r["canon_url"] for r in res.seen.collect()} == sim.seen
+    assert res.scheduled_per_wave == sim.scheduled_per_wave
+    assert eng._bloom is not None  # the incremental filter was engaged

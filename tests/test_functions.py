@@ -180,3 +180,49 @@ def test_token_count(spark):
     df = spark.createDataFrame([("hello, world 123",)], ["t"])
     n = df.select(text.token_count_col("t").alias("n")).first()["n"]
     assert n == len(text.tokenize("hello, world 123")) == 4
+
+
+class TestCanonicalizeVectorized:
+    """canonicalize_batch's fast path must agree exactly with the per-row
+    reference implementation on every URL shape."""
+
+    def test_property_agreement(self):
+        import pandas as pd
+        from hypothesis import given, settings, strategies as st
+        from searchgov_spider_spark.functions.urls import canonicalize_batch, canonicalize_url
+
+        host = st.from_regex(r"[A-Za-z0-9][A-Za-z0-9.-]{0,20}[A-Za-z0-9]", fullmatch=True)
+        path = st.from_regex(r"(/[A-Za-z0-9._~%-]{0,8}){0,4}/?", fullmatch=True)
+        query = st.one_of(st.just(""), st.from_regex(r"\?[a-z]=[0-9](&[a-z]=[0-9]){0,3}&?", fullmatch=True))
+        frag = st.one_of(st.just(""), st.just("#x"), st.just("#frag/ment"))
+        scheme = st.sampled_from(["http", "https", "HTTP", "HTTPS", "Http"])
+        port = st.one_of(st.just(""), st.just(":80"), st.just(":443"), st.just(":8080"))
+
+        @given(st.tuples(scheme, host, port, path, query, frag))
+        @settings(max_examples=300, deadline=None)
+        def check(parts):
+            sch, h, prt, p, q, f = parts
+            url = f"{sch}://{h}{prt}{p}{q}{f}"
+            got = canonicalize_batch(pd.Series([url])).iloc[0]
+            assert got == canonicalize_url(url), url
+
+        check()
+
+    def test_known_shapes(self):
+        import pandas as pd
+        from searchgov_spider_spark.functions.urls import canonicalize_batch, canonicalize_url
+
+        cases = [
+            "HTTPS://D12.gov/p/34#frag",
+            "https://a.gov",
+            "http://A.GOV:80/x/../y?b=2&a=1#z",
+            "https://a.gov//double//slash/",
+            "https://a.gov/./dot/",
+            "  https://pad.gov/x  ",
+            "no-scheme.gov/path",
+            "https://user:pw@h.gov/x",
+            "javascript:void(0)",
+        ]
+        got = canonicalize_batch(pd.Series(cases)).tolist()
+        want = [canonicalize_url(c) for c in cases]
+        assert got == want
