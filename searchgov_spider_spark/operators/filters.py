@@ -69,6 +69,11 @@ def normalize_job_rules(seeds: DataFrame) -> DataFrame:
         F.array_distinct(hosts).alias("allowed_hosts"),
         with_path.alias("allowed_domain_paths"),
         F.coalesce("allow_query_string", F.lit(False)).alias("allow_query_string"),
+        (
+            F.coalesce("handle_javascript", F.lit(False))
+            if "handle_javascript" in seeds.columns
+            else F.lit(False)
+        ).alias("needs_js"),
         F.greatest(F.lit(1), F.least(F.lit(250), F.coalesce("depth_limit", F.lit(3)))).alias("depth_limit"),
         F.coalesce("deny_paths", F.array().cast("array<string>")).alias("deny_regexes"),
         F.coalesce("domain_priority", F.lit(100)).alias("priority"),

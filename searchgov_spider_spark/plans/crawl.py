@@ -164,7 +164,8 @@ class CrawlEngine:
         if "prevent_follow" not in cand.columns:
             cand = cand.withColumn("prevent_follow", F.lit(False))
         filtered = apply_prefetch_filters(cand, self.rules).select(
-            "job", "url", "depth", "discovery_idx", "priority", "prevent_follow"
+            "job", "url", "depth", "discovery_idx", "priority", "prevent_follow",
+            "needs_js",  # S4 routing: per-job handle_javascript flag
         )
         withc = filtered.withColumn("canon_url", canonicalize_udf("url")).withColumn(
             "url_hash", url_hash_col("canon_url")
@@ -238,6 +239,8 @@ class CrawlEngine:
         documents: DataFrame | None = None
         if "prevent_follow" not in frontier.columns:  # pre-flag checkpoints
             frontier = frontier.withColumn("prevent_follow", F.lit(False))
+        if "needs_js" not in frontier.columns:
+            frontier = frontier.withColumn("needs_js", F.lit(False))
 
         for wave in range(start_wave, max_waves):
             t0 = time.monotonic()

@@ -53,6 +53,26 @@ class TablePageFetcher:
         return joined.withColumn("http_status", F.coalesce("http_status", F.lit(404)))
 
 
+class RoutingFetcher:
+    """S4 routing: rows whose job sets handle_javascript fetch through the
+    JS-rendering fetcher (scrapy-playwright analog — domain_spider_js.py),
+    the rest through the plain fetcher. Both branches run as independent
+    DataFrame plans over a disjoint filter of the scheduled batch, so the
+    union costs no extra shuffle. Media/font resource aborts
+    (domain_spider_js.py:11-14) are subsumed by the upstream extension
+    filter F5 — those URLs never reach any fetcher."""
+
+    def __init__(self, plain, js):
+        self.plain = plain
+        self.js = js
+
+    def fetch(self, scheduled: DataFrame) -> DataFrame:
+        needs_js = F.coalesce(F.col("needs_js"), F.lit(False))
+        plain_out = self.plain.fetch(scheduled.filter(~needs_js))
+        js_out = self.js.fetch(scheduled.filter(needs_js))
+        return plain_out.unionByName(js_out)
+
+
 class HttpFetcher:
     """Real HTTP fetch via mapInPandas (disabled in sandbox: no network)."""
 

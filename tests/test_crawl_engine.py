@@ -145,3 +145,47 @@ def test_engine_with_incremental_bloom(spark, graph):
     assert {r["canon_url"] for r in res.seen.collect()} == sim.seen
     assert res.scheduled_per_wave == sim.scheduled_per_wave
     assert eng._bloom is not None  # the incremental filter was engaged
+
+
+def test_js_routing_fetcher(spark, graph):
+    """S4: jobs with handle_javascript route through the JS fetcher; others
+    through the plain fetcher. Results identical to a single fetcher (the
+    sandbox JS fetcher replays the same page table)."""
+    from searchgov_spider_spark.sources.fetch import RoutingFetcher
+
+    pages_df, seeds_df, robots_df = graph_to_dfs(spark, graph)
+    # flip agency-a to a JS job
+    seeds_js = seeds_df.withColumn(
+        "handle_javascript", F.col("name") == "agency-a"
+    )
+
+    class TaggingFetcher(TablePageFetcher):
+        def __init__(self, pages, tag):
+            super().__init__(pages)
+            self.tag = tag
+
+        def fetch(self, scheduled):
+            return super().fetch(scheduled).withColumn("fetcher", F.lit(self.tag))
+
+    routing = RoutingFetcher(
+        TaggingFetcher(pages_df, "plain"), TaggingFetcher(pages_df, "js")
+    )
+    eng = CrawlEngine(spark, seeds_js, routing, robots=robots_df, config=CFG)
+
+    # run one wave manually through the fetch path
+    frontier = eng._checkpoint(eng.initial_frontier(), "frontier", 0)
+    fetched = routing.fetch(frontier.withColumn("fetch_rank", F.lit(1)))
+    rows = fetched.collect()
+    by_job = {}
+    for r in rows:
+        by_job.setdefault(r["job"], set()).add(r["fetcher"])
+    assert by_job["agency-a"] == {"js"}
+    for job, tags in by_job.items():
+        if job != "agency-a":
+            assert tags == {"plain"}
+
+    # and the full crawl still matches the simulator (routing is invisible
+    # to crawl semantics when both fetchers serve the same web)
+    res = eng.run(max_waves=12)
+    sim = simulate_crawl(graph, CFG, max_waves=12)
+    assert {r["canon_url"] for r in res.seen.collect()} == sim.seen
