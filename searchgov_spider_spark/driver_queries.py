@@ -696,6 +696,15 @@ def q_lsh_ann(spark, sf_dir):
     return _longify(psim.lsh_ann_topk(load(spark, sf_dir, "embeddings"), n_queries=10, k=5))
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN (k-means codebook + probed inverted lists). The Lloyd
+    training loop is not SQL-expressible -> rows-only check; exactness
+    when probing all lists is pinned by pytest."""
+    return _longify(
+        psim.ivf_topk(load(spark, sf_dir, "embeddings"), n_centroids=16, n_probe=4, n_queries=10, k=5)
+    )
+
+
 def q_token_counts(spark, sf_dir):
     return _longify(pstats.token_counts(load(spark, sf_dir, "documents")))
 
@@ -760,6 +769,7 @@ def queries():
         "embedding_near_dups": q_embedding_near_dups,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "lang_id": q_lang_id,

@@ -244,3 +244,99 @@ def lsh_ann_topk_sql(
         SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 2, id_col: str = "vec_id"
+) -> list[list[float]]:
+    """Deterministic k-means codebook trained in Spark.
+
+    Init = the n_centroids lowest-id vectors (seeded, reproducible);
+    each Lloyd iteration is one broadcast argmin-assignment plus one
+    elementwise-mean aggregation (posexplode → hash-agg → regroup). The
+    codebook is tiny and collected to the driver — at 100 TB this is the
+    standard IVF recipe: train on a sample, broadcast the codebook,
+    assign the corpus in one narrow pass.
+    """
+    e = emb.select(F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    cents = [r["v"] for r in e.orderBy("id").limit(n_centroids).collect()]
+    for _ in range(iters):
+        assigned = e.withColumn("cid", _nearest_centroid_col(F.col("v"), cents))
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        by_cid = {r["cid"]: list(r["centroid"]) for r in means}
+        cents = [by_cid.get(i, cents[i]) for i in range(n_centroids)]
+    return cents
+
+
+def _sqdist_col(v: Column, cent: list[float]) -> Column:
+    c = F.array(*[F.lit(x) for x in cent])
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _nearest_centroid_col(v: Column, cents: list[list[float]]) -> Column:
+    """argmin over squared distances as a fold — native exprs only."""
+    best_d = _sqdist_col(v, cents[0])
+    best_i = F.lit(0)
+    for i, c in enumerate(cents[1:], start=1):
+        d = _sqdist_col(v, c)
+        closer = d < best_d
+        best_i = F.when(closer, F.lit(i)).otherwise(best_i)
+        best_d = F.when(closer, d).otherwise(best_d)
+    return best_i
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: corpus bucketed by nearest centroid; each query
+    probes its ``n_probe`` nearest centroid lists and re-ranks candidates
+    by exact cosine. One bucket-keyed equi-join — the IVF scale shape.
+    """
+    cents = centroids if centroids is not None else train_centroids(emb, n_centroids, id_col=id_col)
+    e = emb.select(F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    coded = e.withColumn("cid", _nearest_centroid_col(F.col("v"), cents))
+
+    # query probe lists: n_probe nearest centroids per query (tiny, driver-free)
+    dists = F.array(*[_sqdist_col(F.col("qv"), c) for c in cents])
+    probe_struct = F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cid")))
+    probes = (
+        coded.filter(F.col("id") < n_queries)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("probe", F.slice(F.array_sort(probe_struct), 1, n_probe))
+        .select("query_id", "qv", F.explode(F.col("probe.cid")).alias("cid"))
+    )
+    cands = (
+        coded.join(F.broadcast(probes), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -268,3 +268,39 @@ class TestMultimodal:
         assert {r["doc_id"] for r in frames} == vids
         for r in frames:
             assert r["frame_idx"] % 100 == 0
+
+
+class TestIVF:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(40)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+    def test_probe_all_equals_bruteforce(self, emb_df):
+        exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                 for r in psim.cosine_topk(emb_df, n_queries=3, k=4).collect()}
+        ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in psim.ivf_topk(emb_df, n_centroids=4, n_probe=4, n_queries=3, k=4).collect()}
+        assert ivf == exact  # probing every list == exhaustive search
+
+    def test_partial_probe_candidates_from_probed_buckets(self, emb_df):
+        cents = psim.train_centroids(emb_df, n_centroids=4)
+        got = psim.ivf_topk(emb_df, n_centroids=4, n_probe=1, n_queries=3, k=4,
+                            centroids=cents).collect()
+        data = {r["vec_id"]: list(r["embedding"]) for r in emb_df.collect()}
+
+        def nearest(v):
+            def d(a, b):
+                return sum((x - y) ** 2 for x, y in zip(a, b))
+            return min(range(len(cents)), key=lambda i: (d(v, cents[i]), i))
+
+        for r in got:
+            assert nearest(data[r["neighbor_id"]]) == nearest(data[r["query_id"]])
+
+    def test_centroids_deterministic(self, emb_df):
+        a = psim.train_centroids(emb_df, n_centroids=4)
+        b = psim.train_centroids(emb_df, n_centroids=4)
+        assert a == b
