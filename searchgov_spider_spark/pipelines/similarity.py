@@ -251,52 +251,62 @@ def lsh_ann_topk_sql(
 # ---------------------------------------------------------------------------
 
 def train_centroids(
-    emb: DataFrame, n_centroids: int = 16, iters: int = 2, id_col: str = "vec_id"
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
 ) -> list[list[float]]:
-    """Deterministic k-means codebook trained in Spark.
-
-    Init = the n_centroids lowest-id vectors (seeded, reproducible);
-    each Lloyd iteration is one broadcast argmin-assignment plus one
-    elementwise-mean aggregation (posexplode → hash-agg → regroup). The
-    codebook is tiny and collected to the driver — at 100 TB this is the
-    standard IVF recipe: train on a sample, broadcast the codebook,
-    assign the corpus in one narrow pass.
+    """Deterministic k-means codebook: Lloyd iterations in numpy over a
+    bounded, order-deterministic sample (the ``sample_n`` lowest-id
+    vectors). At 100 TB this is the standard IVF recipe — train on a
+    driver-side sample, broadcast the tiny codebook, assign the corpus
+    in one narrow Arrow pass (see ``_assign_centroids``). The previous
+    all-native-expression trainer expanded 16 centroids x 64 dims into
+    thousands of nested folds and stalled Catalyst analysis.
     """
+    import numpy as np
+
     e = emb.select(F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v"))
-    cents = [r["v"] for r in e.orderBy("id").limit(n_centroids).collect()]
+    rows = e.orderBy("id").limit(max(sample_n, n_centroids)).collect()
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    C = X[:n_centroids].copy()
     for _ in range(iters):
-        assigned = e.withColumn("cid", _nearest_centroid_col(F.col("v"), cents))
-        means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
-            .collect()
-        )
-        by_cid = {r["cid"]: list(r["centroid"]) for r in means}
-        cents = [by_cid.get(i, cents[i]) for i in range(n_centroids)]
-    return cents
+        a = _argmin_sqdist(X, C)
+        for i in range(n_centroids):
+            members = X[a == i]
+            if len(members):
+                C[i] = members.mean(axis=0)
+    return C.tolist()
 
 
-def _sqdist_col(v: Column, cent: list[float]) -> Column:
-    c = F.array(*[F.lit(x) for x in cent])
-    return F.aggregate(
-        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
-    )
+def _argmin_sqdist(X, C):
+    """Row-wise argmin of squared distance (first-match tie-break, same
+    as a strict `<` fold)."""
+    import numpy as np
+
+    d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+    return np.argmin(d, axis=1)
 
 
-def _nearest_centroid_col(v: Column, cents: list[list[float]]) -> Column:
-    """argmin over squared distances as a fold — native exprs only."""
-    best_d = _sqdist_col(v, cents[0])
-    best_i = F.lit(0)
-    for i, c in enumerate(cents[1:], start=1):
-        d = _sqdist_col(v, c)
-        closer = d < best_d
-        best_i = F.when(closer, F.lit(i)).otherwise(best_i)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return best_i
+def _assign_centroids(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(id, v) -> (id, v, cid): nearest-centroid assignment as one numpy
+    matmul per Arrow batch. The codebook is closed over (broadcast with
+    the task closure — n_centroids x dim doubles, a few KB)."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            out = pdf.copy()
+            out["cid"] = _argmin_sqdist(X, C).astype("int32")
+            yield out
+
+    return e.mapInPandas(kernel, "id long, v array<double>, cid int")
 
 
 def ivf_topk(
@@ -311,19 +321,28 @@ def ivf_topk(
     """IVF ANN top-k: corpus bucketed by nearest centroid; each query
     probes its ``n_probe`` nearest centroid lists and re-ranks candidates
     by exact cosine. One bucket-keyed equi-join — the IVF scale shape.
+    Corpus assignment is a single mapInPandas numpy kernel; query probe
+    lists (tiny, <= n_queries rows) are computed driver-side.
     """
-    cents = centroids if centroids is not None else train_centroids(emb, n_centroids, id_col=id_col)
-    e = emb.select(F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v"))
-    coded = e.withColumn("cid", _nearest_centroid_col(F.col("v"), cents))
+    import numpy as np
 
-    # query probe lists: n_probe nearest centroids per query (tiny, driver-free)
-    dists = F.array(*[_sqdist_col(F.col("qv"), c) for c in cents])
-    probe_struct = F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cid")))
-    probes = (
-        coded.filter(F.col("id") < n_queries)
-        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
-        .withColumn("probe", F.slice(F.array_sort(probe_struct), 1, n_probe))
-        .select("query_id", "qv", F.explode(F.col("probe.cid")).alias("cid"))
+    cents = centroids if centroids is not None else train_centroids(emb, n_centroids, id_col=id_col)
+    C = np.asarray(cents, dtype=np.float64)
+    e = emb.select(F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    coded = _assign_centroids(e, cents)
+
+    # query probe lists: n_probe nearest centroids per query — the query
+    # set is bounded (n_queries), so collect + numpy argsort driver-side.
+    qrows = e.filter(F.col("id") < n_queries).collect()
+    qX = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qd = (qX * qX).sum(axis=1)[:, None] - 2.0 * (qX @ C.T) + (C * C).sum(axis=1)[None, :]
+    probe_rows = [
+        (int(r["id"]), list(r["v"]), int(cid))
+        for r, drow in zip(qrows, qd)
+        for cid in np.argsort(drow, kind="stable")[:n_probe]
+    ]
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cid int"
     )
     cands = (
         coded.join(F.broadcast(probes), "cid")
