@@ -106,16 +106,26 @@ def resolve_sitemaps(
     )
     visited = pending.select("sitemap_url", "url")
     out = None
+    pending_empty = False
     for _depth in range(max_depth + 1):
-        if pending.isEmpty():
+        if pending_empty:
             break
         fetched = pending.join(web.select("url", "http_status", "body"), "url", "left")
-        parsed = fetched.withColumn(
-            "p",
-            F.when(F.col("http_status") == 200, parse_sitemap_udf("body")).otherwise(
-                F.struct(F.lit("invalid").alias("kind"), F.array().cast("array<string>").alias("locs"))
-            ),
-        ).select("sitemap_url", F.col("p.kind").alias("kind"), F.col("p.locs").alias("locs"))
+        # One eager checkpoint per level: the XML-parse UDF runs exactly
+        # once; pages, children, and the final collect all read the
+        # materialized blocks instead of re-running the join+parse chain.
+        parsed = (
+            fetched.withColumn(
+                "p",
+                F.when(F.col("http_status") == 200, parse_sitemap_udf("body")).otherwise(
+                    F.struct(
+                        F.lit("invalid").alias("kind"), F.array().cast("array<string>").alias("locs")
+                    )
+                ),
+            )
+            .select("sitemap_url", F.col("p.kind").alias("kind"), F.col("p.locs").alias("locs"))
+            .localCheckpoint(eager=True)
+        )
         pages = parsed.filter(F.col("kind") == "urlset").select(
             "sitemap_url", F.explode("locs").alias("url")
         )
@@ -126,7 +136,10 @@ def resolve_sitemaps(
             .join(visited, ["sitemap_url", "url"], "left_anti")
             .distinct()
         )
-        visited = visited.unionByName(children).localCheckpoint(eager=True)
+        # emptiness probe over materialized parent level — a narrow
+        # filter+take(1), not a recomputation of the whole lineage
+        pending_empty = len(children.take(1)) == 0
+        visited = visited.unionByName(children)
         pending = children
     if out is None:
         return spark.createDataFrame([], "sitemap_url string, url string")
