@@ -167,6 +167,24 @@ def parse_page(url: str, body: bytes | str | None) -> dict:
     return parser.result()
 
 
+_EMPTY_RESULT = {"spans": [], "out_links": [], "title": None, "html_lang": None, "meta": {}}
+
+
+def parse_resource(url: str, body, content_type: str | None) -> dict:
+    """Content-type dispatch — the Spark twin of the reference's converter
+    split (convert_html_i14y vs convert_pdf_i14y): HTML through the span
+    parser, PDF through the PDF kernel, everything else empty fields (the
+    document row still emits; only extraction-derived columns are null)."""
+    from .pdf import parse_pdf  # local import: keeps module import cheap
+
+    ct = (content_type or "").lower()
+    if ct.startswith("text/html") or ct.startswith("application/xhtml"):
+        return parse_page(url, body)
+    if ct.startswith("application/pdf"):
+        return parse_pdf(url, bytes(body) if body is not None else None)
+    return dict(_EMPTY_RESULT)
+
+
 SPAN_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -194,9 +212,14 @@ def extract_spans(
     url_col: str = "url",
     body_col: str = "body",
     keep_cols: Iterable[str] | None = None,
+    ctype_col: str | None = None,
 ) -> DataFrame:
     """mapInPandas extraction stage: fetched(url, body, …) -> + spans,
     out_links, title, html_lang, meta.
+
+    With ``ctype_col`` the kernel dispatches per row on content type
+    (HTML parser vs PDF kernel); without it every body is parsed as HTML
+    (the original L1-only contract).
 
     Column pruning matters at scale: only url/body + keep_cols flow into the
     Python worker (Arrow), everything else is dropped before the exchange.
@@ -204,6 +227,8 @@ def extract_spans(
     keep = list(keep_cols) if keep_cols is not None else [c for c in fetched.columns if c != body_col]
     if url_col not in keep:
         keep.insert(0, url_col)
+    if ctype_col is not None and ctype_col not in keep:
+        keep.append(ctype_col)
     in_df = fetched.select(*keep, body_col)
     out_schema = T.StructType(
         [in_df.schema[c] for c in keep] + list(EXTRACTED_FIELDS.fields)
@@ -211,10 +236,16 @@ def extract_spans(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            results = [
-                parse_page(u, b)
-                for u, b in zip(pdf[url_col], pdf[body_col])
-            ]
+            if ctype_col is None:
+                results = [
+                    parse_page(u, b)
+                    for u, b in zip(pdf[url_col], pdf[body_col])
+                ]
+            else:
+                results = [
+                    parse_resource(u, b, ct)
+                    for u, b, ct in zip(pdf[url_col], pdf[body_col], pdf[ctype_col])
+                ]
             out = pdf[keep].copy()
             for field in ("spans", "out_links", "title", "html_lang", "meta"):
                 out[field] = [r[field] for r in results]

@@ -271,12 +271,20 @@ class CrawlEngine:
                 .join(F.broadcast(self.rules.select("job", "output_target")), "job")
                 .filter(is_valid_content_type_for_target(F.col("content_type"), F.col("output_target")))
             )
+            # L1/L4: HTML pages AND PDFs flow through extraction (per-row
+            # content-type dispatch); only HTML feeds the next frontier —
+            # the reference's LinkExtractor runs on HTML responses only,
+            # PDF links live in the document content (convert_pdf_i14y).
+            parseable = F.col("content_type").startswith("text/html") | F.col(
+                "content_type"
+            ).startswith("application/pdf")
             parsed = extract_spans(
-                fetched.filter(ok & F.col("content_type").startswith("text/html")),
+                fetched.filter(ok & parseable),
                 keep_cols=[
                     "url", "canon_url", "url_hash", "job", "domain", "depth",
-                    "fetch_rank", "priority", "prevent_follow",
+                    "fetch_rank", "priority", "prevent_follow", "content_type",
                 ],
+                ctype_col="content_type",
             ).cache()
 
             docs_wave = (
@@ -307,7 +315,9 @@ class CrawlEngine:
             # (prevent_follow rows — sitemap-discovered URLs — emit documents
             # but never feed the frontier, matching prevent_follow=True +
             # depth_limit=1 crawls at sitemap_monitor.py:304-325)
-            links = parsed.filter(~F.col("prevent_follow")).select(
+            links = parsed.filter(
+                ~F.col("prevent_follow") & F.col("content_type").startswith("text/html")
+            ).select(
                 F.col("job"),
                 (F.col("depth") + 1).alias("depth"),
                 F.col("fetch_rank"),

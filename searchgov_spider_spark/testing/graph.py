@@ -97,6 +97,56 @@ def _anchor_text(span: dict) -> str:
     return "more info"  # anchor text is never a text span (ancestor::a excluded)
 
 
+def _mk_pdf(
+    rng: random.Random, refs: list[str], title: str
+) -> tuple[list[dict], list[str], bytes]:
+    """Golden PDF: spans first, bytes rendered from them (pdfgen).
+
+    Span order must equal operators/pdf.parse_pdf emission: per page one
+    text span, then visible links (in text order), then annotation links.
+    """
+    from .pdfgen import render_pdf
+
+    n_pages = 2 if rng.random() < 0.4 else 1
+    avail = list(refs)
+    pages: list[dict] = []
+    spans: list[dict] = []
+    out_links: list[str] = []
+    seen: set[str] = set()
+
+    def add(kind, text=None, ref=None):
+        spans.append({"kind": kind, "text": text, "media_ref": ref, "offset": len(spans)})
+
+    for p in range(n_pages):
+        lines = [_words(rng) for _ in range(rng.randint(1, 3))]
+        visible: list[str] = []
+        if avail and rng.random() < 0.5:
+            v = avail.pop(0)
+            lines.append(f"see {v} for details")
+            visible.append(v)
+        annots: list[str] = []
+        while avail and rng.random() < 0.6:
+            annots.append(avail.pop(0))
+        text = "\n".join(lines)
+        pages.append({"text": text, "annot_links": annots})
+        add("text", text=text)
+        for ref in visible + annots:
+            kind = _link_kind(ref)
+            add(kind, ref=ref)
+            if kind == "link" and ref not in seen:
+                seen.add(ref)
+                out_links.append(ref)
+
+    body = render_pdf(
+        pages,
+        title=title,
+        lang="en",
+        creation_date=f"D:2024010{1 + rng.randint(0, 8)}120000Z",
+        mod_date="D:20240301093000Z",
+    )
+    return spans, out_links, body
+
+
 def _mk_spans(rng: random.Random, refs: list[str]) -> tuple[list[dict], list[str]]:
     """Interleave text spans with link/media spans; return (spans, out_links)."""
     spans: list[dict] = []
@@ -194,7 +244,9 @@ def generate_graph(n_pages: int = 400, seed: int = 7, branching: int = 4) -> dic
                 status = rng.choice([429, 500])
         ctype_roll = rng.random()
         if not is_root and ctype_roll > 0.95:
-            ctype, body, spans, out_links = "application/pdf", b"%PDF-1.4 synthetic", [], []
+            ctype = "application/pdf"
+            spans, out_links, body = _mk_pdf(rng, refs, f"Report {i} {d}")
+            out_links = []  # PDF links are content, never followed (LinkExtractor is HTML-only)
         elif not is_root and ctype_roll > 0.92:
             ctype, body, spans, out_links = "application/json", b"{}", [], []
         else:

@@ -73,14 +73,19 @@ def test_deny_and_offsite_never_seen(crawl_outputs):
 
 
 def test_documents_spans_match_golden(crawl_outputs, graph):
-    """Emitted documents carry the exact golden span sequences."""
+    """Emitted documents carry the exact golden span sequences — for both
+    HTML pages and PDFs (L4 covers both halves)."""
     result, _ = crawl_outputs
     # key by canonical URL: a page may be fetched via a fragment-variant link
     from searchgov_spider_spark.functions.urls import canonicalize_url
 
     golden = {p.canon_url: p.spans for p in graph["pages"]}
-    rows = result.documents.filter(F.col("content_type").startswith("text/html")).collect()
+    rows = result.documents.filter(
+        F.col("content_type").startswith("text/html")
+        | F.col("content_type").startswith("application/pdf")
+    ).collect()
     assert rows
+    assert any(r["content_type"].startswith("application/pdf") for r in rows)
     for r in rows:
         want = golden[canonicalize_url(r["url"])]
         got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in (r["spans"] or [])]

@@ -100,3 +100,86 @@ def test_render_title_roundtrip():
     r = parse_page("https://x.gov/", render_html("T & T", "en", spans))
     assert r["title"] == "T & T"
     assert r["html_lang"] == "en"
+
+
+# ---------------------------------------------------------------------------
+# PDF half of L4 (convert_pdf_i14y.py semantics)
+# ---------------------------------------------------------------------------
+
+def test_pdf_roundtrip_spans():
+    from searchgov_spider_spark.operators.pdf import parse_pdf
+    from searchgov_spider_spark.testing.pdfgen import render_pdf
+
+    pages = [
+        {"text": "federal report\nsee https://hot.example.gov/p/3 for details",
+         "annot_links": ["https://agency-a.gov/p/1", "https://x.gov/img9.png"]},
+        {"text": "second page (with) special \\chars", "annot_links": []},
+    ]
+    body = render_pdf(pages, title="Budget Report", lang="en-US",
+                      creation_date="D:20240105120000Z", mod_date="D:20240301093000Z")
+    r = parse_pdf("https://x.gov/doc.pdf", body)
+    got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+    assert got == [
+        ("text", pages[0]["text"], None, 0),
+        ("link", None, "https://hot.example.gov/p/3", 1),
+        ("link", None, "https://agency-a.gov/p/1", 2),
+        ("media", None, "https://x.gov/img9.png", 3),
+        ("text", pages[1]["text"], None, 4),
+    ]
+    # visible + annotation links collected, media-extension excluded, order kept
+    assert r["out_links"] == ["https://hot.example.gov/p/3", "https://agency-a.gov/p/1"]
+    assert r["title"] == "Budget Report"
+    assert r["html_lang"] == "en"
+    assert r["meta"]["CreationDate"] == "D:20240105120000Z"
+    assert r["meta"]["ModDate"] == "D:20240301093000Z"
+
+
+def test_pdf_malformed_and_encrypted_never_raise():
+    from searchgov_spider_spark.operators.pdf import parse_pdf
+    from searchgov_spider_spark.testing.pdfgen import render_pdf
+
+    assert parse_pdf("u", None)["spans"] == []
+    assert parse_pdf("u", b"not a pdf")["spans"] == []
+    assert parse_pdf("u", b"%PDF-1.4 truncated garbage")["spans"] == []
+    enc = render_pdf([{"text": "secret", "annot_links": []}]).replace(
+        b"/Root", b"/Encrypt 9 0 R /Root"
+    )
+    assert parse_pdf("u", enc)["spans"] == []  # convert_pdf_i14y.py:82-84
+
+
+def test_pdf_golden_generator_roundtrip():
+    """_mk_pdf golden spans == parser output for every synthetic PDF page."""
+    from searchgov_spider_spark.operators.pdf import parse_pdf
+
+    graph = generate_graph(n_pages=400, seed=11)
+    pdfs = [p for p in graph["pages"] if p.content_type == "application/pdf"]
+    assert len(pdfs) >= 5
+    for p in pdfs:
+        r = parse_pdf(p.url, p.body)
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in p.spans]
+        assert got == want, f"span mismatch for {p.url}"
+
+
+def test_extract_spans_ctype_dispatch(spark):
+    """Per-row dispatch: HTML rows through the HTML parser, PDFs through
+    the PDF kernel, JSON rows yield empty fields — one mapInPandas stage."""
+    graph = generate_graph(n_pages=200, seed=11)
+    pages_df, _, _ = graph_to_dfs(spark, graph)
+    out = extract_spans(
+        pages_df.select("url", "content_type", "body"),
+        keep_cols=["url", "content_type"],
+        ctype_col="content_type",
+    ).collect()
+    golden = {p.url: p for p in graph["pages"]}
+    n_pdf = 0
+    for row in out:
+        p = golden[row["url"]]
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        if p.content_type.startswith(("text/html", "application/pdf")):
+            want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in p.spans]
+            assert got == want
+            n_pdf += p.content_type.startswith("application/pdf")
+        else:
+            assert got == []
+    assert n_pdf >= 3
