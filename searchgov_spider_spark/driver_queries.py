@@ -737,6 +737,169 @@ def q_multimodal_meta(spark, sf_dir):
     return _longify(pmm.binary_meta(pmm.attach_binary(load(spark, sf_dir, "documents"))))
 
 
+# ---------------------------------------------------------------------------
+# i14y document assembly (operators/i14y.py — convert_html/pdf_i14y parity)
+# ---------------------------------------------------------------------------
+
+_I14Y_NOW = "2025-06-01T00:00:00"
+
+
+def _i14y_day(i):
+    return F.lpad(((i % 28) + 1).cast("string"), 2, "0")
+
+
+def q_i14y_html(spark, sf_dir):
+    """HTML i14y assembly over synthesized extraction rows: full meta is
+    present so every field (incl. description/tags) is meta-derived and
+    SQL-expressible; the summarizer path is pinned by pytest instead."""
+    from .operators.i14y import assemble_i14y
+
+    d = load(spark, sf_dir, "documents").filter((F.col("doc_id") % 3) != 0)
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.gov/files/Doc-"), s, F.lit(".html"))
+    day = _i14y_day(i)
+    docs = d.select(
+        url.alias("url"),
+        F.lit("text/html; charset=UTF-8").alias("content_type"),
+        F.coalesce(F.col("lang"), F.lit("en")).alias("content_language"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"), F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"), F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("link").alias("kind"), F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("https://ref.example.gov/x"), s).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+        F.concat(F.lit("Doc "), s).alias("title"),
+        F.lit("en-US").alias("html_lang"),
+        F.create_map(
+            F.lit("description"), F.concat(F.lit("Summary of document "), s),
+            F.lit("keywords"), F.concat(F.lit("gov, data, k"), s),
+            F.lit("date"), F.concat(F.lit("2024-01-"), day),
+            F.lit("revised"), F.concat(F.lit("2024-02-"), day),
+            F.lit("audience"), F.lit("everyone"),
+            F.lit("og:image"), F.concat(F.lit("https://img.example.gov/t"), s, F.lit(".png")),
+        ).alias("meta"),
+    )
+    out = assemble_i14y(docs, now_iso=_I14Y_NOW)
+    return out.select(
+        "id", "path", "mime_type", "language", "language_valid", "title",
+        "description", "tags", "content", "created_at", "changed", "updated",
+        "basename", "extension", "url_path", "domain_name", "audience", "thumbnail_url",
+    )
+
+
+Q_I14Y_HTML_SQL = """
+    WITH d AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+    b AS (
+      SELECT doc_id, text,
+             'https://' || source || '.example.gov/files/Doc-' || doc_id::VARCHAR || '.html' AS url,
+             source, lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') AS day
+      FROM d
+    )
+    SELECT
+      sha256(url) AS id,
+      url AS path,
+      'text/html' AS mime_type,
+      'en' AS language,
+      TRUE AS language_valid,
+      'Doc ' || doc_id::VARCHAR AS title,
+      'Summary of document ' || doc_id::VARCHAR AS description,
+      'gov, data, k' || doc_id::VARCHAR AS tags,
+      trim(regexp_replace(text, '\\s+', ' ', 'g')) AS content,
+      '2024-01-' || day || 'T00:00:00' AS created_at,
+      '2024-02-' || day || 'T00:00:00' AS changed,
+      '2024-01-' || day || 'T00:00:00' AS updated,
+      'Doc-' || doc_id::VARCHAR AS basename,
+      'html' AS extension,
+      '/files/Doc-' || doc_id::VARCHAR || '.html' AS url_path,
+      source || '.example.gov' AS domain_name,
+      'everyone' AS audience,
+      'https://img.example.gov/t' || doc_id::VARCHAR || '.png' AS thumbnail_url
+    FROM b
+    WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+    ORDER BY id
+"""
+
+
+def q_i14y_pdf(spark, sf_dir):
+    """PDF i14y assembly: title+filename prepend, link-set append, and
+    PDF 'D:' date parsing are all native/SQL-expressible; description and
+    tags flow through the summarizer so they are excluded here (pinned by
+    tests/test_i14y.py instead)."""
+    from .operators.i14y import assemble_i14y
+
+    d = load(spark, sf_dir, "documents").filter((F.col("doc_id") % 3) == 0)
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.gov/files/Report-"), s, F.lit(".pdf"))
+    day = _i14y_day(i)
+    mon = F.lpad(((i % 12) + 1).cast("string"), 2, "0")
+    docs = d.select(
+        url.alias("url"),
+        F.lit("application/pdf").alias("content_type"),
+        F.lit(None).cast("string").alias("content_language"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"), F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"), F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("link").alias("kind"), F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("https://ref.example.gov/r"), s).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+        F.concat(F.lit("Report "), s).alias("title"),
+        F.lit("en").alias("html_lang"),
+        F.create_map(
+            F.lit("CreationDate"), F.concat(F.lit("D:2024"), mon, day, F.lit("120000Z")),
+            F.lit("ModDate"), F.concat(F.lit("D:2024"), mon, day, F.lit("180000Z")),
+        ).alias("meta"),
+    )
+    out = assemble_i14y(docs, now_iso=_I14Y_NOW)
+    return out.select(
+        "id", "path", "mime_type", "language", "title", "content",
+        "created_at", "changed", "updated", "basename", "extension",
+        "url_path", "domain_name",
+    )
+
+
+Q_I14Y_PDF_SQL = """
+    WITH d AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+    b AS (
+      SELECT doc_id, text,
+             'https://' || source || '.example.gov/files/Report-' || doc_id::VARCHAR || '.pdf' AS url,
+             source,
+             lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') AS day,
+             lpad(((doc_id % 12) + 1)::VARCHAR, 2, '0') AS mon
+      FROM d
+    )
+    SELECT
+      sha256(url) AS id,
+      url AS path,
+      'application/pdf' AS mime_type,
+      'en' AS language,
+      'Report ' || doc_id::VARCHAR AS title,
+      'Report ' || doc_id::VARCHAR || ' Report-' || doc_id::VARCHAR || '.pdf ' ||
+        trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+        ' https://ref.example.gov/r' || doc_id::VARCHAR AS content,
+      '2024-' || mon || '-' || day || 'T12:00:00' AS created_at,
+      '2024-' || mon || '-' || day || 'T18:00:00' AS changed,
+      '2024-' || mon || '-' || day || 'T12:00:00' AS updated,
+      'Report-' || doc_id::VARCHAR AS basename,
+      'pdf' AS extension,
+      '/files/Report-' || doc_id::VARCHAR || '.pdf' AS url_path,
+      source || '.example.gov' AS domain_name
+    FROM b
+    ORDER BY id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -778,6 +941,8 @@ def queries():
         "spans_flatten": q_spans_flatten,
         "span_stats": q_span_stats,
         "multimodal_meta": q_multimodal_meta,
+        "i14y_html": q_i14y_html,
+        "i14y_pdf": q_i14y_pdf,
     }
 
 
@@ -814,4 +979,6 @@ def oracle_sql():
         "spans_flatten": pspans.flatten_spans_sql(),
         "span_stats": pspans.span_stats_sql(),
         "multimodal_meta": pmm.attach_binary_sql(),
+        "i14y_html": Q_I14Y_HTML_SQL,
+        "i14y_pdf": Q_I14Y_PDF_SQL,
     }

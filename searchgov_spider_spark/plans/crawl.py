@@ -306,6 +306,11 @@ class CrawlEngine:
                     ).alias("language"),
                     F.col("title"),
                     F.col("spans"),
+                    # raw extraction fields ride along so operators/i14y.py
+                    # can assemble the full document downstream
+                    F.col("html_lang"),
+                    F.col("meta"),
+                    F.col("content_language"),
                 )
             )
             n_emitted = docs_wave.count()
