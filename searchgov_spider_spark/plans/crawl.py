@@ -147,13 +147,18 @@ class CrawlEngine:
 
         engine = cls(spark, seeds, fetcher, state_dir=state_dir, **kwargs)
         store: ParquetStateStore = engine.store
-        wave = min(
-            w
-            for w in (store.latest_wave("frontier"), store.latest_wave("seen"))
-            if w is not None
-        )
+        fw = store.latest_wave("frontier")
+        sw = store.latest_wave("seen")
+        if fw is None:
+            raise FileNotFoundError("no committed frontier snapshot to resume from")
+        wave = fw if sw is None else min(fw, sw)
         frontier = store.read("frontier", wave)
-        seen = store.read("seen", wave).select("url_hash", "canon_url")
+        if sw is None:
+            seen = spark.createDataFrame([], "url_hash long, canon_url string")
+        else:
+            # union of per-wave deltas up to the resume wave; later deltas
+            # (torn state) are excluded and re-marked by wave replay
+            seen = store.read_accumulated("seen", up_to=wave).select("url_hash", "canon_url")
         return engine.run_from(frontier, seen, start_wave=wave)
 
     def _prepare_candidates(self, cand: DataFrame) -> DataFrame:
@@ -254,8 +259,16 @@ class CrawlEngine:
             n_scheduled = scheduled.count()
 
             # fingerprints are recorded at schedule time, like the reference's
-            # dupefilter SADD at enqueue (job_state/dupefilter.py:8-25)
-            seen = seen.unionByName(scheduled.select(*SEEN_COLS))
+            # dupefilter SADD at enqueue (job_state/dupefilter.py:8-25).
+            # Persistence is INCREMENTAL: only this wave's delta is written
+            # (O(delta) I/O, the Redis-SADD / Iceberg-append analog); the
+            # in-memory seen set is a union of materialized deltas.
+            seen_delta = scheduled.select(*SEEN_COLS)
+            if self.store is not None:
+                seen_delta = self.store.write_delta(seen_delta, "seen", wave + 1)
+            else:
+                seen_delta = seen_delta.localCheckpoint(eager=True)
+            seen = seen.unionByName(seen_delta)
 
             fetched = self.fetcher.fetch(scheduled).cache()
             ok = F.col("http_status") == 200
@@ -313,6 +326,14 @@ class CrawlEngine:
                     F.col("content_language"),
                 )
             )
+            # per-wave document snapshot: materialize now (store append or
+            # localCheckpoint) so the accumulated documents plan is a union
+            # of materialized waves, not an O(waves)-deep lineage over
+            # unpersisted caches
+            if self.store is not None:
+                docs_wave = self.store.write_delta(docs_wave, "documents", wave)
+            else:
+                docs_wave = docs_wave.localCheckpoint(eager=True)
             n_emitted = docs_wave.count()
             documents = docs_wave if documents is None else documents.unionByName(docs_wave)
 
@@ -344,7 +365,6 @@ class CrawlEngine:
                 deferred.drop("wave_budget").unionByName(new_urls), order_cols=INTRA_WAVE_ORDER
             )
             frontier = self._checkpoint(frontier_next, "frontier", wave + 1)
-            seen = self._checkpoint(seen, "seen", wave + 1)
             n_new = frontier.count()
 
             metrics = WaveMetrics(

@@ -65,6 +65,56 @@ class ParquetStateStore:
             return self.spark.createDataFrame([], df.schema)
         return back.drop("bucket") if bucketed else back
 
+    def write_delta(self, df: DataFrame, name: str, wave: int, meta: dict | None = None) -> DataFrame:
+        """Append-only commit: the wave directory holds ONLY this wave's
+        delta (e.g. the fingerprints scheduled this wave), never the full
+        accumulated table — O(delta) I/O per wave instead of O(seen),
+        the Redis-SADD / Iceberg-append analog. Re-writing the same wave
+        overwrites its directory, so wave replay after a crash is
+        idempotent. Returns the read-back (lineage-truncated) delta."""
+        return self.write(df, name, wave, meta={**(meta or {}), "delta": True})
+
+    def read_accumulated(self, name: str, up_to: int | None = None) -> DataFrame:
+        """Union of all committed delta waves ≤ ``up_to`` (default: all).
+        Deltas committed past ``up_to`` — e.g. a seen-delta from a wave
+        whose frontier commit never landed — are excluded, which is what
+        makes torn-state resume correct: the replayed wave re-marks them.
+        """
+        waves = [w for w in self.committed_waves(name) if up_to is None or w <= up_to]
+        paths = []
+        for w in waves:
+            d = self._table(name) / f"wave={w}"
+            if d.exists() and any(d.glob("**/*.parquet")):
+                paths.append(str(d))
+        if not paths:
+            # all committed deltas are empty: rebuild schema from a manifest
+            from pyspark.sql.types import StructType
+
+            if not waves:
+                raise FileNotFoundError(f"no committed wave for state table {name!r}")
+            meta = json.loads(self._manifest(name, waves[-1]).read_text())
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            return self.spark.createDataFrame([], schema)
+        # basePath anchors partition discovery at the table root so the
+        # wave=/bucket= directory levels parse as partition columns
+        df = self.spark.read.option("basePath", str(self._table(name))).parquet(*paths)
+        return df.drop("bucket", "wave")
+
+    def compact(self, name: str) -> int:
+        """Merge all committed deltas into the latest wave's directory and
+        drop the older ones (Iceberg rewrite_data_files analog). Bounds
+        the file count for long crawls; returns waves merged away."""
+        waves = self.committed_waves(name)
+        if len(waves) <= 1:
+            return 0
+        latest = waves[-1]
+        acc = self.read_accumulated(name).localCheckpoint(eager=True)
+        self.write(acc, name, latest, meta={"delta": True, "compacted_through": latest})
+        for w in waves[:-1]:
+            self._manifest(name, w).unlink(missing_ok=True)
+            shutil.rmtree(self._table(name) / f"wave={w}", ignore_errors=True)
+        return len(waves) - 1
+
     def committed_waves(self, name: str) -> list[int]:
         mdir = self.root / "manifests" / name
         if not mdir.exists():

@@ -100,9 +100,16 @@ def test_resume_from_checkpoint(spark, graph, tmp_path):
     e1 = CrawlEngine(spark, seeds_df, TablePageFetcher(pages_df), robots=robots_df,
                      config=CFG, state_dir=state)
     r1 = e1.run(max_waves=2)
-    # resume: rebuild engine, reload persisted frontier/seen, continue
+    # resume: rebuild engine, reload persisted frontier + accumulated
+    # seen deltas (seen is stored incrementally — one delta dir per wave)
+    from searchgov_spider_spark.sources.state import ParquetStateStore
+
     frontier = spark.read.parquet(f"{state}/frontier/wave=2").drop("bucket")
-    seen = spark.read.parquet(f"{state}/seen/wave=2").drop("bucket").select("url_hash", "canon_url")
+    seen = (
+        ParquetStateStore(spark, state)
+        .read_accumulated("seen", up_to=2)
+        .select("url_hash", "canon_url")
+    )
     e2 = CrawlEngine(spark, seeds_df, TablePageFetcher(pages_df), robots=robots_df, config=CFG)
     r2 = e2.run_from(frontier, seen, start_wave=2, max_waves=12)
     sim = simulate_crawl(graph, CFG, max_waves=12)
@@ -131,11 +138,16 @@ def test_resume_classmethod_and_state_store(spark, graph, tmp_path):
     store = ParquetStateStore(spark, state)
     waves = store.committed_waves("seen")
     assert len(waves) >= 2
-    removed = store.expire("seen", keep_last=1)
-    assert removed == len(waves) - 1
+    # seen is delta-per-wave: compaction merges deltas without data loss
+    merged = store.compact("seen")
+    assert merged == len(waves) - 1
     assert store.committed_waves("seen") == [waves[-1]]
-    # latest wave still readable after expiry
-    assert store.read("seen").count() == len(sim.seen)
+    assert store.read_accumulated("seen").count() == len(sim.seen)
+    # frontier is snapshot-per-wave: expiry drops superseded snapshots
+    fwaves = store.committed_waves("frontier")
+    removed = store.expire("frontier", keep_last=1)
+    assert removed == len(fwaves) - 1
+    assert store.read("frontier").count() >= 0
 
 
 def test_engine_with_incremental_bloom(spark, graph):
