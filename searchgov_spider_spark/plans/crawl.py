@@ -247,9 +247,15 @@ class CrawlEngine:
         if "needs_js" not in frontier.columns:
             frontier = frontier.withColumn("needs_js", F.lit(False))
 
+        # Driver-action budget: the serial floor between waves is what
+        # caps scaling efficiency, so per-wave actions are folded —
+        # frontier_size carries over from the previous wave's post-
+        # checkpoint count, and the seen cardinality is tracked as a
+        # running counter (every scheduled row is provably unseen).
+        frontier_size = frontier.count()
+        seen_count = seen.count() if start_wave > 0 else 0
         for wave in range(start_wave, max_waves):
             t0 = time.monotonic()
-            frontier_size = frontier.count()
             if frontier_size == 0:
                 break
 
@@ -269,6 +275,7 @@ class CrawlEngine:
             else:
                 seen_delta = seen_delta.localCheckpoint(eager=True)
             seen = seen.unionByName(seen_delta)
+            seen_count += n_scheduled
 
             fetched = self.fetcher.fetch(scheduled).cache()
             ok = F.col("http_status") == 200
@@ -353,11 +360,13 @@ class CrawlEngine:
                 (F.col("fetch_rank").cast("long") * DISCOVERY_STRIDE + F.col("pos")).cast("long"),
             ).drop("fetch_rank", "pos")
 
-            candidates = self._prepare_candidates(links)
+            # cache: the candidate metric count and the frontier checkpoint
+            # both consume candidates — without the cache the canonicalize
+            # UDF would run twice
+            candidates = self._prepare_candidates(links).cache()
             n_candidates = candidates.count()
             deduped = dedupe_intra_wave(candidates, order_cols=INTRA_WAVE_ORDER)
 
-            seen_count = seen.count()
             bloom = self._maintain_bloom(seen, seen_count, scheduled)
             new_urls = dedupe_against_seen(deduped, seen, bloom)
 
@@ -366,6 +375,7 @@ class CrawlEngine:
             )
             frontier = self._checkpoint(frontier_next, "frontier", wave + 1)
             n_new = frontier.count()
+            next_frontier_size = n_new
 
             metrics = WaveMetrics(
                 wave=wave,
@@ -384,6 +394,8 @@ class CrawlEngine:
             scheduled.unpersist()
             parsed.unpersist()
             fetched.unpersist()
+            candidates.unpersist()
+            frontier_size = next_frontier_size
 
         result.documents = documents
         result.seen = seen
