@@ -99,14 +99,34 @@ def shingles_sql(toks_expr: str, n: int = 3) -> str:
     )
 
 
-def minhash_signature_cols(sh: Column, perms: int = MINHASH_PERMS) -> list[Column]:
-    """perms mins over the seeded portable hash family — all native exprs."""
+MINHASH_PRIME = 2147483647  # 2^31 - 1: a*h + b stays inside int64
 
-    def seeded(i):
-        # one-arg lambda: F.transform feeds a 2-arg lambda the element index
-        return lambda s: portable_hash32_col(F.concat(F.lit(f"{i}|"), s))
 
-    return [F.array_min(F.transform(sh, seeded(i))) for i in range(perms)]
+def minhash_coeffs(perms: int = MINHASH_PERMS) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a_i, b_i), derived
+    from the portable hash family and inlined as literals on both
+    engines. a_i in [1, p-1], b_i in [0, p-1]."""
+    from ..functions.hashing import portable_hash32
+
+    return [
+        (
+            (portable_hash32(f"a|{i}") % (MINHASH_PRIME - 1)) + 1,
+            portable_hash32(f"b|{i}") % MINHASH_PRIME,
+        )
+        for i in range(perms)
+    ]
+
+
+def minhash_signature_cols(hs: Column, perms: int = MINHASH_PERMS) -> list[Column]:
+    """perms mins of affine permutations (a_i*h + b_i) mod p over the
+    precomputed shingle-hash array ``hs`` — the classic one-hash MinHash:
+    each shingle is md5-hashed ONCE, the permutations are int64
+    arithmetic. (The previous family hashed every shingle perms times —
+    16x the md5 work for identical statistical behavior.)"""
+    def perm(a, b):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    return [F.array_min(F.transform(hs, perm(a, b))) for a, b in minhash_coeffs(perms)]
 
 
 def minhash_signatures(
@@ -114,12 +134,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, shingles, sig: array<long>[perms]); drops docs with no shingles."""
     sh = shingles_col(tokens_col(text_col), ngram)
-    sigs = minhash_signature_cols(F.col("shingles"), perms)
-    return (
+    base = (
         docs.select("doc_id", sh.alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles", F.array(*sigs).alias("sig"))
+        .withColumn("hs", F.transform("shingles", lambda s: portable_hash32_col(s)))
     )
+    sigs = minhash_signature_cols(F.col("hs"), perms)
+    return base.select("doc_id", "shingles", F.array(*sigs).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -137,7 +158,10 @@ def minhash_lsh_pairs(
     distinct pairs → join back for exact verification. No cross join.
     """
     rows = perms // bands
-    sigs = minhash_signatures(docs, text_col, ngram, perms)
+    # persist: the signature frame feeds four join branches (two bucket
+    # sides, two shingle sides) — without it the shingle+md5 subplan
+    # re-executes per branch
+    sigs = minhash_signatures(docs, text_col, ngram, perms).persist()
 
     band_structs = F.array(
         *[
@@ -159,17 +183,18 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = sigs.select("doc_id", "shingles")
+    # shingle arrays are distinct sets, so |A ∪ B| = |A| + |B| - |A ∩ B|:
+    # one array_intersect per pair, no array_union materialization —
+    # identical values, roughly half the per-pair array work
     verified = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ).alias("jaccard"),
+                F.col("_inter") / (F.size("sh_a") + F.size("sh_b") - F.col("_inter")), 6
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -187,8 +212,8 @@ def minhash_lsh_pairs_sql(
     join, exact-Jaccard verify) — bit-identical via the md5 hash family."""
     rows = perms // bands
     sig_items = ", ".join(
-        f"list_min(list_transform(shingles, s -> {portable_hash32_sql(_seeded_input_sql(i))}))"
-        for i in range(perms)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_coeffs(perms)
     )
     band_keys = ", ".join(
         "concat_ws('-', "
@@ -206,8 +231,12 @@ def minhash_lsh_pairs_sql(
           SELECT doc_id, {shingles_sql('toks', ngram)} AS shingles FROM toks
         ), sh2 AS (
           SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+        ), hashed AS (
+          SELECT doc_id, shingles,
+                 list_transform(shingles, s -> {portable_hash32_sql('s')}) AS hs
+          FROM sh2
         ), sigs AS (
-          SELECT doc_id, shingles, [{sig_items}] AS sig FROM sh2
+          SELECT doc_id, shingles, [{sig_items}] AS sig FROM hashed
         ), banded AS (
           SELECT doc_id, {band_keys} FROM sigs
         ), buckets AS (
@@ -217,14 +246,17 @@ def minhash_lsh_pairs_sql(
           FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
           WHERE a.doc_id < b.doc_id
         )
-        SELECT p.doc_a, p.doc_b,
-               round(len(list_intersect(sa.shingles, sb.shingles))
-                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
-        FROM pairs p
-        JOIN sh2 sa ON sa.doc_id = p.doc_a
-        JOIN sh2 sb ON sb.doc_id = p.doc_b
-        WHERE round(len(list_intersect(sa.shingles, sb.shingles))
-                    / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= {threshold}
+        , scored AS (
+          SELECT p.doc_a, p.doc_b,
+                 len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                 len(sa.shingles) AS la, len(sb.shingles) AS lb
+          FROM pairs p
+          JOIN sh2 sa ON sa.doc_id = p.doc_a
+          JOIN sh2 sb ON sb.doc_id = p.doc_b
+        )
+        SELECT doc_a, doc_b, round(inter / (la + lb - inter), 6) AS jaccard
+        FROM scored
+        WHERE round(inter / (la + lb - inter), 6) >= {threshold}
         ORDER BY doc_a, doc_b
     """
 

@@ -63,8 +63,10 @@ class TestMinHash:
             if not sh:
                 assert doc_id not in sigs
                 continue
+            hs = [portable_hash32(s) for s in sh]
             expected = [
-                min(portable_hash32(f"{i}|{s}") for s in sh) for i in range(pdedup.MINHASH_PERMS)
+                min((a * h + b) % pdedup.MINHASH_PRIME for h in hs)
+                for a, b in pdedup.minhash_coeffs(pdedup.MINHASH_PERMS)
             ]
             assert list(sigs[doc_id]) == expected, doc_id
 
