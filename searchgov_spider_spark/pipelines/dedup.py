@@ -382,17 +382,54 @@ def simhash_near_dups_sql(table: str = "documents", max_hamming: int = 3) -> str
 # Blocked n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def _cap_blocks(
+    rows: DataFrame, cap: int | None, id_col: str, op_name: str
+) -> DataFrame:
+    """Guardrail for blocked O(n^2) pair generators: a single hot block
+    (10^7 docs under one key) is a quadratic self-join that no cluster
+    survives. With a cap, each block keeps its ``cap`` lowest-id members
+    (deterministic truncation — work per block is bounded by cap^2) and
+    the number of truncated blocks is logged. Exactness within truncated
+    blocks is sacrificed knowingly; for full coverage of a hot block use
+    the MinHash/SimHash paths, which never go quadratic."""
+    if cap is None:
+        return rows
+    import logging
+
+    from pyspark.sql import Window
+
+    n_over = (
+        rows.groupBy("block").count().filter(F.col("count") > cap).count()
+    )
+    if n_over:
+        logging.getLogger(__name__).warning(
+            "%s: %d block(s) over max_block_size=%d truncated to their "
+            "%d lowest-%s members", op_name, n_over, cap, cap, id_col,
+        )
+    w = Window.partitionBy("block").orderBy(id_col)
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_col: str = "source",
     text_col: str = "text",
     ngram: int = 3,
     threshold: float = 0.2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs within blocks (doc_a < doc_b)."""
+    """Exact n-gram Jaccard pairs within blocks (doc_a < doc_b).
+
+    ``max_block_size`` bounds the per-block quadratic work (see
+    ``_cap_blocks``); None preserves exactness for bounded inputs."""
     sh = docs.select(
         F.col("doc_id"), F.col(block_col).alias("block"), shingles_col(tokens_col(text_col), ngram).alias("sh")
     ).filter(F.size("sh") > 0)
+    sh = _cap_blocks(sh, max_block_size, "doc_id", "ngram_jaccard_pairs")
     return (
         sh.alias("a")
         .join(sh.alias("b"), "block")
@@ -432,15 +469,20 @@ def ngram_jaccard_pairs_sql(
 # ---------------------------------------------------------------------------
 
 def embedding_near_dups(
-    emb: DataFrame, block_col: str = "label", threshold: float = 0.95
+    emb: DataFrame, block_col: str = "label", threshold: float = 0.95,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold inside blocks. Sequential-fold dot
-    products (F.aggregate) so the oracle's doubles match bit-for-bit."""
+    products (F.aggregate) so the oracle's doubles match bit-for-bit.
+
+    ``max_block_size`` bounds the per-block quadratic work (see
+    ``_cap_blocks``); None preserves exactness for bounded inputs."""
     from .similarity import cosine_col
 
     e = emb.select(
         F.col("vec_id"), F.col(block_col).alias("block"), F.col("embedding").cast("array<double>").alias("v")
     )
+    e = _cap_blocks(e, max_block_size, "vec_id", "embedding_near_dups")
     return (
         e.alias("a")
         .join(e.alias("b"), "block")

@@ -306,3 +306,41 @@ class TestIVF:
         a = psim.train_centroids(emb_df, n_centroids=4)
         b = psim.train_centroids(emb_df, n_centroids=4)
         assert a == b
+
+
+class TestBlockCaps:
+    def test_hot_block_bounded(self, spark):
+        """A 3000-row hot block under max_block_size=50 yields at most
+        C(50,2) pairs and logs the truncation — bounded quadratic work."""
+        import pyspark.sql.functions as F
+
+        docs = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("hot").alias("source"),
+            F.concat(F.lit("alpha beta gamma delta epsilon zeta token"),
+                     (F.col("id") % 7).cast("string")).alias("text"),
+        )
+        pairs = pdedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_block_size=50
+        ).collect()
+        assert 0 < len(pairs) <= 50 * 49 // 2
+        ids = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+        assert max(ids) < 50  # lowest-id members kept deterministically
+
+    def test_embedding_hot_block_bounded(self, spark):
+        import pyspark.sql.functions as F
+
+        emb = spark.range(2000).select(
+            F.col("id").alias("vec_id"),
+            F.lit(1).alias("label"),
+            F.array(F.lit(1.0), (F.col("id") % 3).cast("double")).alias("embedding"),
+        )
+        pairs = pdedup.embedding_near_dups(
+            emb, threshold=0.0, max_block_size=40
+        ).collect()
+        assert 0 < len(pairs) <= 40 * 39 // 2
+
+    def test_cap_none_is_exact(self, docs_df):
+        a = sorted(map(tuple, pdedup.ngram_jaccard_pairs(docs_df, threshold=0.1).collect()))
+        b = sorted(map(tuple, pdedup.ngram_jaccard_pairs(docs_df, threshold=0.1, max_block_size=10**6).collect()))
+        assert a == b
