@@ -3,6 +3,8 @@ tests: test_content.py, test_helpers.py, test_encoding.py)."""
 
 from __future__ import annotations
 
+import codecs
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -226,3 +228,28 @@ class TestCanonicalizeVectorized:
         got = canonicalize_batch(pd.Series(cases)).tolist()
         want = [canonicalize_url(c) for c in cases]
         assert got == want
+
+
+def test_detect_encoding_cascade():
+    """C2 upgrade: cp1252 / BOM-less utf-16/32 / shift_jis heuristics
+    (the cchardet-free twin of helpers/encoding.py:10-19)."""
+    d = encoding.detect_encoding
+    assert d("plain ascii".encode()) == "utf-8"
+    assert d("héllo".encode("utf-8")) == "utf-8"
+    assert d(b"\x93budget\x94 \x96 report") == "cp1252"  # smart quotes + en dash
+    assert d("café résumé".encode("cp1252")) == "cp1252"
+    assert d("hello world this is text".encode("utf-16-le")) == "utf-16-le"
+    assert d("hello world this is text".encode("utf-16-be")) == "utf-16-be"
+    assert d("hello text".encode("utf-32-le")) == "utf-32-le"
+    assert d("日本語のテキストです".encode("shift_jis")) == "shift_jis"
+    assert d(codecs.BOM_UTF16_LE + "x".encode("utf-16-le")) == "utf-16"
+    assert d(b"abc \x90 \xe9") == "latin-1"  # cp1252 hole byte rules it out
+    assert d(b"") is None
+
+
+def test_decode_http_response_new_encodings():
+    assert encoding.decode_http_response(b"\x93hi\x94") == "“hi”"
+    assert (
+        encoding.decode_http_response("日本語のテキストです".encode("shift_jis"))
+        == "日本語のテキストです"
+    )
