@@ -495,13 +495,44 @@ Q_ENDPOINT_BATCHES_SQL = """
 
 
 def q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: per-doc summary/keywords via the vectorized pandas UDF kernel.
-    Pure-Python loop semantics (i14y_helper.py:78-133) are not
-    SQL-expressible — rows-only check; parity is pinned by pytest."""
+    """A2: the word-frequency summarizer (i14y_helper.py:78-133) through
+    the real pandas-UDF kernel, restricted to single-sentence simple-token
+    docs (no sentence terminators) where the scoring loop degenerates to a
+    SQL-expressible form: summary = the sentence itself, keywords = top-10
+    non-stopword tokens by (count desc, first-occurrence asc). The full
+    multi-sentence quirk semantics stay pinned by pytest."""
     from .functions.summarize import with_summary
 
-    docs = load(spark, sf_dir, "documents")
-    return with_summary(docs, "text").select("doc_id", "keywords")
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").rlike("^[a-z0-9 ]+$"))
+    return with_summary(docs, "text").select("doc_id", "summary", "keywords")
+
+
+def _summarize_sql() -> str:
+    from .functions.summarize import STOPWORDS_BY_LANG
+
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_BY_LANG["en"]))
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE regexp_matches(text, '^[a-z0-9 ]+$')
+        ), toks AS (
+          SELECT doc_id, text,
+                 unnest([{{'w': w[i], 'p': i}} for i in generate_series(1, len(w))]) AS t
+          FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM d)
+        ), counted AS (
+          SELECT doc_id, text, t.w AS word, t.p AS pos FROM toks
+          WHERE t.w NOT IN ({stop})
+        ), freq AS (
+          SELECT doc_id, any_value(text) AS text, word, count(*) AS cnt, min(pos) AS fp
+          FROM counted GROUP BY doc_id, word
+        ), ranked AS (
+          SELECT doc_id, text, word,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, fp ASC) AS rn
+          FROM freq
+        )
+        SELECT doc_id, any_value(text) AS summary,
+               string_agg(word, ', ' ORDER BY rn) AS keywords
+        FROM ranked WHERE rn <= 10 GROUP BY doc_id ORDER BY doc_id
+    """
 
 
 def q_batch_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,6 +779,51 @@ def _i14y_day(i):
     return F.lpad(((i % 28) + 1).cast("string"), 2, "0")
 
 
+def q_stream_monitor(spark, sf_dir):
+    """A1 streaming twin: the SAME status_code_monitor used by the
+    Structured Streaming job (streaming/monitor.py), executed on a batch
+    fetch log — windowed counts + unwanted-threshold breach flags. In
+    batch mode withWatermark is a no-op, so the windowed-aggregation
+    logic lands a hard correctness row while the stream path is pinned
+    by tests/test_streaming.py. 48h windows with an explicit
+    1970-01-01 time_bucket origin match Spark's epoch-aligned window()."""
+    from .streaming.monitor import status_code_monitor
+
+    events = load(spark, sf_dir, "events")
+    m = F.col("event_id") % 10
+    fetch_log = events.select(
+        F.col("ts"),
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("url"),
+        F.concat(F.lit("d"), (F.col("user_id") % 25).cast("string"), F.lit(".gov")).alias("domain"),
+        F.when(m == 0, 500).when(m == 1, 404).when(m == 2, 429).otherwise(200).alias("http_status"),
+        (F.col("event_id") % 3 != 0).alias("emitted"),
+        F.lit(0).cast("long").alias("wave"),
+    )
+    out = status_code_monitor(fetch_log, window="48 hours", watermark="5 minutes")
+    return _longify(out)
+
+
+def _stream_monitor_sql() -> str:
+    from .config import MAX_UNWANTED_PER_CODE, UNWANTED_HTTP_CODES
+
+    codes = ", ".join(str(c) for c in UNWANTED_HTTP_CODES)
+    return f"""
+        WITH f AS (
+          SELECT ts,
+                 CASE event_id % 10 WHEN 0 THEN 500 WHEN 1 THEN 404
+                      WHEN 2 THEN 429 ELSE 200 END AS http_status
+          FROM events
+        )
+        SELECT time_bucket(INTERVAL '48 hours', ts, TIMESTAMP '1970-01-01') AS window_start,
+               time_bucket(INTERVAL '48 hours', ts, TIMESTAMP '1970-01-01') + INTERVAL '48 hours' AS window_end,
+               http_status, count(*) AS n,
+               (http_status IN ({codes}) AND count(*) > {MAX_UNWANTED_PER_CODE}) AS breach
+        FROM f
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 3
+    """
+
+
 def q_i14y_html(spark, sf_dir):
     """HTML i14y assembly over synthesized extraction rows: full meta is
     present so every field (incl. description/tags) is meta-derived and
@@ -941,6 +1017,7 @@ def queries():
         "spans_flatten": q_spans_flatten,
         "span_stats": q_span_stats,
         "multimodal_meta": q_multimodal_meta,
+        "stream_monitor": q_stream_monitor,
         "i14y_html": q_i14y_html,
         "i14y_pdf": q_i14y_pdf,
     }
@@ -959,7 +1036,7 @@ def oracle_sql():
         "monitor_codes": Q_MONITOR_CODES_SQL,
         "sitemap_resolve": Q_SITEMAP_RESOLVE_SQL,
         "endpoint_batches": Q_ENDPOINT_BATCHES_SQL,
-        # "summarize" intentionally has no oracle (non-SQL pandas-UDF loop)
+        "summarize": _summarize_sql(),
         "pricing_summary": Q_PRICING_SUMMARY_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,
         "shipping_priority": Q_SHIPPING_PRIORITY_SQL,
@@ -979,6 +1056,7 @@ def oracle_sql():
         "spans_flatten": pspans.flatten_spans_sql(),
         "span_stats": pspans.span_stats_sql(),
         "multimodal_meta": pmm.attach_binary_sql(),
+        "stream_monitor": _stream_monitor_sql(),
         "i14y_html": Q_I14Y_HTML_SQL,
         "i14y_pdf": Q_I14Y_PDF_SQL,
     }
