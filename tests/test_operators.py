@@ -197,3 +197,23 @@ def test_robots(spark):
     delays = {r["url"]: r["crawl_delay"] for r in out.collect()}
     assert delays["https://a.gov/pub/x"] == 2.0
     assert delays["https://c.gov/anything"] is None
+
+
+def test_playwright_fetcher_gate_and_abort_predicate():
+    """S4 JS leg: the abort predicate matches domain_spider_js.py:11-14,
+    and the fetcher fails fast on the driver when playwright is absent."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from searchgov_spider_spark.config import FILTER_EXTENSIONS
+    from searchgov_spider_spark.sources.fetch import PlaywrightFetcher, should_abort_resource
+
+    for rt in FILTER_EXTENSIONS:
+        assert should_abort_resource(rt)
+    # playwright resource types NOT in the reference list pass through
+    assert not should_abort_resource("document")
+    assert not should_abort_resource("script")
+    if importlib.util.find_spec("playwright") is None:
+        with _pytest.raises(NotImplementedError):
+            PlaywrightFetcher()
