@@ -253,3 +253,18 @@ def test_decode_http_response_new_encodings():
         encoding.decode_http_response("日本語のテキストです".encode("shift_jis"))
         == "日本語のテキストです"
     )
+
+
+def test_fuzzy_date_parsing():
+    """C6 upgrade: dateutil-fuzzy analog — dates embedded in prose with
+    ordinals, month names, and trailing times (i14y_helper.py:32-57)."""
+    p = dates.parse_date_safely
+    assert p("January 5th, 2024 at 3pm") == "2024-01-05T15:00:00"
+    assert p("Published on March 3, 2023") == "2023-03-03T00:00:00"
+    assert p("5 Jan 2024") == "2024-01-05T00:00:00"
+    assert p("the 21st of September 2022") == "2022-09-21T00:00:00"
+    assert p("Updated: Dec. 9, 2021 11:45 AM") == "2021-12-09T11:45:00"
+    assert p("Revised 2024-01-05 13:30 by admin") == "2024-01-05T13:30:00"
+    assert p("May 12, 2020 at 12pm") == "2020-05-12T12:00:00"
+    assert p("no date here") is None
+    assert p("2024-13-45") is None
