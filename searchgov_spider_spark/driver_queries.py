@@ -494,6 +494,46 @@ Q_ENDPOINT_BATCHES_SQL = """
 """
 
 
+def q_endpoint_batches_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/A3 at scale: the partitioned batch-id form — one running-sum
+    window PER JOB instead of a single global ordered window (which
+    serializes the sink onto one task; kept only as the small exact-
+    parity query). This is the default shape for unbounded sinks."""
+    from .sources.sinks import with_batch_ids
+
+    events = load(spark, sf_dir, "events")
+    urls = events.select(
+        F.concat(
+            F.lit("https://api.gov/j"), (F.col("user_id") % 8).cast("string"),
+            F.lit("/e/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("j"), (F.col("user_id") % 8).cast("string")).alias("job"),
+    )
+    batched = with_batch_ids(urls, partition_col="job", max_bytes=2000)
+    return batched.groupBy("job", "batch_id").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.octet_length("url")).alias("total_bytes"),
+    )
+
+
+Q_ENDPOINT_BATCHES_PARTITIONED_SQL = """
+    WITH u AS (
+      SELECT 'https://api.gov/j' || (user_id % 8)::VARCHAR || '/e/' || event_id::VARCHAR AS url,
+             'j' || (user_id % 8)::VARCHAR AS job
+      FROM events
+    ), b AS (
+      SELECT job, url,
+             CAST(floor((sum(octet_length(encode(url))) OVER (PARTITION BY job ORDER BY url
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - octet_length(encode(url))) / 2000) AS BIGINT) AS batch_id
+      FROM u
+    )
+    SELECT job, batch_id, count(*) AS n_urls,
+           CAST(sum(octet_length(encode(url))) AS BIGINT) AS total_bytes
+    FROM b GROUP BY job, batch_id ORDER BY job, batch_id
+"""
+
+
 def q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: the word-frequency summarizer (i14y_helper.py:78-133) through
     the real pandas-UDF kernel, restricted to single-sentence simple-token
@@ -994,6 +1034,7 @@ def queries():
         "monitor_codes": q_monitor_codes,
         "sitemap_resolve": q_sitemap_resolve,
         "endpoint_batches": q_endpoint_batches,
+        "endpoint_batches_partitioned": q_endpoint_batches_partitioned,
         "summarize": q_summarize,
         # relational breadth
         "pricing_summary": q_pricing_summary,
@@ -1036,6 +1077,7 @@ def oracle_sql():
         "monitor_codes": Q_MONITOR_CODES_SQL,
         "sitemap_resolve": Q_SITEMAP_RESOLVE_SQL,
         "endpoint_batches": Q_ENDPOINT_BATCHES_SQL,
+        "endpoint_batches_partitioned": Q_ENDPOINT_BATCHES_PARTITIONED_SQL,
         "summarize": _summarize_sql(),
         "pricing_summary": Q_PRICING_SUMMARY_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,
