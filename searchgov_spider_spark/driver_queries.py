@@ -819,6 +819,40 @@ def _i14y_day(i):
     return F.lpad(((i % 28) + 1).cast("string"), 2, "0")
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: SimHash pairs (hd<=3) -> connected
+    components via iterative min-label propagation; cluster = minimum
+    reachable doc_id (the keep-representative). Oracle = recursive-CTE
+    transitive closure over the identical pair set."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = pdedup.simhash_near_dups(docs, max_hamming=3)
+    nodes = pdedup.simhash(docs).select("doc_id")
+    return _longify(pdedup.dup_clusters(pairs, nodes))
+
+
+def _dup_clusters_sql() -> str:
+    cte = pdedup.simhash_sql_cte("documents")
+    return f"""
+        WITH RECURSIVE {cte},
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION SELECT doc_b, doc_a FROM p
+        ),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM sims
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, min(dst) AS cluster
+        FROM reach GROUP BY src ORDER BY doc_id
+    """
+
+
 def q_stream_monitor(spark, sf_dir):
     """A1 streaming twin: the SAME status_code_monitor used by the
     Structured Streaming job (streaming/monitor.py), executed on a batch
@@ -1058,6 +1092,7 @@ def queries():
         "spans_flatten": q_spans_flatten,
         "span_stats": q_span_stats,
         "multimodal_meta": q_multimodal_meta,
+        "dup_clusters": q_dup_clusters,
         "stream_monitor": q_stream_monitor,
         "i14y_html": q_i14y_html,
         "i14y_pdf": q_i14y_pdf,
@@ -1098,6 +1133,7 @@ def oracle_sql():
         "spans_flatten": pspans.flatten_spans_sql(),
         "span_stats": pspans.span_stats_sql(),
         "multimodal_meta": pmm.attach_binary_sql(),
+        "dup_clusters": _dup_clusters_sql(),
         "stream_monitor": _stream_monitor_sql(),
         "i14y_html": Q_I14Y_HTML_SQL,
         "i14y_pdf": Q_I14Y_PDF_SQL,

@@ -511,3 +511,91 @@ def embedding_near_dups_sql(
         WHERE round({cos}, 6) >= {threshold}
         ORDER BY vec_a, vec_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution (connected components -> keep-representative)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    pairs: DataFrame, nodes: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: (doc_id, cluster) where
+    cluster = the minimum doc_id reachable through the pair graph — the
+    canonical keep-representative for dedup removal.
+
+    Spark shape: iterative min-label propagation. Each round joins the
+    current labels across the (bidirectional) edge list and takes the
+    elementwise min — one shuffle per round, converging in O(graph
+    diameter) rounds (near-dup clusters are shallow: pairs come from
+    banded LSH/SimHash, so diameters are small). The loop exits early
+    when a round changes no label; ``max_iters`` bounds adversarial
+    chains. This is the simplified form of the large-star/small-star
+    connected-components algorithm; at 100 TB the same loop runs with
+    labels checkpointed per round.
+
+    pairs: (doc_a, doc_b); nodes: one column of doc ids (singletons keep
+    themselves as cluster).
+    """
+    id_col = nodes.columns[0]
+    labels = nodes.select(F.col(id_col).alias("doc_id")).distinct().withColumn(
+        "cluster", F.col("doc_id")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster").alias("n_cluster"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        hooked = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("cluster"), F.coalesce("n_cluster", "cluster")).alias("cluster"),
+        )
+        # pointer jump (path halving): cluster <- cluster's cluster, so a
+        # length-D chain converges in O(log D) rounds, not D
+        parent = hooked.select(
+            F.col("doc_id").alias("cluster"), F.col("cluster").alias("cc")
+        )
+        new_labels = (
+            hooked.join(parent, "cluster", "left")
+            .select("doc_id", F.least("cluster", F.coalesce("cc", "cluster")).alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def dup_clusters_sql(pairs_cte: str, nodes_cte: str) -> str:
+    """DuckDB mirror via recursive transitive closure (exact for the
+    small clusters the oracle scale produces). ``pairs_cte`` must yield
+    (doc_a, doc_b); ``nodes_cte`` one doc_id column."""
+    return f"""
+        WITH RECURSIVE p AS ({pairs_cte}),
+        n AS ({nodes_cte}),
+        e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION SELECT doc_b, doc_a FROM p
+        ),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM n
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, min(dst) AS cluster
+        FROM reach GROUP BY src ORDER BY doc_id
+    """

@@ -344,3 +344,27 @@ class TestBlockCaps:
         a = sorted(map(tuple, pdedup.ngram_jaccard_pairs(docs_df, threshold=0.1).collect()))
         b = sorted(map(tuple, pdedup.ngram_jaccard_pairs(docs_df, threshold=0.1, max_block_size=10**6).collect()))
         assert a == b
+
+
+class TestDupClusters:
+    def test_components_resolved(self, spark):
+        import pyspark.sql.functions as F
+
+        nodes = spark.range(8).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5), (6, 7), (5, 6)], "doc_a long, doc_b long"
+        )
+        got = {r["doc_id"]: r["cluster"] for r in pdedup.dup_clusters(pairs, nodes).collect()}
+        # chain 0-1-2 -> 0; chain 4-5-6-7 -> 4; singleton 3 -> itself
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4, 7: 4}
+
+    def test_long_chain_converges(self, spark):
+        import pyspark.sql.functions as F
+
+        n = 30
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        got = {r["doc_id"]: r["cluster"] for r in pdedup.dup_clusters(pairs, nodes).collect()}
+        assert all(v == 0 for v in got.values())
