@@ -32,7 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from searchgov_spider_spark import driver_queries as dq  # noqa: E402
 from searchgov_spider_spark.functions.urls import canonicalize_udf, url_hash_col  # noqa: E402
-from searchgov_spider_spark.operators.dedup import build_bloom, dedupe_against_seen  # noqa: E402
+from searchgov_spider_spark.operators.dedup import build_bloom, build_delta_bloom, dedupe_against_seen  # noqa: E402
 from searchgov_spider_spark.operators.politeness import schedule_wave  # noqa: E402
 from searchgov_spider_spark.session import get_spark  # noqa: E402
 
@@ -100,7 +100,7 @@ def crawl_wave_bench(spark, n: int) -> tuple[float, int]:
     scheduled, _deferred = schedule_wave(fresh, budget=400, salt_buckets=16)
     scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
     n_sched = scheduled.count()
-    delta = build_bloom(scheduled.select("url_hash"), spec=bloom.spec)
+    delta = build_delta_bloom(scheduled.select("url_hash"), bloom.spec, n_rows=n_sched)
     bloom.merge(delta)
     dt = time.monotonic() - t0
     cand.unpersist()

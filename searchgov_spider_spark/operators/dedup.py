@@ -171,12 +171,13 @@ def build_bloom(
     # cap the number of partial producers: driver receives
     # n_producers x n_shards x (n_bits/8) bytes, so at large capacities
     # fewer, bigger partials beat one per task (the hash column is 8
-    # bytes/row — coalesce is cheap, no shuffle). 32 MB keeps the
-    # driver-side transfer+OR under ~0.5 s — it is serial time that
-    # otherwise grows with parallelism and eats scaling efficiency.
+    # bytes/row — coalesce is cheap, no shuffle). Per-wave DELTAS go
+    # through build_delta_bloom's driver-side path instead, so this full
+    # build only runs at resume/engage time where wall-clock parallelism
+    # matters more than transfer volume.
     hashes = df.select(F.col(hash_col))
     n_parts = hashes.rdd.getNumPartitions()
-    max_producers = max(2, min(n_parts, (32 << 20) // max(1, spec.n_bits // 8)))
+    max_producers = max(2, min(n_parts, (256 << 20) // max(1, spec.n_bits // 8)))
     if n_parts > max_producers:
         hashes = hashes.coalesce(max_producers)
     # Arrow toPandas (not collect): binary partials stream as Arrow
@@ -194,6 +195,53 @@ def build_bloom(
     for s in range(n_shards):
         shards.setdefault(s, _empty_bits(spec))
     return ShardedBloom(spec, shards)
+
+
+def build_bloom_driver(
+    df: DataFrame, hash_col: str = "url_hash", spec: BloomSpec | None = None
+) -> ShardedBloom:
+    """Driver-side bloom build for SMALL inputs (per-wave deltas): pull
+    the raw 8-byte hashes via Arrow (n_rows x 8 B — for a politeness-
+    bounded wave this is a few MB) and set bits locally. For a delta
+    whose bitmap is larger than its hash column this moves less data
+    than shipping per-partition partial bitmaps, and it costs one tiny
+    job instead of a coalesce + bitmap reduce. Use ``build_bloom`` for
+    the full seen-set (resume-time) rebuild."""
+    assert spec is not None, "delta blooms must reuse the cumulative spec"
+    h = (
+        df.select(F.col(hash_col)).toPandas()[hash_col]
+        .to_numpy(dtype=np.int64)
+        .view(np.uint64)
+    )
+    shards: dict[int, np.ndarray] = {}
+    if spec.n_shards == 1:
+        bits = _empty_bits(spec)
+        _add_to_bits(bits, h, spec)
+        shards[0] = bits
+    else:
+        shard_of = (h % np.uint64(spec.n_shards)).astype(np.int64)
+        for s in np.unique(shard_of):
+            bits = _empty_bits(spec)
+            _add_to_bits(bits, h[shard_of == s], spec)
+            shards[int(s)] = bits
+    for s in range(spec.n_shards):
+        shards.setdefault(s, _empty_bits(spec))
+    return ShardedBloom(spec, shards)
+
+
+# a delta smaller than this many rows is built driver-side (8 B/row ->
+# <= 16 MB of hashes over Arrow, cheaper than bitmap partials)
+DRIVER_BLOOM_MAX_ROWS = 2_000_000
+
+
+def build_delta_bloom(
+    df: DataFrame, spec: BloomSpec, n_rows: int | None = None, hash_col: str = "url_hash"
+) -> ShardedBloom:
+    """Per-wave delta bloom: driver-side for small known row counts,
+    distributed partial-bitmap build otherwise."""
+    if n_rows is not None and n_rows <= DRIVER_BLOOM_MAX_ROWS:
+        return build_bloom_driver(df, hash_col, spec)
+    return build_bloom(df, hash_col, spec=spec)
 
 
 def bloom_might_contain_udf(spark, bloom: ShardedBloom):

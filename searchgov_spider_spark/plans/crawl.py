@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, DISCOVERY_STRIDE, CrawlConfig, UNWANTED_HTTP_CODES
 from ..functions.content_type import is_valid_content_type_col
 from ..functions.urls import canonicalize_udf, url_hash_col, url_host_col, url_sha256_col
-from ..operators.dedup import build_bloom, dedupe_against_seen, dedupe_intra_wave
+from ..operators.dedup import build_bloom, build_delta_bloom, dedupe_against_seen, dedupe_intra_wave
 from ..operators.extraction import extract_spans
 from ..operators.filters import apply_prefetch_filters, normalize_job_rules
 from ..operators.politeness import schedule_wave
@@ -190,7 +190,7 @@ class CrawlEngine:
         )
         return dedupe_intra_wave(self._prepare_candidates(starts), order_cols=INTRA_WAVE_ORDER)
 
-    def _maintain_bloom(self, seen: DataFrame, seen_count: int, scheduled: DataFrame):
+    def _maintain_bloom(self, seen: DataFrame, seen_count: int, scheduled: DataFrame, n_scheduled: int | None = None):
         """Incremental bloom maintenance (the Redis-SADD analog): per wave,
         build a delta bloom from just the newly scheduled fingerprints and
         OR it into the cumulative filter. A full rebuild happens only on
@@ -207,8 +207,8 @@ class CrawlEngine:
                 fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards,
             )
         else:
-            delta = build_bloom(
-                scheduled.select("url_hash"), spec=self._bloom.spec,
+            delta = build_delta_bloom(
+                scheduled.select("url_hash"), self._bloom.spec, n_rows=n_scheduled,
             )
             self._bloom.merge(delta)
         return self._bloom
@@ -367,7 +367,7 @@ class CrawlEngine:
             n_candidates = candidates.count()
             deduped = dedupe_intra_wave(candidates, order_cols=INTRA_WAVE_ORDER)
 
-            bloom = self._maintain_bloom(seen, seen_count, scheduled)
+            bloom = self._maintain_bloom(seen, seen_count, scheduled, n_scheduled)
             new_urls = dedupe_against_seen(deduped, seen, bloom)
 
             frontier_next = dedupe_intra_wave(

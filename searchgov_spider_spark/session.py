@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fetch/extraction rows carry up to 15 MB bodies (DOWNLOAD_MAXSIZE);
+        # the 10k-row default Arrow batch would be gigabytes on a body-
+        # carrying stage. 2048 keeps a typical-body batch ~200 MB while
+        # costing row-heavy UDF stages (canonicalize) <10% vs the default.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
