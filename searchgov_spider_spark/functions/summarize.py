@@ -30,6 +30,8 @@ WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?|[^\w\s]")
 
 # Per-language stopwords (NLTK stopwords corpus analog; tiny determinstic
 # subsets — the operator contract is the scoring loop, not the corpus).
+# Languages beyond this table return (None, None), mirroring the
+# reference's missing-stopwords-file behavior (i14y_helper.py:102-107).
 STOPWORDS_BY_LANG: dict[str, frozenset[str]] = {
     "en": frozenset(
         "the a an and or of to in on for is are was be with as at by it this that".split()
@@ -37,6 +39,9 @@ STOPWORDS_BY_LANG: dict[str, frozenset[str]] = {
     "es": frozenset("el la los las de que y una un por con para en es no".split()),
     "de": frozenset("der die das und ist nicht ein mit auf den zu".split()),
     "fr": frozenset("le la les des est une dans pour qui pas et".split()),
+    "it": frozenset("di e il la che a in un per è una sono con non le".split()),
+    "pt": frozenset("de a o que e do da em um para é com não uma os".split()),
+    "nl": frozenset("de het een van en in is dat op te zijn met voor niet".split()),
 }
 
 _RESULT_SCHEMA = T.StructType(
