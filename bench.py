@@ -15,8 +15,8 @@ deterministic synthetic .gov frontier spread over 1,759 domains (the
 reference's production seed count) with a hot-domain skew.
 
 Scaling evidence (north_rule: >= 0.8 efficiency at 4N vs N executors) is
-produced by tools/scaling_bench.py, which runs this file at
-SPARK_GRAFT_CPUS=8 and =32 and writes BENCH.md.
+produced by tools/scaling_bench.py, which runs this file at two
+parallelism levels (default local[4] vs local[16]) and writes BENCH.md.
 """
 
 from __future__ import annotations

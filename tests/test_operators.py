@@ -217,3 +217,21 @@ def test_playwright_fetcher_gate_and_abort_predicate():
     if importlib.util.find_spec("playwright") is None:
         with _pytest.raises(NotImplementedError):
             PlaywrightFetcher()
+
+
+def test_delta_bloom_driver_path_equivalent(spark):
+    """build_delta_bloom's driver-side small path must produce the exact
+    same bitmap as the distributed partial-bitmap build."""
+    from pyspark.sql import functions as F
+
+    from searchgov_spider_spark.operators.dedup import (
+        BloomSpec, build_bloom, build_bloom_driver,
+    )
+
+    df = spark.range(5000).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    spec = BloomSpec.for_capacity(100_000, 0.01, n_shards=2)
+    a = build_bloom(df, spec=spec)
+    b = build_bloom_driver(df, spec=spec)
+    assert a.spec == b.spec
+    for s in range(spec.n_shards):
+        assert (a.shards[s] == b.shards[s]).all()
