@@ -819,6 +819,106 @@ def _i14y_day(i):
     return F.lpad(((i % 28) + 1).cast("string"), 2, "0")
 
 
+def q_sitemap_discovery(spark, sf_dir):
+    """S6: the 4-method discovery cascade through the REAL operator on a
+    synthesized web where each method triggers for a distinct domain
+    slice (k%4), with overlaps proving reference precedence order
+    (sitemap_finder.py:69-98): common location > robots.txt directive >
+    homepage <link rel=sitemap> > root .xml listing."""
+    from .operators.sitemap import discover_sitemaps
+
+    events = load(spark, sf_dir, "events")
+    k = F.col("user_id") % 25
+    ks = k.cast("string")
+    domains = events.select(
+        F.concat(F.lit("d"), ks, F.lit(".gov")).alias("domain")
+    ).distinct()
+    dom = F.concat(F.lit("https://d"), ks, F.lit(".gov/"))
+    m = F.col("user_id") % 4
+    url = (
+        F.when(m == 0, F.concat(dom, F.lit("sitemap.xml")))
+        .when(m == 1, F.concat(dom, F.lit("robots.txt")))
+        .when(m == 2, dom)
+        .otherwise(F.concat(dom, F.lit("wp-sitemap.xml")))
+    )
+    body = (
+        F.when(m == 1, F.concat(F.lit("User-agent: *\nSitemap: https://d"), ks, F.lit(".gov/sm-robots.xml")))
+        .when(m == 2, F.concat(F.lit('<link rel="sitemap" href="https://d'), ks, F.lit('.gov/sm-page.xml">')))
+        .otherwise(F.lit("<urlset></urlset>"))
+    )
+    # user_id%8==1 domains ALSO expose a common location -> precedence check
+    extra = events.filter(F.col("user_id") % 8 == 1).select(
+        F.concat(dom, F.lit("sitemap_index.xml")).alias("url"),
+        F.lit(200).alias("http_status"),
+        F.encode(F.lit("<urlset></urlset>"), "utf-8").alias("body"),
+    )
+    web = events.select(
+        url.alias("url"), F.lit(200).alias("http_status"), F.encode(body, "utf-8").alias("body")
+    ).unionByName(extra).distinct()
+    return discover_sitemaps(domains, web)
+
+
+Q_SITEMAP_DISCOVERY_SQL = """
+    WITH k AS (SELECT DISTINCT user_id % 25 AS k, user_id % 4 AS m FROM events),
+    ka AS (  -- a domain takes the smallest user_id slice that mentions it
+      SELECT k, min(m) AS m, bool_or(EXISTS (
+               SELECT 1 FROM events e WHERE e.user_id % 8 = 1 AND e.user_id % 25 = k.k
+             )) AS has_extra
+      FROM k GROUP BY k
+    )
+    SELECT 'd' || k::VARCHAR || '.gov' AS domain,
+           CASE
+             WHEN m = 0 THEN 'https://d' || k::VARCHAR || '.gov/sitemap.xml'
+             WHEN has_extra THEN 'https://d' || k::VARCHAR || '.gov/sitemap_index.xml'
+             WHEN m = 1 THEN 'https://d' || k::VARCHAR || '.gov/sm-robots.xml'
+             WHEN m = 2 THEN 'https://d' || k::VARCHAR || '.gov/sm-page.xml'
+             ELSE 'https://d' || k::VARCHAR || '.gov/wp-sitemap.xml'
+           END AS sitemap_url,
+           CASE
+             WHEN m = 0 OR has_extra THEN 'common_location'
+             WHEN m = 1 THEN 'robots_txt'
+             WHEN m = 2 THEN 'html_link'
+             ELSE 'root_listing'
+           END AS method
+    FROM ka
+    ORDER BY domain
+"""
+
+
+def q_sitemap_report(spark, sf_dir):
+    """A4: per-sitemap new-vs-total counts through the real operator."""
+    from .operators.sitemap import sitemap_report
+
+    events = load(spark, sf_dir, "events")
+    sm = F.concat(F.lit("https://s.gov/sm"), (F.col("user_id") % 10).cast("string"), F.lit(".xml"))
+    url = F.concat(F.lit("https://s.gov/p/"), F.col("event_id").cast("string"))
+    current = events.select(sm.alias("sitemap_url"), url.alias("url")).distinct()
+    previous = (
+        events.filter(F.col("event_id") % 3 != 0)
+        .select(sm.alias("sitemap_url"), url.alias("url"))
+        .distinct()
+    )
+    return sitemap_report(current, previous)
+
+
+Q_SITEMAP_REPORT_SQL = """
+    WITH cur AS (
+      SELECT DISTINCT 'https://s.gov/sm' || (user_id % 10)::VARCHAR || '.xml' AS sitemap_url,
+             'https://s.gov/p/' || event_id::VARCHAR AS url, event_id
+      FROM events
+    ),
+    new AS (
+      SELECT sitemap_url, count(*) AS new_urls FROM cur WHERE event_id % 3 = 0 GROUP BY 1
+    ),
+    total AS (
+      SELECT sitemap_url, count(*) AS total_urls FROM cur GROUP BY 1
+    )
+    SELECT t.sitemap_url, coalesce(n.new_urls, 0) AS new_urls, t.total_urls
+    FROM total t LEFT JOIN new n USING (sitemap_url)
+    ORDER BY t.sitemap_url
+"""
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: SimHash pairs (hd<=3) -> connected
     components via iterative min-label propagation; cluster = minimum
@@ -1067,6 +1167,8 @@ def queries():
         "batch_accounting": q_batch_accounting,
         "monitor_codes": q_monitor_codes,
         "sitemap_resolve": q_sitemap_resolve,
+        "sitemap_discovery": q_sitemap_discovery,
+        "sitemap_report": q_sitemap_report,
         "endpoint_batches": q_endpoint_batches,
         "endpoint_batches_partitioned": q_endpoint_batches_partitioned,
         "summarize": q_summarize,
@@ -1111,6 +1213,8 @@ def oracle_sql():
         "batch_accounting": Q_BATCH_ACCOUNTING_SQL,
         "monitor_codes": Q_MONITOR_CODES_SQL,
         "sitemap_resolve": Q_SITEMAP_RESOLVE_SQL,
+        "sitemap_discovery": Q_SITEMAP_DISCOVERY_SQL,
+        "sitemap_report": Q_SITEMAP_REPORT_SQL,
         "endpoint_batches": Q_ENDPOINT_BATCHES_SQL,
         "endpoint_batches_partitioned": Q_ENDPOINT_BATCHES_PARTITIONED_SQL,
         "summarize": _summarize_sql(),
