@@ -769,10 +769,22 @@ def q_lsh_ann(spark, sf_dir):
 
 def q_ivf_ann(spark, sf_dir):
     """IVF ANN (k-means codebook + probed inverted lists). The Lloyd
-    training loop is not SQL-expressible -> rows-only check; exactness
-    when probing all lists is pinned by pytest."""
+    training loop is not SQL-expressible -> rows-only check for the
+    approximate n_probe=4 form; `ivf_ann_exact` pins the same machinery
+    against the brute-force oracle."""
     return _longify(
         psim.ivf_topk(load(spark, sf_dir, "embeddings"), n_centroids=16, n_probe=4, n_queries=10, k=5)
+    )
+
+
+def q_ivf_ann_exact(spark, sf_dir):
+    """IVF with probe-all (n_probe == n_centroids): the candidate set is
+    the whole corpus, so the result must be bit-identical to brute-force
+    cosine top-k — an oracle-exact gate on the full IVF machinery
+    (codebook training, mapInPandas centroid assignment, probe-list
+    build, bucket join, re-rank)."""
+    return _longify(
+        psim.ivf_topk(load(spark, sf_dir, "embeddings"), n_centroids=16, n_probe=16, n_queries=10, k=5)
     )
 
 
@@ -1186,6 +1198,7 @@ def queries():
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "ivf_ann_exact": q_ivf_ann_exact,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1229,6 +1242,7 @@ def oracle_sql():
         "embedding_near_dups": pdedup.embedding_near_dups_sql(threshold=0.2),
         "cosine_topk": psim.cosine_topk_sql(n_queries=10, k=5),
         "lsh_ann": psim.lsh_ann_topk_sql(n_queries=10, k=5),
+        "ivf_ann_exact": psim.cosine_topk_sql(n_queries=10, k=5),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "lang_id": pstats.language_id_sql(),
