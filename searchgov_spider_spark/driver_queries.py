@@ -931,6 +931,107 @@ Q_SITEMAP_REPORT_SQL = """
 """
 
 
+_MONTH_NAMES = (
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+)
+_SCALAR_WORDS = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+
+
+def q_scalar_text_dates(spark, sf_dir):
+    """C1/C6/C7 scalar kernels through the REAL vectorized UDFs on
+    synthesized inputs whose expected outputs the oracle reconstructs
+    numerically: parse_date_safely over all five driver formats
+    (fixed slash/name/compact, PDF `D:`, fuzzy prose with ordinal+pm —
+    i14y_helper.py:32-57 / convert_pdf_i14y.py:184-229 parity),
+    sanitize_text (entity + control-char + whitespace collapse,
+    helpers/content.py parity) via BOTH the pandas UDF and the native
+    codegen column, and separate_file_name (i14y_helper.py:136-142)."""
+    from .functions.dates import parse_date_udf
+    from .functions.text import sanitize_text_col, sanitize_text_udf
+    from .operators.i14y import separate_file_name_udf
+
+    i = F.col("event_id")
+    e = load(spark, sf_dir, "events").select("event_id").distinct()
+
+    def pad2(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    yr = (F.lit(2000) + i % 25).cast("string")
+    mo, dy = i % 12 + 1, i % 28 + 1
+    hh, mi, ss, h12 = i % 24, i % 60, i % 60, i % 11 + 1
+    mname = F.element_at(F.array(*[F.lit(x) for x in _MONTH_NAMES]), (mo).cast("int"))
+    m = i % 6
+    date_str = (
+        F.when(m == 0, F.concat(pad2(mo), F.lit("/"), pad2(dy), F.lit("/"), yr))
+        .when(m == 1, F.concat(mname, F.lit(" "), dy.cast("string"), F.lit(", "), yr))
+        .when(m == 2, F.concat(yr, pad2(mo), pad2(dy)))
+        .when(m == 3, F.concat(F.lit("D:"), yr, pad2(mo), pad2(dy), pad2(hh), pad2(mi), pad2(ss)))
+        .when(
+            m == 4,
+            F.concat(
+                F.lit("Published "), mname, F.lit(" "), dy.cast("string"), F.lit("th, "),
+                yr, F.lit(" at "), h12.cast("string"), F.lit("pm"),
+            ),
+        )
+        .otherwise(F.lit("no date here"))
+    )
+    warr = F.array(*[F.lit(x) for x in _SCALAR_WORDS])
+
+    def word(off):
+        return F.element_at(warr, ((i + off) % 8 + 1).cast("int"))
+
+    messy = F.concat(
+        F.lit("  "), word(0), F.lit("&nbsp;"), word(3), F.lit("\x07"), word(5),
+        F.lit("   "), word(6), F.lit("\t"),
+    )
+    fname = F.concat(
+        word(0), F.upper(F.substring(word(3), 1, 1)), F.substring(word(3), 2, 100), yr, F.lit(".pdf")
+    )
+    return e.select(
+        "event_id",
+        parse_date_udf(date_str).alias("parsed_date"),
+        sanitize_text_udf(messy).alias("sanitized"),
+        sanitize_text_col(messy).alias("sanitized_native"),
+        separate_file_name_udf(fname).alias("separated"),
+    )
+
+
+Q_SCALAR_TEXT_DATES_SQL = """
+    WITH e AS (SELECT DISTINCT event_id FROM events),
+    c AS (
+      SELECT event_id,
+             event_id % 6 AS m,
+             2000 + event_id % 25 AS yr,
+             event_id % 12 + 1 AS mo,
+             event_id % 28 + 1 AS dy,
+             event_id % 24 AS hh,
+             event_id % 60 AS mi,
+             event_id % 60 AS ss,
+             event_id % 11 + 1 AS h12,
+             ['alpha','beta','gamma','delta','epsilon','zeta','eta','theta'] AS ws
+      FROM e
+    ), w AS (
+      SELECT *,
+             ws[(event_id % 8)::INT + 1] AS w1,
+             ws[((event_id + 3) % 8)::INT + 1] AS w2,
+             ws[((event_id + 5) % 8)::INT + 1] AS w3,
+             ws[((event_id + 6) % 8)::INT + 1] AS w4
+      FROM c
+    )
+    SELECT event_id,
+           CASE WHEN m = 5 THEN NULL
+                WHEN m = 3 THEN printf('%04d-%02d-%02dT%02d:%02d:%02d', yr, mo, dy, hh, mi, ss)
+                WHEN m = 4 THEN printf('%04d-%02d-%02dT%02d:00:00', yr, mo, dy, h12 + 12)
+                ELSE printf('%04d-%02d-%02dT00:00:00', yr, mo, dy) END AS parsed_date,
+           w1 || ' ' || w2 || w3 || ' ' || w4 AS sanitized,
+           w1 || ' ' || w2 || w3 || ' ' || w4 AS sanitized_native,
+           w1 || ' ' || upper(substr(w2, 1, 1)) || substr(w2, 2) || ' ' || yr::VARCHAR AS separated
+    FROM w
+    ORDER BY event_id
+"""
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: SimHash pairs (hd<=3) -> connected
     components via iterative min-label propagation; cluster = minimum
@@ -1184,6 +1285,7 @@ def queries():
         "endpoint_batches": q_endpoint_batches,
         "endpoint_batches_partitioned": q_endpoint_batches_partitioned,
         "summarize": q_summarize,
+        "scalar_text_dates": q_scalar_text_dates,
         # relational breadth
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1231,6 +1333,7 @@ def oracle_sql():
         "endpoint_batches": Q_ENDPOINT_BATCHES_SQL,
         "endpoint_batches_partitioned": Q_ENDPOINT_BATCHES_PARTITIONED_SQL,
         "summarize": _summarize_sql(),
+        "scalar_text_dates": Q_SCALAR_TEXT_DATES_SQL,
         "pricing_summary": Q_PRICING_SUMMARY_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,
         "shipping_priority": Q_SHIPPING_PRIORITY_SQL,
