@@ -1066,6 +1066,56 @@ def _dup_clusters_sql() -> str:
     """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """D1 streaming twin, executed as a REAL Structured Streaming query:
+    events replayed through readStream.parquet, first-ever occurrence
+    per url_hash kept by the applyInPandasWithState seen-set operator
+    (streaming/dedup.py), drained with trigger(availableNow) into a
+    memory sink. One source file -> one micro-batch, so the winner per
+    hash is the deterministic (ts, wave) minimum — exactly the oracle's
+    row_number() choice."""
+    from .streaming.dedup import streaming_seen_dedup
+    from .streaming.monitor import run_to_memory
+
+    sch = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # the file stream source needs a directory; glob-filter to the events
+    # table so sibling tables with other schemas stay out of the listing
+    ev = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    h = F.col("event_id") % 300
+    disc = ev.select(
+        F.col("ts"),
+        h.alias("url_hash"),
+        F.concat(
+            F.lit("https://d"), (h % 25).cast("string"), F.lit(".gov/p/"), h.cast("string")
+        ).alias("url"),
+        F.concat(F.lit("d"), (h % 25).cast("string"), F.lit(".gov")).alias("domain"),
+        (F.col("event_id") % 4).alias("wave"),
+    )
+    out = streaming_seen_dedup(disc, n_buckets=32, order_cols=("ts", "wave"))
+    run_to_memory(out, "stream_dedup_drv")
+    return _longify(spark.table("stream_dedup_drv"))
+
+
+Q_STREAM_DEDUP_SQL = """
+    WITH d AS (
+      SELECT ts, event_id % 300 AS url_hash, event_id % 4 AS wave FROM events
+    ), r AS (
+      SELECT ts, url_hash, wave,
+             row_number() OVER (PARTITION BY url_hash ORDER BY ts, wave) AS rn
+      FROM d
+    )
+    SELECT ts, url_hash,
+           'https://d' || (url_hash % 25)::VARCHAR || '.gov/p/' || url_hash::VARCHAR AS url,
+           'd' || (url_hash % 25)::VARCHAR || '.gov' AS domain, wave
+    FROM r WHERE rn = 1
+    ORDER BY url_hash
+"""
+
+
 def q_stream_monitor(spark, sf_dir):
     """A1 streaming twin: the SAME status_code_monitor used by the
     Structured Streaming job (streaming/monitor.py), executed on a batch
@@ -1311,6 +1361,7 @@ def queries():
         "multimodal_meta": q_multimodal_meta,
         "dup_clusters": q_dup_clusters,
         "stream_monitor": q_stream_monitor,
+        "stream_dedup": q_stream_dedup,
         "i14y_html": q_i14y_html,
         "i14y_pdf": q_i14y_pdf,
     }
@@ -1356,6 +1407,7 @@ def oracle_sql():
         "multimodal_meta": pmm.attach_binary_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "stream_monitor": _stream_monitor_sql(),
+        "stream_dedup": Q_STREAM_DEDUP_SQL,
         "i14y_html": Q_I14Y_HTML_SQL,
         "i14y_pdf": Q_I14Y_PDF_SQL,
     }

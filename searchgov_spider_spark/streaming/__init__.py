@@ -7,4 +7,4 @@ feed arrives as a stream. These modules provide them on the same schemas
 the batch operators use, so a deployment can run either mode.
 """
 
-from . import monitor  # noqa: F401
+from . import dedup, monitor  # noqa: F401

@@ -49,6 +49,47 @@ def test_status_and_rate_monitors(spark, tmp_path):
     assert all(not r["over_budget"] for r in a_rows)  # 30/min <= 40
 
 
+def test_streaming_seen_dedup(spark, tmp_path):
+    """Stateful D1: first-ever occurrence wins across micro-batches;
+    within a batch the (ts, url_hash) minimum wins."""
+    import os
+
+    from searchgov_spider_spark.streaming.dedup import (
+        DISCOVERED_SCHEMA,
+        streaming_seen_dedup,
+    )
+
+    p = tmp_path / "disc"
+    p.mkdir()
+
+    def row(ts, h):
+        return {"ts": ts, "url_hash": h, "url": f"https://a.gov/{h}", "domain": "a.gov", "wave": 0}
+
+    batches = [
+        # batch 1: in-batch dup of hash 1 (earliest ts must win), plus hash 2
+        [row("2024-01-01T00:00:05", 1), row("2024-01-01T00:00:01", 1), row("2024-01-01T00:00:09", 2)],
+        # batch 2: hash 2 again with an EARLIER ts (batch-1 winner must
+        # stand — arrival order is the streaming contract), plus hash 3
+        [row("2024-01-01T00:00:00", 2), row("2024-01-01T00:00:30", 3)],
+    ]
+    for i, rows in enumerate(batches):
+        f = p / f"b{i}.json"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(f, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(DISCOVERED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(p))
+    )
+    run_to_memory(streaming_seen_dedup(stream, n_buckets=4), "stream_dedup_t")
+    out = {r["url_hash"]: r for r in spark.sql("SELECT * FROM stream_dedup_t").collect()}
+    assert sorted(out) == [1, 2, 3]
+    assert str(out[1]["ts"]) == "2024-01-01 00:00:01"  # in-batch min ts
+    assert str(out[2]["ts"]) == "2024-01-01 00:00:09"  # batch-1 arrival won
+    assert str(out[3]["ts"]) == "2024-01-01 00:00:30"
+
+
 def test_no_item_monitor(spark, tmp_path):
     rows = [
         ("2024-01-01T00:00:05", "https://a.gov/1", "a.gov", 200, False),
