@@ -58,7 +58,7 @@ def synthetic_frontier(spark, n: int):
     )
 
 
-def crawl_wave_bench(spark, n: int) -> tuple[float, int]:
+def crawl_wave_bench(spark, n: int) -> tuple[float, int, dict]:
     """One politeness-budgeted, deduped crawl wave over n candidate URLs.
 
     Pre-existing state (untimed, as in a running crawl): the ``seen``
@@ -96,17 +96,27 @@ def crawl_wave_bench(spark, n: int) -> tuple[float, int]:
     )
     cand.count()  # materialize: downstream branches must scan the cache,
     # not race to compute the canonicalize UDF twice (engine checkpoints here)
+    t1 = time.monotonic()
     fresh = dedupe_against_seen(cand, seen, bloom)
     scheduled, _deferred = schedule_wave(fresh, budget=400, salt_buckets=16)
     scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
     n_sched = scheduled.count()
+    t2 = time.monotonic()
     delta = build_delta_bloom(scheduled.select("url_hash"), bloom.spec, n_rows=n_sched)
     bloom.merge(delta)
-    dt = time.monotonic() - t0
+    t3 = time.monotonic()
+    # phase split for the Amdahl decomposition in BENCH.md: the first two
+    # phases scale with cores; bloom_delta is mostly serial driver work
+    # (Arrow collect of the scheduled hashes + driver-side bitmap build)
+    phases = {
+        "canonicalize_persist": round(t1 - t0, 3),
+        "dedup_schedule": round(t2 - t1, 3),
+        "bloom_delta": round(t3 - t2, 3),
+    }
     cand.unpersist()
     seen.unpersist()
     scheduled.unpersist()
-    return dt, n_sched
+    return t3 - t0, n_sched, phases
 
 
 HEADLINE_QUERIES = (
@@ -147,9 +157,12 @@ def main():
     stat0 = _cpu_stat()
     trials = []
     n_sched = 0
+    best_phases: dict = {}
     for _ in range(max(1, n_trials)):
-        wave_sec, n_sched = crawl_wave_bench(spark, n_frontier)
+        wave_sec, n_sched, phases = crawl_wave_bench(spark, n_frontier)
         trials.append(round(wave_sec, 3))
+        if trials[-1] == min(trials):
+            best_phases = phases
     stat1 = _cpu_stat()
     deltas = [b - a for a, b in zip(stat0, stat1)]
     steal_pct = round(100.0 * deltas[7] / max(1, sum(deltas)), 1)
@@ -177,6 +190,7 @@ def main():
                 "scheduled": n_sched,
                 "cpus": int(cpus),
                 "wave_trials": trials,
+                "wave_phases": best_phases,
                 "steal_pct": steal_pct,
             }
         )

@@ -262,28 +262,34 @@ class CrawlEngine:
             budgeted = frontier.withColumn("wave_budget", self._budget_col())
             scheduled, deferred = schedule_wave(budgeted, "wave_budget", cfg.salt_buckets)
             scheduled = scheduled.drop("wave_budget").cache()
-            n_scheduled = scheduled.count()
 
             # fingerprints are recorded at schedule time, like the reference's
             # dupefilter SADD at enqueue (job_state/dupefilter.py:8-25).
             # Persistence is INCREMENTAL: only this wave's delta is written
             # (O(delta) I/O, the Redis-SADD / Iceberg-append analog); the
-            # in-memory seen set is a union of materialized deltas.
+            # in-memory seen set is a union of materialized deltas. This
+            # write is also what materializes the `scheduled` cache — no
+            # separate count() job.
             seen_delta = scheduled.select(*SEEN_COLS)
             if self.store is not None:
                 seen_delta = self.store.write_delta(seen_delta, "seen", wave + 1)
             else:
                 seen_delta = seen_delta.localCheckpoint(eager=True)
             seen = seen.unionByName(seen_delta)
-            seen_count += n_scheduled
 
             fetched = self.fetcher.fetch(scheduled).cache()
             ok = F.col("http_status") == 200
+            # every scheduled row yields exactly one fetched row (left join /
+            # disjoint routing union), so the scheduled count rides along in
+            # the stats agg instead of a dedicated count() job per wave.
             stats = fetched.agg(
+                F.count(F.lit(1)).alias("n_sched"),
                 F.sum(ok.cast("int")).alias("n_ok"),
                 F.sum((~ok).cast("int")).alias("n_err"),
                 F.sum(F.col("http_status").isin(*UNWANTED_HTTP_CODES).cast("int")).alias("n_unwanted"),
             ).first()
+            n_scheduled = int(stats["n_sched"] or 0)
+            seen_count += n_scheduled
 
             # emit: valid content type per job target (F6) → documents rows
             emit_ready = (
