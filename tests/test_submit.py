@@ -1,0 +1,97 @@
+"""spark-submit packaging (north rule: "ships via spark-submit --py-files").
+
+Two layers of evidence:
+1. the library zip built by tools/package.py is zipimport-safe — the
+   package imports and its pure functions run with ONLY the zip on
+   sys.path (what --py-files gives driver and executors);
+2. a real `spark-submit --py-files <zip> jobs/crawl_job.py` subprocess
+   runs a replay crawl end-to-end from the zip and reproduces the
+   pure-Python simulator's per-wave scheduled counts.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from searchgov_spider_spark.config import CrawlConfig
+from searchgov_spider_spark.testing.graph import generate_graph, graph_to_dfs, simulate_crawl
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _build_zip(tmp_path) -> str:
+    out = tmp_path / "searchgov_spider_spark.zip"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "package.py"), str(out)],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stderr
+    return str(out)
+
+
+def test_zipimport_safe(tmp_path):
+    zip_path = _build_zip(tmp_path)
+    code = (
+        f"import sys; sys.path.insert(0, {zip_path!r});\n"
+        "import searchgov_spider_spark\n"
+        "assert searchgov_spider_spark.__file__.startswith(sys.path[0])\n"
+        "from searchgov_spider_spark.functions.text import sanitize_text\n"
+        "from searchgov_spider_spark.functions.dates import parse_date_safely\n"
+        "assert sanitize_text('  a&nbsp;b ') == 'a b'\n"
+        "assert parse_date_safely('May 5, 2019') == '2019-05-05T00:00:00'\n"
+        "print('ZIPOK')\n"
+    )
+    # cwd far from the repo so the only import source is the zip
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=str(tmp_path)
+    )
+    assert r.returncode == 0 and "ZIPOK" in r.stdout, r.stderr
+
+
+def test_spark_submit_crawl(tmp_path, spark):
+    """Full submit path: zip on --py-files, jobs/crawl_job.py as driver,
+    local[2] master from the spark-submit CLI (the session factory must
+    not override it), state committed per wave, wave metrics on stdout."""
+    import shutil
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    graph = generate_graph(n_pages=120, seed=9)
+    pages_df, seeds_df, robots_df = graph_to_dfs(spark, graph)
+    seeds_p, pages_p = str(tmp_path / "seeds"), str(tmp_path / "pages")
+    robots_p = str(tmp_path / "robots")
+    seeds_df.write.parquet(seeds_p)
+    pages_df.write.parquet(pages_p)
+    robots_df.write.parquet(robots_p)
+
+    zip_path = _build_zip(tmp_path)
+    state = str(tmp_path / "state")
+    import os
+
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable, "SPARK_GRAFT_DRIVER_MEM": "2g"}
+    r = subprocess.run(
+        env=env,
+        args=[
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            str(REPO / "jobs" / "crawl_job.py"),
+            "--seeds", seeds_p, "--pages", pages_p, "--robots", robots_p,
+            "--state-dir", state, "--max-waves", "3",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    waves = [json.loads(ln) for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert waves, r.stdout
+    sim = simulate_crawl(graph, CrawlConfig(), max_waves=3)
+    assert [w["scheduled"] for w in waves] == sim.scheduled_per_wave
+    # per-wave state committed under --state-dir (resume surface)
+    assert (Path(state) / "frontier").exists() and (Path(state) / "seen").exists()
