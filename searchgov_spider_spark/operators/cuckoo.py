@@ -1,0 +1,179 @@
+"""Cuckoo URL-seen filter — the deletable half of "bloom/cuckoo".
+
+The bloom path (operators/dedup.py) is append-only membership; this is
+the standard cuckoo filter (Fan, Andersen, Kaminsky, Mitzenmacher,
+"Cuckoo Filter: Practically Better Than Bloom", CoNEXT 2014 — public
+algorithm), which additionally supports O(1) DELETE. Deletion maps to
+the engine's re-crawl semantics: expiring a URL from seen-state (P5
+orphan-TTL cleanup, sitemap re-monitoring) evicts one fingerprint
+instead of forcing a full filter rebuild, which a bloom cannot do.
+
+Plug surface matches ShardedBloom where the engine consumes it:
+``contains(np.ndarray) -> bool[]`` and pickle-for-broadcast, so
+``dedupe_against_seen(candidates, seen, bloom=cuckoo_filter)`` works
+unchanged (no false negatives; FPP ~ 2*slots/2^fp_bits ~ 1.2e-4 at
+16-bit fingerprints — far tighter than the 2% bloom default).
+
+Scale shape: the table is ``n_buckets x 4`` uint16 ~ 2.4 bytes/key at
+0.84 load — a 10^9-key filter is ~2.4 GB, broadcast-viable sharded the
+same way as ShardedBloom (shard by url_hash before construction).
+Batch insert is vectorized numpy (first-writer-wins per bucket slot per
+pass); only eviction chains fall back to the sequential kick loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _GOLDEN).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _MIX1
+    x ^= x >> np.uint64(27)
+    x *= _MIX2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+SLOTS = 4
+MAX_KICKS = 500
+
+
+class CuckooFilter:
+    """Single-table cuckoo filter over int64 url_hash values."""
+
+    def __init__(self, capacity: int, load: float = 0.84):
+        n = max(8, int(capacity / (SLOTS * load)))
+        self.n_buckets = 1 << max(3, math.ceil(math.log2(n)))
+        self._mask = np.uint64(self.n_buckets - 1)
+        self.table = np.zeros((self.n_buckets, SLOTS), dtype=np.uint16)
+        self.n_items = 0
+
+    # -- hashing ------------------------------------------------------------
+
+    def _fp_and_index(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        m = _splitmix64(h)
+        fp = (m >> np.uint64(48)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 is the empty slot
+        i1 = (m & self._mask).astype(np.int64)
+        return fp, i1
+
+    def _alt_index(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key cuckoo: alt = i XOR hash(fp); involutive, so the same
+        # formula maps either bucket to the other
+        fh = _splitmix64(fp.astype(np.uint64))
+        return (np.asarray(i, dtype=np.int64) ^ (fh & self._mask).astype(np.int64)).astype(np.int64)
+
+    # -- queries ------------------------------------------------------------
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.int64)
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        fp, i1 = self._fp_and_index(hashes)
+        i2 = self._alt_index(i1, fp)
+        f = fp[:, None]
+        return ((self.table[i1] == f) | (self.table[i2] == f)).any(axis=1)
+
+    # -- batch insert -------------------------------------------------------
+
+    def add(self, hashes: np.ndarray, skip_present: bool = True) -> int:
+        """Insert a batch; returns the number actually inserted. With
+        ``skip_present`` (seen-set semantics) already-member hashes are
+        no-ops, keeping adds idempotent and the table duplicate-free."""
+        hashes = np.asarray(hashes, dtype=np.int64)
+        if skip_present:
+            hashes = hashes[~self.contains(hashes)]
+            hashes = np.unique(hashes)
+        if len(hashes) == 0:
+            return 0
+        fp, i1 = self._fp_and_index(hashes)
+        i2 = self._alt_index(i1, fp)
+        pending = np.ones(len(hashes), dtype=bool)
+        for idx in (i1, i2):  # vectorized passes: home bucket, then alt
+            for s in range(SLOTS):
+                if not pending.any():
+                    break
+                cand = np.flatnonzero(pending & (self.table[idx, s] == 0))
+                if len(cand) == 0:
+                    continue
+                # first writer wins per bucket in this pass
+                _, first = np.unique(idx[cand], return_index=True)
+                win = cand[first]
+                self.table[idx[win], s] = fp[win]
+                pending[win] = False
+        inserted = int((~pending).sum())
+        for j in np.flatnonzero(pending):  # rare: full buckets -> kick loop
+            inserted += self._insert_with_eviction(int(i1[j]), np.uint16(fp[j]))
+        self.n_items += inserted
+        return inserted
+
+    def _insert_with_eviction(self, i: int, f: np.uint16) -> int:
+        for kick in range(MAX_KICKS):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                self.table[i, empty[0]] = f
+                return 1
+            # deterministic victim slot (no RNG: reproducible runs)
+            s = (int(f) + kick) % SLOTS
+            f, self.table[i, s] = self.table[i, s], f
+            i = int(self._alt_index(np.array([i]), np.array([f], dtype=np.uint16))[0])
+        raise RuntimeError("cuckoo filter over capacity: eviction chain exceeded MAX_KICKS")
+
+    # -- delete -------------------------------------------------------------
+
+    def delete(self, hashes: np.ndarray) -> int:
+        """Remove one fingerprint per present hash (the bloom-impossible
+        operation). Returns how many were removed."""
+        hashes = np.asarray(hashes, dtype=np.int64)
+        fp, i1 = self._fp_and_index(hashes)
+        i2 = self._alt_index(i1, fp)
+        removed = 0
+        for j in range(len(hashes)):
+            f = fp[j]
+            for i in (int(i1[j]), int(i2[j])):
+                slots = np.flatnonzero(self.table[i] == f)
+                if len(slots):
+                    self.table[i, slots[0]] = 0
+                    removed += 1
+                    break
+        self.n_items -= removed
+        return removed
+
+    # -- broadcast pickling -------------------------------------------------
+
+    def __getstate__(self):
+        return {
+            "n_buckets": self.n_buckets,
+            "table": self.table.tobytes(),
+            "n_items": self.n_items,
+        }
+
+    def __setstate__(self, state):
+        self.n_buckets = state["n_buckets"]
+        self._mask = np.uint64(self.n_buckets - 1)
+        self.table = (
+            np.frombuffer(state["table"], dtype=np.uint16)
+            .reshape(self.n_buckets, SLOTS)
+            .copy()
+        )
+        self.n_items = state["n_items"]
+
+
+def build_cuckoo(df, hash_col: str = "url_hash", capacity: int = 1 << 20) -> CuckooFilter:
+    """Driver-side build from a DataFrame's hash column (Arrow transfer —
+    the same path as build_bloom_driver; for hash sets past driver memory,
+    shard the column first and build per-shard filters)."""
+    cf = CuckooFilter(capacity)
+    pdf = df.select(hash_col).toPandas()
+    cf.add(pdf[hash_col].to_numpy(dtype=np.int64))
+    return cf

@@ -1,0 +1,89 @@
+"""Cuckoo URL-seen filter: membership, FPP, delete, broadcast plug."""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pytest
+
+from searchgov_spider_spark.operators.cuckoo import CuckooFilter, build_cuckoo
+
+
+def _hashes(n, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+
+
+def test_no_false_negatives_and_low_fpp():
+    members = _hashes(50_000, 1)
+    cf = CuckooFilter(capacity=64_000)
+    cf.add(members)
+    assert cf.contains(members).all()  # cuckoo filters never false-negative
+    others = _hashes(50_000, 2)
+    others = others[~np.isin(others, members)]
+    fpp = cf.contains(others).mean()
+    assert fpp < 0.01, fpp  # 16-bit fingerprints: expect ~1e-4
+
+
+def test_add_is_idempotent():
+    cf = CuckooFilter(capacity=10_000)
+    h = _hashes(5_000, 3)
+    n1 = cf.add(h)
+    n2 = cf.add(h)  # seen-set semantics: re-adding is a no-op
+    assert n1 > 0 and n2 == 0 and cf.n_items == n1
+
+
+def test_delete_supports_recrawl_expiry():
+    members = _hashes(20_000, 4)
+    cf = CuckooFilter(capacity=32_000)
+    cf.add(members)
+    gone, kept = members[:10_000], members[10_000:]
+    removed = cf.delete(gone)
+    assert removed >= 9_990  # every present fingerprint removable
+    # expired URLs become re-crawlable again ...
+    assert cf.contains(gone).mean() < 0.01
+    # ... while survivors keep the no-false-negative guarantee up to
+    # fingerprint collisions with deleted keys (~FPP)
+    assert cf.contains(kept).mean() > 0.999
+    # and re-adding after expiry works (the bloom-impossible cycle)
+    cf.add(gone)
+    assert cf.contains(gone).all()
+
+
+def test_over_capacity_raises():
+    cf = CuckooFilter(capacity=64)
+    with pytest.raises(RuntimeError):
+        # 100x capacity must exhaust eviction chains, not loop forever
+        for i in range(100):
+            cf.add(_hashes(64, 100 + i), skip_present=False)
+
+
+def test_pickle_roundtrip_for_broadcast():
+    cf = CuckooFilter(capacity=1_000)
+    h = _hashes(500, 5)
+    cf.add(h)
+    cf2 = pickle.loads(pickle.dumps(cf))
+    assert cf2.contains(h).all() and cf2.n_items == cf.n_items
+
+
+def test_dedupe_against_seen_accepts_cuckoo(spark):
+    """The engine's D1 prefilter runs unchanged with a cuckoo filter in
+    the bloom slot — exactness is preserved (no false negatives), and
+    the result matches the bloom-free exact anti-join."""
+    from pyspark.sql import functions as F
+
+    from searchgov_spider_spark.operators.dedup import dedupe_against_seen
+
+    cand = spark.range(0, 1000).select(
+        F.col("id").cast("long").alias("url_hash"),
+        F.concat(F.lit("https://a.gov/"), F.col("id").cast("string")).alias("canon_url"),
+    )
+    seen = spark.range(0, 1000, 3).select(
+        F.col("id").cast("long").alias("url_hash"),
+        F.concat(F.lit("https://a.gov/"), F.col("id").cast("string")).alias("canon_url"),
+    )
+    cf = build_cuckoo(seen, capacity=4_000)
+    with_cuckoo = sorted(r["url_hash"] for r in dedupe_against_seen(cand, seen, cf).collect())
+    exact = sorted(r["url_hash"] for r in dedupe_against_seen(cand, seen, None).collect())
+    assert with_cuckoo == exact and len(exact) == 666
