@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from .config import FILTER_EXTENSIONS
 from .functions.content_type import is_valid_content_type_col, simple_content_type_col
 from .functions.urls import canonicalize_udf, url_hash_col
+from .operators.cuckoo import build_cuckoo
 from .operators.dedup import build_bloom, dedupe_against_seen
 from .operators.filters import apply_prefetch_filters, normalize_job_rules
 from .operators.politeness import schedule_wave, top_k_per_group
@@ -155,6 +156,31 @@ Q_DEDUP_SEEN_SQL = """
       AND NOT EXISTS (SELECT 1 FROM base s WHERE s.event_id % 5 = 0 AND s.canon_url = c.canon_url)
     ORDER BY canon_url
 """
+
+
+def q_dedup_seen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 variant: cuckoo filter (deletable seen-set) in the bloom slot of
+    the same pre-filter + exact left_anti dedup. No false negatives, so
+    the oracle is identical to dedup_seen's."""
+    events = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://d"), (F.col("user_id") % 25).cast("string"), F.lit(".gov/e/"),
+        F.col("event_id").cast("string"),
+    )
+    base = events.select(url.alias("canon_url"), F.col("event_id"))
+    cand = (
+        base.filter(F.col("event_id") % 3 != 0)
+        .select("canon_url")
+        .withColumn("url_hash", url_hash_col("canon_url"))
+    )
+    seen = (
+        base.filter(F.col("event_id") % 5 == 0)
+        .select("canon_url")
+        .withColumn("url_hash", url_hash_col("canon_url"))
+    )
+    cuckoo = build_cuckoo(seen, capacity=200_000)
+    survivors = dedupe_against_seen(cand, seen, cuckoo)
+    return survivors.select("canon_url")
 
 
 def q_sitemap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1322,6 +1348,7 @@ def queries():
         # crawl operators
         "frontier_schedule": q_frontier_schedule,
         "dedup_seen": q_dedup_seen,
+        "dedup_seen_cuckoo": q_dedup_seen_cuckoo,
         "sitemap_diff": q_sitemap_diff,
         "url_canonicalize": q_url_canonicalize,
         "prefetch_filters": q_prefetch_filters,
@@ -1371,6 +1398,7 @@ def oracle_sql():
     return {
         "frontier_schedule": Q_FRONTIER_SCHEDULE_SQL,
         "dedup_seen": Q_DEDUP_SEEN_SQL,
+        "dedup_seen_cuckoo": Q_DEDUP_SEEN_SQL,
         "sitemap_diff": Q_SITEMAP_DIFF_SQL,
         "url_canonicalize": Q_URL_CANONICALIZE_SQL,
         "prefetch_filters": Q_PREFETCH_FILTERS_SQL,
