@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, DISCOVERY_STRIDE, CrawlConfig, UNWANTED_HTTP_CODES
 from ..functions.content_type import is_valid_content_type_col
 from ..functions.urls import canonicalize_udf, url_hash_col, url_host_col, url_sha256_col
+from ..operators.cuckoo import build_cuckoo
 from ..operators.dedup import build_bloom, build_delta_bloom, dedupe_against_seen, dedupe_intra_wave
 from ..operators.extraction import extract_spans
 from ..operators.filters import apply_prefetch_filters, normalize_job_rules
@@ -97,8 +98,12 @@ class CrawlEngine:
         state_dir: str | None = None,
         user_agent: str = "usasearch",
         use_bloom_over: int = 50_000,
+        seen_filter: str = "bloom",
     ):
         from ..sources.state import ParquetStateStore
+
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
 
         self.spark = spark
         self.rules = normalize_job_rules(seeds).cache()
@@ -111,6 +116,7 @@ class CrawlEngine:
         )
         self.user_agent = user_agent
         self.use_bloom_over = use_bloom_over
+        self.seen_filter = seen_filter
         self._bloom = None
         self._bloom_capacity = 0
 
@@ -202,16 +208,49 @@ class CrawlEngine:
         capacity_for = lambda n: max(n * 4, cfg.bloom_capacity)  # noqa: E731
         if self._bloom is None or seen_count > self._bloom_capacity:
             self._bloom_capacity = capacity_for(seen_count)
-            self._bloom = build_bloom(
-                seen, capacity=self._bloom_capacity,
-                fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards,
-            )
+            if self.seen_filter == "cuckoo":
+                self._bloom = build_cuckoo(seen, capacity=self._bloom_capacity)
+            else:
+                self._bloom = build_bloom(
+                    seen, capacity=self._bloom_capacity,
+                    fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards,
+                )
+        elif self.seen_filter == "cuckoo":
+            # O(delta) driver-side insert (Arrow transfer of just the wave's
+            # fingerprints) — cuckoo tables aren't OR-mergeable like bloom
+            # bitmaps, so the delta lands as inserts instead of a merge
+            delta_pdf = scheduled.select("url_hash").toPandas()
+            self._bloom.add(delta_pdf["url_hash"].to_numpy(dtype="int64"))
         else:
             delta = build_delta_bloom(
                 scheduled.select("url_hash"), self._bloom.spec, n_rows=n_scheduled,
             )
             self._bloom.merge(delta)
         return self._bloom
+
+    def expire_seen(self, seen: DataFrame, expired: DataFrame) -> DataFrame:
+        """Re-crawl semantics (sitemap re-monitoring / P5 TTL expiry):
+        drop URLs from the seen set so the next wave schedules them again.
+
+        ``expired`` needs a ``canon_url`` column (``url_hash`` derived if
+        absent). With ``seen_filter='cuckoo'`` the in-memory filter evicts
+        just the expired fingerprints — O(delta), the operation a bloom
+        cannot do; in bloom mode the filter is invalidated and rebuilt
+        lazily on the next wave (O(seen)). Returns the surviving seen
+        DataFrame; persist it via the normal wave checkpoint on the next
+        ``run_from``."""
+        if "url_hash" not in expired.columns:
+            expired = expired.withColumn("url_hash", url_hash_col("canon_url"))
+        survivors = seen.join(
+            expired.select("url_hash").distinct(), "url_hash", "left_anti"
+        )
+        if self._bloom is not None:
+            if self.seen_filter == "cuckoo":
+                pdf = expired.select("url_hash").distinct().toPandas()
+                self._bloom.delete(pdf["url_hash"].to_numpy(dtype="int64"))
+            else:
+                self._bloom = None  # bloom can't delete: force rebuild
+        return survivors
 
     def _budget_col(self):
         cfg = self.config

@@ -67,6 +67,84 @@ def test_pickle_roundtrip_for_broadcast():
     assert cf2.contains(h).all() and cf2.n_items == cf.n_items
 
 
+def test_engine_cuckoo_matches_bloom_oracle(spark):
+    """CrawlEngine(seen_filter='cuckoo', use_bloom_over=0) — filter active
+    from wave 0, O(delta) inserts per wave — reproduces the pure-Python
+    simulator's exact seen set and per-wave schedule."""
+    from searchgov_spider_spark.config import CrawlConfig
+    from searchgov_spider_spark.plans.crawl import CrawlEngine
+    from searchgov_spider_spark.sources.fetch import TablePageFetcher
+    from searchgov_spider_spark.testing.graph import generate_graph, graph_to_dfs, simulate_crawl
+
+    cfg = CrawlConfig(wave_seconds=30.0, salt_buckets=4)
+    graph = generate_graph(n_pages=150, seed=11)
+    pages_df, seeds_df, robots_df = graph_to_dfs(spark, graph)
+    engine = CrawlEngine(
+        spark, seeds_df, TablePageFetcher(pages_df), robots=robots_df,
+        config=cfg, use_bloom_over=0, seen_filter="cuckoo",
+    )
+    result = engine.run(max_waves=8)
+    sim = simulate_crawl(graph, cfg, max_waves=8)
+    assert {r["canon_url"] for r in result.seen.collect()} == sim.seen
+    assert result.scheduled_per_wave == sim.scheduled_per_wave
+
+
+def test_engine_expire_seen_recrawls(spark):
+    """expire_seen evicts fingerprints (cuckoo delete) so an expired URL is
+    schedulable again — the re-crawl cycle a bloom filter cannot support
+    without a rebuild."""
+    from pyspark.sql import functions as F
+
+    from searchgov_spider_spark.config import CrawlConfig
+    from searchgov_spider_spark.plans.crawl import CrawlEngine
+    from searchgov_spider_spark.sources.fetch import TablePageFetcher
+    from searchgov_spider_spark.testing.graph import generate_graph, graph_to_dfs
+
+    cfg = CrawlConfig(wave_seconds=30.0, salt_buckets=4)
+    graph = generate_graph(n_pages=120, seed=12)
+    pages_df, seeds_df, robots_df = graph_to_dfs(spark, graph)
+    engine = CrawlEngine(
+        spark, seeds_df, TablePageFetcher(pages_df), robots=robots_df,
+        config=cfg, use_bloom_over=0, seen_filter="cuckoo",
+    )
+    result = engine.run(max_waves=6)
+    # expire a slice of fetched URLs, then feed them back as a frontier
+    expired = result.seen.orderBy("canon_url").limit(10).cache()
+    survivors = engine.expire_seen(result.seen, expired)
+    assert survivors.join(expired, "url_hash", "inner").count() == 0
+
+    from searchgov_spider_spark.functions.urls import url_host_col
+
+    hosts = engine.rules.select("job", F.explode("allowed_hosts").alias("host"))
+    refrontier = engine._prepare_candidates(
+        expired.withColumn("host", url_host_col("canon_url"))
+        .join(hosts, "host")
+        .select(
+            "job",
+            F.col("canon_url").alias("url"),
+            F.lit(0).alias("depth"),
+            F.lit(0).cast("long").alias("discovery_idx"),
+        )
+    )
+    # the candidate-side dedup (what every discovered link flows through)
+    # now passes the expired URLs again — the engine's live cuckoo had
+    # their fingerprints evicted ...
+    from searchgov_spider_spark.operators.dedup import dedupe_against_seen
+
+    recrawlable = dedupe_against_seen(refrontier, survivors, engine._bloom)
+    assert {r["canon_url"] for r in recrawlable.collect()} == {
+        r["canon_url"] for r in expired.collect()
+    }
+    # ... and a full re-run from that frontier re-fetches and re-emits them
+    rerun = engine.run_from(recrawlable, survivors, start_wave=100, max_waves=101)
+    rescheduled = {r["canon_url"] for r in rerun.seen.collect()} - {
+        r["canon_url"] for r in survivors.collect()
+    }
+    assert rescheduled == {r["canon_url"] for r in expired.collect()}
+    # control: WITHOUT expiry the same candidates are all dropped
+    assert dedupe_against_seen(refrontier, result.seen, None).count() == 0
+
+
 def test_dedupe_against_seen_accepts_cuckoo(spark):
     """The engine's D1 prefilter runs unchanged with a cuckoo filter in
     the bloom slot — exactness is preserved (no false negatives), and
