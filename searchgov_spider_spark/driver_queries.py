@@ -183,6 +183,54 @@ def q_dedup_seen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("canon_url")
 
 
+def q_expire_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/D1 re-crawl cycle: expire a slice of the seen set, evict those
+    fingerprints from the cuckoo filter (O(delta) — the delete a bloom
+    cannot do), then run the candidate dedup. Expired URLs come back as
+    recrawlable; the rest stay deduped."""
+    events = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://d"), (F.col("user_id") % 25).cast("string"), F.lit(".gov/e/"),
+        F.col("event_id").cast("string"),
+    )
+    base = events.select(url.alias("canon_url"), F.col("event_id"))
+    cand = (
+        base.filter(F.col("event_id") % 3 != 0)
+        .select("canon_url")
+        .withColumn("url_hash", url_hash_col("canon_url"))
+    )
+    seen = (
+        base.filter(F.col("event_id") % 5 == 0)
+        .select("canon_url")
+        .withColumn("url_hash", url_hash_col("canon_url"))
+    )
+    expired = base.filter((F.col("event_id") % 5 == 0) & (F.col("event_id") % 2 == 0)).select(
+        "canon_url"
+    ).withColumn("url_hash", url_hash_col("canon_url"))
+    cuckoo = build_cuckoo(seen, capacity=200_000)
+    cuckoo.delete(expired.select("url_hash").toPandas()["url_hash"].to_numpy("int64"))
+    surviving = seen.join(expired.select("url_hash"), "url_hash", "left_anti")
+    recrawlable = dedupe_against_seen(cand, surviving, cuckoo)
+    return recrawlable.select("canon_url")
+
+
+Q_EXPIRE_RECRAWL_SQL = """
+    WITH base AS (
+      SELECT 'https://d' || (user_id % 25)::VARCHAR || '.gov/e/' || event_id::VARCHAR AS canon_url,
+             event_id
+      FROM events
+    )
+    SELECT canon_url FROM base c
+    WHERE event_id % 3 <> 0
+      AND NOT EXISTS (
+        SELECT 1 FROM base s
+        WHERE s.event_id % 5 = 0 AND s.event_id % 2 <> 0  -- seen minus expired
+          AND s.canon_url = c.canon_url
+      )
+    ORDER BY canon_url
+"""
+
+
 def q_sitemap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: sitemap new-URL set difference (current EXCEPT previous)."""
     events = load(spark, sf_dir, "events")
@@ -1349,6 +1397,7 @@ def queries():
         "frontier_schedule": q_frontier_schedule,
         "dedup_seen": q_dedup_seen,
         "dedup_seen_cuckoo": q_dedup_seen_cuckoo,
+        "expire_recrawl": q_expire_recrawl,
         "sitemap_diff": q_sitemap_diff,
         "url_canonicalize": q_url_canonicalize,
         "prefetch_filters": q_prefetch_filters,
@@ -1399,6 +1448,7 @@ def oracle_sql():
         "frontier_schedule": Q_FRONTIER_SCHEDULE_SQL,
         "dedup_seen": Q_DEDUP_SEEN_SQL,
         "dedup_seen_cuckoo": Q_DEDUP_SEEN_SQL,
+        "expire_recrawl": Q_EXPIRE_RECRAWL_SQL,
         "sitemap_diff": Q_SITEMAP_DIFF_SQL,
         "url_canonicalize": Q_URL_CANONICALIZE_SQL,
         "prefetch_filters": Q_PREFETCH_FILTERS_SQL,
