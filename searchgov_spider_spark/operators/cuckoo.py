@@ -133,12 +133,30 @@ class CuckooFilter:
 
     def delete(self, hashes: np.ndarray) -> int:
         """Remove one fingerprint per present hash (the bloom-impossible
-        operation). Returns how many were removed."""
+        operation). Returns how many were removed. Vectorized like add():
+        per (bucket-set, slot) pass with first-writer-wins per bucket, so
+        two keys sharing a bucket each clear their own copy; the rare
+        leftovers fall back to the exact per-key path."""
         hashes = np.asarray(hashes, dtype=np.int64)
+        if len(hashes) == 0:
+            return 0
         fp, i1 = self._fp_and_index(hashes)
         i2 = self._alt_index(i1, fp)
+        pending = np.ones(len(hashes), dtype=bool)
         removed = 0
-        for j in range(len(hashes)):
+        for idx in (i1, i2):
+            for s in range(SLOTS):
+                if not pending.any():
+                    break
+                cand = np.flatnonzero(pending & (self.table[idx, s] == fp))
+                if len(cand) == 0:
+                    continue
+                _, first = np.unique(idx[cand], return_index=True)
+                win = cand[first]
+                self.table[idx[win], s] = 0
+                pending[win] = False
+                removed += len(win)
+        for j in np.flatnonzero(pending):  # same-bucket same-pass contention
             f = fp[j]
             for i in (int(i1[j]), int(i2[j])):
                 slots = np.flatnonzero(self.table[i] == f)
