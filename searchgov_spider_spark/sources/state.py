@@ -56,7 +56,12 @@ class ParquetStateStore:
         m = self._manifest(name, wave)
         m.parent.mkdir(parents=True, exist_ok=True)
         m.write_text(
-            json.dumps({"wave": wave, "schema": df.schema.json(), **(meta or {})})
+            json.dumps({
+                "wave": wave,
+                "schema": df.schema.json(),
+                "partitions": self._partition_stats(path),
+                **(meta or {}),
+            })
         )
         try:
             back = self.spark.read.parquet(str(path))
@@ -73,6 +78,35 @@ class ParquetStateStore:
         overwrites its directory, so wave replay after a crash is
         idempotent. Returns the read-back (lineage-truncated) delta."""
         return self.write(df, name, wave, meta={**(meta or {}), "delta": True})
+
+    @staticmethod
+    def _partition_stats(path: Path) -> dict:
+        """Per-partition lineage for the manifest (Iceberg manifest-entry
+        analog): rows/bytes/files per bucket, read from parquet footers
+        driver-side — no extra Spark job."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        for f in sorted(path.glob("**/*.parquet")):
+            bucket = f.parent.name if f.parent.name.startswith("bucket=") else "_root"
+            s = stats.setdefault(bucket, {"rows": 0, "bytes": 0, "files": 0})
+            try:
+                s["rows"] += pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                continue
+            s["bytes"] += f.stat().st_size
+            s["files"] += 1
+        return stats
+
+    def lineage(self, name: str) -> list[dict]:
+        """Committed per-wave, per-partition lineage records:
+        [{wave, bucket, rows, bytes, files}, ...] across all manifests."""
+        out = []
+        for w in self.committed_waves(name):
+            meta = json.loads(self._manifest(name, w).read_text())
+            for bucket, s in meta.get("partitions", {}).items():
+                out.append({"wave": w, "bucket": bucket, **s})
+        return out
 
     def read_accumulated(self, name: str, up_to: int | None = None) -> DataFrame:
         """Union of all committed delta waves ≤ ``up_to`` (default: all).

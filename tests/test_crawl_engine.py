@@ -143,6 +143,14 @@ def test_resume_classmethod_and_state_store(spark, graph, tmp_path):
     assert merged == len(waves) - 1
     assert store.committed_waves("seen") == [waves[-1]]
     assert store.read_accumulated("seen").count() == len(sim.seen)
+    # per-partition lineage: every committed wave records rows/bytes/files
+    # per bucket in its manifest, and they sum to the table's row count
+    lineage = store.lineage("seen")
+    assert lineage and all(
+        rec["bucket"].startswith("bucket=") and rec["rows"] > 0 and rec["bytes"] > 0
+        for rec in lineage
+    )
+    assert sum(rec["rows"] for rec in lineage) == len(sim.seen)
     # frontier is snapshot-per-wave: expiry drops superseded snapshots
     fwaves = store.committed_waves("frontier")
     removed = store.expire("frontier", keep_last=1)
