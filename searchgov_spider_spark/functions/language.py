@@ -34,7 +34,9 @@ ALLOWED_LANGUAGE_CODE = {
     "zh": "chinese",
 }
 
-# Minimal high-frequency stopword tables for Latin-script scoring.
+# Minimal high-frequency stopword tables for Latin-script scoring —
+# common function words per language (public knowledge), covering the
+# Latin-script members of the 45-language allow map.
 STOPWORDS: dict[str, frozenset[str]] = {
     "en": frozenset("the of and to a in is it you that he was for on are with as i his they be at".split()),
     "es": frozenset("de la que el en y a los del se las por un para con no una su al es lo".split()),
@@ -43,21 +45,50 @@ STOPWORDS: dict[str, frozenset[str]] = {
     "it": frozenset("di e il la che a in un per è una sono con non le si da come dei".split()),
     "pt": frozenset("de a o que e do da em um para é com não uma os no se na por mais".split()),
     "nl": frozenset("de het een van en in is dat op te zijn met voor niet aan er ook als".split()),
+    "ca": frozenset("de la que el i a les dels un per amb no una al és els en aquest".split()),
+    "cs": frozenset("a se na je že o s z do k i ve by si ale jako za podle".split()),
+    "da": frozenset("og i at det er en til de af for på med der den som han et".split()),
+    "et": frozenset("ja on ei et ta see ka oli kui ma aga oma siis või mis tema".split()),
+    "hr": frozenset("je i u se na za da su s od kao ali iz što ili bi pri".split()),
+    "hu": frozenset("a az és hogy nem is egy ez van meg már csak mint el volt lesz".split()),
+    "id": frozenset("yang dan di dengan untuk dari ini itu pada tidak adalah ke dalam akan juga atau".split()),
+    "lt": frozenset("ir yra kad į iš su tai bet kaip jis buvo dėl o per apie".split()),
+    "lv": frozenset("un ir ka par ar no uz to kas bet arī tika gada pēc kā".split()),
+    "pl": frozenset("w i na z do się nie że jest to o jak po przez dla od ale".split()),
+    "ro": frozenset("de a în la și cu pe care este un o pentru nu mai din sau".split()),
+    "sk": frozenset("a sa v na je že o s z do k by si ako za podľa ale".split()),
+    "so": frozenset("iyo oo ku ka in ay uu waa si loo soo ah la waxa ama".split()),
+    "sq": frozenset("e të dhe në një për me nga se si ka është i më që do".split()),
+    "sw": frozenset("ya na wa kwa ni za katika la hii kuwa kama hata au wake yake".split()),
+    "tr": frozenset("bir ve bu da de için ile olarak daha en çok gibi ama ne var olan".split()),
+    "uz": frozenset("va bu bilan uchun ham bo'lgan deb dan deya qilib edi emas yoki".split()),
+    "vi": frozenset("và của là có không được các một cho người trong những này với đã để".split()),
+    "ht": frozenset("nan yo ak pou li sa ki te la yon ou pa gen se kap".split()),
 }
 
+# Script-range detection. Order matters: more specific markers first —
+# Ukrainian-specific Cyrillic letters (і ї є ґ) before the generic
+# Cyrillic range, kana before the Han range (Japanese text mixes both).
 _SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
-    ("zh", "一-鿿"),
     ("ja", "぀-ヿ"),
+    ("zh", "一-鿿"),
     ("ko", "가-힯ᄀ-ᇿ"),
+    ("uk", "іїєґІЇЄҐ"),
     ("ru", "Ѐ-ӿ"),
     ("ar", "؀-ۿ"),
     ("he", "֐-׿"),
     ("el", "Ͱ-Ͽ"),
     ("th", "฀-๿"),
     ("hi", "ऀ-ॿ"),
+    ("hy", "԰-֏"),
+    ("km", "ក-៿"),
+    ("bn", "ঀ-৿"),
 )
 _SCRIPT_RE = [(code, re.compile(f"[{rng}]")) for code, rng in _SCRIPT_RANGES]
-_WORD_RE = re.compile(r"[a-zà-ÿа-я']+")
+# word chars for stopword scoring: ASCII + Latin-1/Ext-A/Ext-B letters
+# (covers Turkish ı/ğ/ş, Polish ł/ż, Romanian ș/ț, Vietnamese base forms)
+# + combining-mark tolerance via the precomposed Latin Extended Additional
+_WORD_RE = re.compile(r"[a-zà-ÿā-žơưạ-ỹ']+")
 
 
 def detect_lang(text: str | None) -> str | None:

@@ -160,6 +160,30 @@ def test_detect_lang():
     assert language.normalize_lang("xx") is None
 
 
+def test_detect_lang_extended_coverage():
+    """C3 breadth: script discrimination (uk-specific Cyrillic letters,
+    kana-before-Han, Armenian/Khmer/Bengali ranges) and Latin-script
+    stopword tables across the 45-language allow map."""
+    cases = {
+        "uk": "Це українська мова і її перевірка",
+        "ja": "これは日本語のテキストです",
+        "hy": "Սա հայերեն տեքստ է",
+        "km": "នេះជាអត្ថបទខ្មែរ",
+        "bn": "এটি বাংলা লেখা",
+        "pl": "w tym dokumencie nie ma nic o tym że jest to po polsku",
+        "tr": "bu bir türkçe metin ve bu da onun için en iyi örnek",
+        "id": "ini adalah teks yang ditulis dengan bahasa untuk pengujian dari sistem",
+        "vi": "đây là văn bản của tiếng việt và không có gì là khó",
+        "da": "det er en dansk tekst og den er til at teste med",
+        "cs": "to je český text a je tu že se na něj podíváme",
+        "ro": "acesta este un text în limba română și este pentru care test",
+    }
+    for code, text_sample in cases.items():
+        assert language.detect_lang(text_sample) == code, (code, text_sample)
+    # every detected code is in the reference's 45-language allow map
+    assert set(cases) <= set(language.ALLOWED_LANGUAGE_CODE)
+
+
 # --- encoding -------------------------------------------------------------
 
 def test_decode():
