@@ -134,15 +134,22 @@ class ParquetStateStore:
         df = self.spark.read.option("basePath", str(self._table(name))).parquet(*paths)
         return df.drop("bucket", "wave")
 
-    def compact(self, name: str) -> int:
-        """Merge all committed deltas into the latest wave's directory and
-        drop the older ones (Iceberg rewrite_data_files analog). Bounds
-        the file count for long crawls; returns waves merged away."""
-        waves = self.committed_waves(name)
+    def compact(self, name: str, up_to: int | None = None) -> int:
+        """Merge committed deltas ≤ ``up_to`` (default: all) into the
+        newest such wave's directory and drop the older ones (Iceberg
+        rewrite_data_files analog). Bounds the file count for long
+        crawls; returns waves merged away.
+
+        On possibly-torn state (this table committed ahead of a sibling,
+        e.g. a seen-delta whose frontier commit never landed), pass the
+        sibling's latest wave as ``up_to`` — compacting past the resume
+        cut would otherwise fold the torn delta into an older wave and
+        defeat ``read_accumulated``'s exclusion of it."""
+        waves = [w for w in self.committed_waves(name) if up_to is None or w <= up_to]
         if len(waves) <= 1:
             return 0
         latest = waves[-1]
-        acc = self.read_accumulated(name).localCheckpoint(eager=True)
+        acc = self.read_accumulated(name, up_to=latest).localCheckpoint(eager=True)
         self.write(acc, name, latest, meta={"delta": True, "compacted_through": latest})
         for w in waves[:-1]:
             self._manifest(name, w).unlink(missing_ok=True)

@@ -158,6 +158,26 @@ def test_resume_classmethod_and_state_store(spark, graph, tmp_path):
     assert store.read("frontier").count() >= 0
 
 
+def test_compact_up_to_preserves_torn_state_cut(spark, tmp_path):
+    """Compaction bounded by a sibling's latest wave must not fold a torn
+    delta (committed past the resume cut) into an older wave."""
+    from searchgov_spider_spark.sources.state import ParquetStateStore
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"), n_buckets=4)
+    for w, lo in [(1, 0), (2, 10), (3, 20)]:  # wave 3 = torn (no frontier commit)
+        delta = spark.range(lo, lo + 10).selectExpr(
+            "id as url_hash", "concat('https://a.gov/', id) as canon_url"
+        )
+        store.write_delta(delta, "seen", w)
+    merged = store.compact("seen", up_to=2)
+    assert merged == 1
+    assert store.committed_waves("seen") == [2, 3]
+    # the resume cut at wave 2 still sees exactly waves 1-2's rows ...
+    assert store.read_accumulated("seen", up_to=2).count() == 20
+    # ... and the torn wave-3 delta remains excluded until its wave replays
+    assert store.read_accumulated("seen").count() == 30
+
+
 def test_engine_with_incremental_bloom(spark, graph):
     """Force the bloom path from wave 0 (use_bloom_over=1): per-wave delta
     merge must preserve exactness (no false negatives), converging to the
