@@ -67,6 +67,45 @@ def test_pickle_roundtrip_for_broadcast():
     assert cf2.contains(h).all() and cf2.n_items == cf.n_items
 
 
+def test_property_no_false_negatives_under_interleaved_ops():
+    """Invariant under arbitrary add/delete interleavings: every key that
+    was added and not since deleted is ALWAYS reported present (the
+    exactness of the engine's dedup depends on it); n_items tracks the
+    live multiset size."""
+    from hypothesis import given, settings, strategies as st
+
+    key = st.integers(min_value=-(2**62), max_value=2**62)
+    ops = st.lists(
+        st.tuples(st.sampled_from(["add", "del"]), st.lists(key, min_size=1, max_size=50)),
+        min_size=1, max_size=12,
+    )
+
+    # derandomize: the exploration is deterministic, so the (theoretical,
+    # ~1e-4/op) fingerprint-collision cases can't intermittently flake —
+    # a passing corpus stays passing
+    @given(ops)
+    @settings(max_examples=120, deadline=None, derandomize=True)
+    def check(sequence):
+        cf = CuckooFilter(capacity=4_000)
+        live: set[int] = set()
+        inserted = removed = 0
+        for op, keys in sequence:
+            arr = np.asarray(keys, dtype=np.int64)
+            if op == "add":
+                inserted += cf.add(arr)
+                live.update(keys)
+            else:
+                removed += cf.delete(arr)
+                live.difference_update(keys)
+        # exact accounting identity (holds regardless of fp collisions)
+        assert cf.n_items == inserted - removed
+        if live:
+            present = cf.contains(np.fromiter(live, dtype=np.int64, count=len(live)))
+            assert present.all()
+
+    check()
+
+
 def test_engine_cuckoo_matches_bloom_oracle(spark):
     """CrawlEngine(seen_filter='cuckoo', use_bloom_over=0) — filter active
     from wave 0, O(delta) inserts per wave — reproduces the pure-Python
