@@ -188,10 +188,13 @@ class CuckooFilter:
 
 
 def build_cuckoo(df, hash_col: str = "url_hash", capacity: int = 1 << 20) -> CuckooFilter:
-    """Driver-side build from a DataFrame's hash column (Arrow transfer —
-    the same path as build_bloom_driver; for hash sets past driver memory,
-    shard the column first and build per-shard filters)."""
+    """Driver-side build from a DataFrame's hash column. Arrow transfer
+    (8 B/row, no pandas copy), inserted in bounded chunks so the per-add
+    working set (np.unique sort) stays flat regardless of input size.
+    For hash sets past driver memory, shard the column by
+    ``pmod(url_hash, n_shards)`` first and build per-shard filters."""
     cf = CuckooFilter(capacity)
-    pdf = df.select(hash_col).toPandas()
-    cf.add(pdf[hash_col].to_numpy(dtype=np.int64))
+    tbl = df.select(hash_col).toArrow()
+    for batch in tbl.to_batches(max_chunksize=4_000_000):
+        cf.add(batch.column(0).to_numpy(zero_copy_only=False))
     return cf
