@@ -217,10 +217,10 @@ class CrawlEngine:
                 )
         elif self.seen_filter == "cuckoo":
             # O(delta) driver-side insert (Arrow transfer of just the wave's
-            # fingerprints) — cuckoo tables aren't OR-mergeable like bloom
-            # bitmaps, so the delta lands as inserts instead of a merge
-            delta_pdf = scheduled.select("url_hash").toPandas()
-            self._bloom.add(delta_pdf["url_hash"].to_numpy(dtype="int64"))
+            # 8 B/row fingerprints) — cuckoo tables aren't OR-mergeable like
+            # bloom bitmaps, so the delta lands as inserts instead of a merge
+            for b in scheduled.select("url_hash").toArrow().to_batches(max_chunksize=4_000_000):
+                self._bloom.add(b.column(0).to_numpy(zero_copy_only=False))
         else:
             delta = build_delta_bloom(
                 scheduled.select("url_hash"), self._bloom.spec, n_rows=n_scheduled,
@@ -246,8 +246,9 @@ class CrawlEngine:
         )
         if self._bloom is not None:
             if self.seen_filter == "cuckoo":
-                pdf = expired.select("url_hash").distinct().toPandas()
-                self._bloom.delete(pdf["url_hash"].to_numpy(dtype="int64"))
+                tbl = expired.select("url_hash").distinct().toArrow()
+                for b in tbl.to_batches(max_chunksize=4_000_000):
+                    self._bloom.delete(b.column(0).to_numpy(zero_copy_only=False))
             else:
                 self._bloom = None  # bloom can't delete: force rebuild
         return survivors
