@@ -208,7 +208,8 @@ def q_expire_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canon_url"
     ).withColumn("url_hash", url_hash_col("canon_url"))
     cuckoo = build_cuckoo(seen, capacity=200_000)
-    cuckoo.delete(expired.select("url_hash").toPandas()["url_hash"].to_numpy("int64"))
+    for b in expired.select("url_hash").toArrow().to_batches(max_chunksize=4_000_000):
+        cuckoo.delete(b.column(0).to_numpy(zero_copy_only=False))
     surviving = seen.join(expired.select("url_hash"), "url_hash", "left_anti")
     recrawlable = dedupe_against_seen(cand, surviving, cuckoo)
     return recrawlable.select("canon_url")

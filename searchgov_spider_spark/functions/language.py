@@ -85,10 +85,10 @@ _SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
     ("bn", "ঀ-৿"),
 )
 _SCRIPT_RE = [(code, re.compile(f"[{rng}]")) for code, rng in _SCRIPT_RANGES]
-# word chars for stopword scoring: ASCII + Latin-1/Ext-A/Ext-B letters
-# (covers Turkish ı/ğ/ş, Polish ł/ż, Romanian ș/ț, Vietnamese base forms)
-# + combining-mark tolerance via the precomposed Latin Extended Additional
-_WORD_RE = re.compile(r"[a-zà-ÿā-žơưạ-ỹ']+")
+# word chars for stopword scoring: ASCII + Latin-1/Ext-A letters (covers
+# Turkish ı/ğ/ş, Polish ł/ż), Romanian comma-below ș/ț (U+0218-021B,
+# outside Ext-A), Vietnamese precomposed forms (Latin Extended Additional)
+_WORD_RE = re.compile(r"[a-zà-ÿā-žȘ-țơưạ-ỹ']+")
 
 
 def detect_lang(text: str | None) -> str | None:

@@ -8,6 +8,15 @@ the engine's re-crawl semantics: expiring a URL from seen-state (P5
 orphan-TTL cleanup, sitemap re-monitoring) evicts one fingerprint
 instead of forcing a full filter rebuild, which a bloom cannot do.
 
+Semantics are a MULTISET, per the paper's deletion contract: every
+``add`` physically stores one fingerprint copy (no membership-based
+insert skipping — skipping a colliding key would make a later delete of
+that key evict some OTHER live key's only copy, a false negative), and
+``delete`` is safe exactly for keys added at least as many times as
+deleted. The engine upholds that contract structurally: adds are
+schedule-time fingerprints of provably-unseen URLs, deletes are
+restricted to members of the seen table (plans/crawl.py expire_seen).
+
 Plug surface matches ShardedBloom where the engine consumes it:
 ``contains(np.ndarray) -> bool[]`` and pickle-for-broadcast, so
 ``dedupe_against_seen(candidates, seen, bloom=cuckoo_filter)`` works
@@ -18,7 +27,11 @@ Scale shape: the table is ``n_buckets x 4`` uint16 ~ 2.4 bytes/key at
 0.84 load — a 10^9-key filter is ~2.4 GB, broadcast-viable sharded the
 same way as ShardedBloom (shard by url_hash before construction).
 Batch insert is vectorized numpy (first-writer-wins per bucket slot per
-pass); only eviction chains fall back to the sequential kick loop.
+pass); only eviction chains fall back to the sequential kick loop, and
+an exhausted chain parks the in-hand fingerprint in a bounded stash
+(checked by contains/delete) instead of dropping it — over-capacity
+raises only AFTER the fingerprint is safely stashed, so a caught error
+leaves a consistent filter.
 """
 
 from __future__ import annotations
@@ -27,23 +40,11 @@ import math
 
 import numpy as np
 
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
-_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
-_MIX2 = np.uint64(0x94D049BB133111EB)
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = (x + _GOLDEN).astype(np.uint64)
-    x ^= x >> np.uint64(30)
-    x *= _MIX1
-    x ^= x >> np.uint64(27)
-    x *= _MIX2
-    x ^= x >> np.uint64(31)
-    return x
-
+from .dedup import _splitmix64
 
 SLOTS = 4
 MAX_KICKS = 500
+MAX_STASH = 64  # parked fingerprints tolerated before declaring over-capacity
 
 
 class CuckooFilter:
@@ -55,6 +56,7 @@ class CuckooFilter:
         self._mask = np.uint64(self.n_buckets - 1)
         self.table = np.zeros((self.n_buckets, SLOTS), dtype=np.uint16)
         self.n_items = 0
+        self.stash: list[tuple[int, int]] = []  # (bucket, fingerprint) overflow
 
     # -- hashing ------------------------------------------------------------
 
@@ -81,18 +83,20 @@ class CuckooFilter:
         fp, i1 = self._fp_and_index(hashes)
         i2 = self._alt_index(i1, fp)
         f = fp[:, None]
-        return ((self.table[i1] == f) | (self.table[i2] == f)).any(axis=1)
+        hit = ((self.table[i1] == f) | (self.table[i2] == f)).any(axis=1)
+        for bi, bf in self.stash:  # stash buckets are canonicalized to min(i, alt)
+            hit |= (fp == bf) & ((i1 == bi) | (i2 == bi))
+        return hit
 
     # -- batch insert -------------------------------------------------------
 
-    def add(self, hashes: np.ndarray, skip_present: bool = True) -> int:
-        """Insert a batch; returns the number actually inserted. With
-        ``skip_present`` (seen-set semantics) already-member hashes are
-        no-ops, keeping adds idempotent and the table duplicate-free."""
+    def add(self, hashes: np.ndarray) -> int:
+        """Insert a batch (multiset: one stored copy per call per key) and
+        return the count inserted. ``n_items`` is updated as copies land,
+        so a mid-batch over-capacity error still leaves consistent
+        accounting and loses nothing (the in-hand fingerprint is stashed
+        before the raise)."""
         hashes = np.asarray(hashes, dtype=np.int64)
-        if skip_present:
-            hashes = hashes[~self.contains(hashes)]
-            hashes = np.unique(hashes)
         if len(hashes) == 0:
             return 0
         fp, i1 = self._fp_and_index(hashes)
@@ -111,32 +115,46 @@ class CuckooFilter:
                 self.table[idx[win], s] = fp[win]
                 pending[win] = False
         inserted = int((~pending).sum())
-        for j in np.flatnonzero(pending):  # rare: full buckets -> kick loop
-            inserted += self._insert_with_eviction(int(i1[j]), np.uint16(fp[j]))
         self.n_items += inserted
+        for j in np.flatnonzero(pending):  # rare: full buckets -> kick loop
+            self._insert_with_eviction(int(i1[j]), np.uint16(fp[j]))
+            inserted += 1
         return inserted
 
-    def _insert_with_eviction(self, i: int, f: np.uint16) -> int:
+    def _insert_with_eviction(self, i: int, f: np.uint16) -> None:
+        """Kick-chain insert; counts the copy in ``n_items`` on every exit
+        path. An exhausted chain stashes the in-hand fingerprint (nothing
+        is ever dropped) and raises only once the stash itself overflows."""
         for kick in range(MAX_KICKS):
             row = self.table[i]
             empty = np.flatnonzero(row == 0)
             if len(empty):
                 self.table[i, empty[0]] = f
-                return 1
+                self.n_items += 1
+                return
             # deterministic victim slot (no RNG: reproducible runs)
             s = (int(f) + kick) % SLOTS
             f, self.table[i, s] = self.table[i, s], f
             i = int(self._alt_index(np.array([i]), np.array([f], dtype=np.uint16))[0])
-        raise RuntimeError("cuckoo filter over capacity: eviction chain exceeded MAX_KICKS")
+        alt = int(self._alt_index(np.array([i]), np.array([f], dtype=np.uint16))[0])
+        self.stash.append((min(i, alt), int(f)))
+        self.n_items += 1
+        if len(self.stash) > MAX_STASH:
+            raise RuntimeError(
+                "cuckoo filter over capacity: eviction stash exhausted — "
+                "rebuild with a larger capacity (filter state remains consistent)"
+            )
 
     # -- delete -------------------------------------------------------------
 
     def delete(self, hashes: np.ndarray) -> int:
-        """Remove one fingerprint per present hash (the bloom-impossible
-        operation). Returns how many were removed. Vectorized like add():
-        per (bucket-set, slot) pass with first-writer-wins per bucket, so
-        two keys sharing a bucket each clear their own copy; the rare
-        leftovers fall back to the exact per-key path."""
+        """Remove one fingerprint copy per present hash (the
+        bloom-impossible operation); safe for keys that were actually
+        added (see module docstring). Returns how many were removed.
+        Vectorized like add(): per (bucket-set, slot) pass with
+        first-writer-wins per bucket, so two keys sharing a bucket each
+        clear their own copy; the rare leftovers fall back to the exact
+        per-key path."""
         hashes = np.asarray(hashes, dtype=np.int64)
         if len(hashes) == 0:
             return 0
@@ -157,13 +175,20 @@ class CuckooFilter:
                 pending[win] = False
                 removed += len(win)
         for j in np.flatnonzero(pending):  # same-bucket same-pass contention
-            f = fp[j]
+            f = int(fp[j])
+            done = False
             for i in (int(i1[j]), int(i2[j])):
                 slots = np.flatnonzero(self.table[i] == f)
                 if len(slots):
                     self.table[i, slots[0]] = 0
                     removed += 1
+                    done = True
                     break
+            if not done:
+                key = (min(int(i1[j]), int(i2[j])), f)
+                if key in self.stash:
+                    self.stash.remove(key)
+                    removed += 1
         self.n_items -= removed
         return removed
 
@@ -174,6 +199,7 @@ class CuckooFilter:
             "n_buckets": self.n_buckets,
             "table": self.table.tobytes(),
             "n_items": self.n_items,
+            "stash": self.stash,
         }
 
     def __setstate__(self, state):
@@ -185,14 +211,17 @@ class CuckooFilter:
             .copy()
         )
         self.n_items = state["n_items"]
+        self.stash = list(state.get("stash", []))
 
 
 def build_cuckoo(df, hash_col: str = "url_hash", capacity: int = 1 << 20) -> CuckooFilter:
     """Driver-side build from a DataFrame's hash column. Arrow transfer
     (8 B/row, no pandas copy), inserted in bounded chunks so the per-add
-    working set (np.unique sort) stays flat regardless of input size.
-    For hash sets past driver memory, shard the column by
-    ``pmod(url_hash, n_shards)`` first and build per-shard filters."""
+    working set stays flat regardless of input size. The column is
+    expected pre-deduped (the seen table is keyed by url_hash); duplicate
+    rows would store duplicate copies, per multiset semantics. For hash
+    sets past driver memory, shard the column by ``pmod(url_hash,
+    n_shards)`` first and build per-shard filters."""
     cf = CuckooFilter(capacity)
     tbl = df.select(hash_col).toArrow()
     for batch in tbl.to_batches(max_chunksize=4_000_000):

@@ -241,13 +241,18 @@ class CrawlEngine:
         ``run_from``."""
         if "url_hash" not in expired.columns:
             expired = expired.withColumn("url_hash", url_hash_col("canon_url"))
-        survivors = seen.join(
-            expired.select("url_hash").distinct(), "url_hash", "left_anti"
-        )
+        expired = expired.select("url_hash").distinct()
+        survivors = seen.join(expired, "url_hash", "left_anti")
         if self._bloom is not None:
             if self.seen_filter == "cuckoo":
-                tbl = expired.select("url_hash").distinct().toArrow()
-                for b in tbl.to_batches(max_chunksize=4_000_000):
+                # delete only hashes actually IN seen — deleting a
+                # non-member could evict a fingerprint-colliding live
+                # key's copy (the paper's deletion contract: delete only
+                # what was added)
+                members = expired.join(
+                    seen.select("url_hash").distinct(), "url_hash", "left_semi"
+                )
+                for b in members.toArrow().to_batches(max_chunksize=4_000_000):
                     self._bloom.delete(b.column(0).to_numpy(zero_copy_only=False))
             else:
                 self._bloom = None  # bloom can't delete: force rebuild

@@ -61,9 +61,9 @@ def bench(n_keys: int) -> None:
     cf = CuckooFilter(capacity=n_keys)
     t0 = time.monotonic()
     for lo in range(0, n_keys, 4_000_000):
-        # skip_present=False: the keyspace is pre-deduped (seen-set deltas
-        # are unique by construction), matching the engine's O(delta) adds
-        cf.add(keys[lo : lo + 4_000_000], skip_present=False)
+        # the keyspace is pre-deduped (seen-set deltas are unique by
+        # construction), matching the engine's O(delta) multiset adds
+        cf.add(keys[lo : lo + 4_000_000])
     t_build = time.monotonic() - t0
     t0 = time.monotonic()
     hits = cf.contains(probes_neg)
