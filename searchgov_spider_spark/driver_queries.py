@@ -40,6 +40,7 @@ from .operators.politeness import schedule_wave, top_k_per_group
 from .operators.robots import apply_robots
 from .pipelines import dedup as pdedup
 from .pipelines import multimodal as pmm
+from .pipelines import sampling as psampling
 from .pipelines import similarity as psim
 from .pipelines import spans as pspans
 from .pipelines import textstats as pstats
@@ -1118,7 +1119,9 @@ def q_dup_clusters(spark, sf_dir):
     return _longify(pdedup.dup_clusters(pairs, nodes))
 
 
-def _dup_clusters_sql() -> str:
+def _dup_clusters_ctes() -> str:
+    """Shared recursive-closure CTE chain ending in cl(doc_id, cluster);
+    reused by the dup_clusters and leakage_split oracles."""
     cte = pdedup.simhash_sql_cte("documents")
     return f"""
         WITH RECURSIVE {cte},
@@ -1135,10 +1138,74 @@ def _dup_clusters_sql() -> str:
           SELECT doc_id, doc_id FROM sims
           UNION
           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        ),
+        cl AS (
+          SELECT src AS doc_id, min(dst) AS cluster
+          FROM reach GROUP BY src
         )
-        SELECT src AS doc_id, min(dst) AS cluster
-        FROM reach GROUP BY src ORDER BY doc_id
     """
+
+
+def _dup_clusters_sql() -> str:
+    return _dup_clusters_ctes() + "SELECT doc_id, cluster FROM cl ORDER BY doc_id"
+
+
+_SAMPLE_SALT = "r2"
+_STRAT_FRACTIONS = {"en": 0.5, "es": 0.25, "zh": 0.1}
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test split (pipelines/sampling.py): salted
+    md5 bucket of doc_id -> cumulative-weight thresholds. Stable under
+    appends/repartitioning, zero shuffle — the split a 100 TB corpus
+    writer would partitionBy. Oracle: identical bucket + CASE in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    out = psampling.hash_split(docs, "doc_id", salt=_SAMPLE_SALT)
+    return _longify(out.select("doc_id", "split_bucket", "split"))
+
+
+def _sample_split_sql() -> str:
+    bucket, case = psampling.hash_split_sql("doc_id", salt=_SAMPLE_SALT)
+    return (
+        f"SELECT doc_id, {bucket} AS split_bucket, {case} AS split "
+        f"FROM documents ORDER BY doc_id"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (reproducible sampleBy analog):
+    keep a document iff its salted bucket < the stratum's fraction;
+    strata without a fraction drop out."""
+    docs = load(spark, sf_dir, "documents")
+    out = psampling.stratified_sample(
+        docs, _STRAT_FRACTIONS, strata_col="lang", key_col="doc_id", salt="strat"
+    )
+    return _longify(out.select("doc_id", "lang", "source"))
+
+
+def _stratified_sample_sql() -> str:
+    where = psampling.stratified_sample_sql(
+        _STRAT_FRACTIONS, strata_expr="lang", key_expr="doc_id", salt="strat"
+    )
+    return f"SELECT doc_id, lang, source FROM documents WHERE {where} ORDER BY doc_id"
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe split: near-dup clusters (SimHash hd<=3 -> min-label
+    propagation) inherit ONE split via the cluster representative's
+    bucket, so no near-duplicate pair ever straddles train/test."""
+    docs = load(spark, sf_dir, "documents")
+    out = psampling.leakage_safe_split(docs, salt=_SAMPLE_SALT)
+    return _longify(out.select("doc_id", "cluster", "split"))
+
+
+def _leakage_split_sql() -> str:
+    bucket = psampling.split_bucket_sql("cluster", salt=_SAMPLE_SALT)
+    case = psampling.split_label_sql(bucket)
+    return (
+        _dup_clusters_ctes()
+        + f"SELECT doc_id, cluster, {case} AS split FROM cl ORDER BY doc_id"
+    )
 
 
 def q_stream_dedup(spark, sf_dir):
@@ -1437,6 +1504,9 @@ def queries():
         "span_stats": q_span_stats,
         "multimodal_meta": q_multimodal_meta,
         "dup_clusters": q_dup_clusters,
+        "sample_split": q_sample_split,
+        "stratified_sample": q_stratified_sample,
+        "leakage_split": q_leakage_split,
         "stream_monitor": q_stream_monitor,
         "stream_dedup": q_stream_dedup,
         "i14y_html": q_i14y_html,
@@ -1485,6 +1555,9 @@ def oracle_sql():
         "span_stats": pspans.span_stats_sql(),
         "multimodal_meta": pmm.attach_binary_sql(),
         "dup_clusters": _dup_clusters_sql(),
+        "sample_split": _sample_split_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "leakage_split": _leakage_split_sql(),
         "stream_monitor": _stream_monitor_sql(),
         "stream_dedup": Q_STREAM_DEDUP_SQL,
         "i14y_html": Q_I14Y_HTML_SQL,

@@ -15,4 +15,4 @@ portable md5-based hash family in ``functions.hashing`` makes MinHash /
 SimHash / fingerprints bit-identical across engines).
 """
 
-from . import dedup, multimodal, similarity, spans, textstats  # noqa: F401
+from . import dedup, multimodal, sampling, similarity, spans, textstats  # noqa: F401

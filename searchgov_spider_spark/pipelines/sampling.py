@@ -1,0 +1,173 @@
+"""Deterministic corpus sampling & train/val/test splitting.
+
+Why hash-based buckets instead of ``rand()``: a training-data split
+must be (1) reproducible across runs and engines, (2) stable under
+repartitioning and incremental appends — a document keeps its split
+when new crawl waves land — and (3) assignable with zero coordination.
+A salted md5 bucket of the document key gives all three; ``rand(seed)``
+gives none (its values depend on partition layout and row order).
+
+Scale shape: ``hash_split`` and ``stratified_sample`` are narrow
+per-row projections — NO shuffle, one codegen'd md5 per row; at 100 TB
+the split column is free relative to the scan, and writers can
+``partitionBy("split")`` without a separate assignment pass.
+``leakage_safe_split`` additionally resolves near-dup clusters (bounded
+min-label propagation, one shuffle per round over the LSH pair graph)
+and splits on the cluster representative, so near-duplicate documents
+ALWAYS land in the same split — closing the classic eval-contamination
+hole where a test document's near-twin sits in train. The reference
+crawler has no corpus-prep stage (its dedup is URL-level,
+``helpers/domain_spider.py``); these are the corpus-preparation
+additions the brief calls for, with DuckDB oracle twins via the
+portable md5 hash family (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32_col, portable_hash32_sql
+from .dedup import dup_clusters, simhash_near_dups
+
+# Bucket granularity: weights resolve to integer thresholds out of 10^4,
+# so any weight expressible to 0.01% is exact (no float-boundary drift
+# between Spark and the SQL oracle).
+SPLIT_BUCKETS = 10_000
+
+DEFAULT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def split_bucket_col(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS) from a salted md5 of
+    the key. Different salts give independent splits over the same keys
+    (e.g. one per experiment) without touching the data."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        portable_hash32_col(F.concat(F.lit(f"{salt}|"), c.cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    ).cast("long")
+
+
+def split_bucket_sql(key_expr: str, salt: str = "") -> str:
+    """DuckDB fragment computing the identical bucket."""
+    salted = f"'{salt}|' || CAST({key_expr} AS VARCHAR)"
+    return f"({portable_hash32_sql(salted)} % {SPLIT_BUCKETS})"
+
+
+def _thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    out, cum = [], 0.0
+    for name, w in weights.items():
+        cum += w
+        out.append((name, round(cum * SPLIT_BUCKETS)))
+    out[-1] = (out[-1][0], SPLIT_BUCKETS)  # absorb rounding in the last split
+    return out
+
+
+def split_label_col(bucket: Column, weights: dict[str, float] | None = None) -> Column:
+    """Map a bucket to its split name by cumulative-weight thresholds."""
+    expr = None
+    for name, hi in _thresholds(weights or DEFAULT_WEIGHTS):
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr
+
+
+def split_label_sql(bucket_expr: str, weights: dict[str, float] | None = None) -> str:
+    arms = " ".join(
+        f"WHEN {bucket_expr} < {hi} THEN '{name}'"
+        for name, hi in _thresholds(weights or DEFAULT_WEIGHTS)
+    )
+    return f"CASE {arms} END"
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test split: adds
+    ``split_bucket`` and ``split`` columns. Pure projection — no shuffle,
+    stable under appends and repartitioning."""
+    bucket = split_bucket_col(key_col, salt)
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split", split_label_col(F.col("split_bucket"), weights)
+    )
+
+
+def hash_split_sql(
+    key_expr: str, weights: dict[str, float] | None = None, salt: str = ""
+) -> tuple[str, str]:
+    """(bucket_expr, split_case_expr) mirroring hash_split in DuckDB."""
+    bucket = split_bucket_sql(key_expr, salt)
+    return bucket, split_label_sql(bucket, weights)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float] | float,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its salted
+    bucket falls below the stratum's fraction. The native-Spark analog of
+    ``sampleBy`` with exact reproducibility (``sampleBy`` is partition-
+    order dependent). Unknown strata are dropped when ``fractions`` is a
+    dict. Narrow projection + filter — no shuffle."""
+    bucket = split_bucket_col(key_col, salt)
+    if isinstance(fractions, dict):
+        frac = None
+        for stratum, f in fractions.items():
+            cond = F.col(strata_col) == F.lit(stratum)
+            lim = F.lit(round(f * SPLIT_BUCKETS))
+            frac = F.when(cond, lim) if frac is None else frac.when(cond, lim)
+        keep = bucket < frac  # null threshold (unknown stratum) -> filtered
+    else:
+        keep = bucket < F.lit(round(fractions * SPLIT_BUCKETS))
+    return df.where(keep)
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float] | float,
+    strata_expr: str = "lang",
+    key_expr: str = "doc_id",
+    salt: str = "",
+) -> str:
+    """WHERE-clause fragment mirroring stratified_sample."""
+    bucket = split_bucket_sql(key_expr, salt)
+    if isinstance(fractions, dict):
+        arms = " ".join(
+            f"WHEN {strata_expr} = '{s}' THEN {round(f * SPLIT_BUCKETS)}"
+            for s, f in fractions.items()
+        )
+        return f"{bucket} < (CASE {arms} END)"
+    return f"{bucket} < {round(fractions * SPLIT_BUCKETS)}"
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Train/val/test split that can NOT leak near-duplicates across
+    splits: resolve near-dup pairs (SimHash hd<=``max_hamming`` by
+    default, or any caller-supplied (doc_a, doc_b) pair set, e.g.
+    MinHash LSH) into clusters, then hash-split on the CLUSTER
+    representative — every member of a cluster inherits the same split.
+
+    Returns (doc_id, cluster, split_bucket, split). Scale: cluster
+    resolution is the bounded label propagation of ``dup_clusters``;
+    the split itself is a projection on the cluster key, and the final
+    join is doc_id-keyed (AQE broadcasts the label side when small)."""
+    if pairs is None:
+        pairs = simhash_near_dups(docs, max_hamming=max_hamming)
+    clusters = dup_clusters(pairs, docs.select("doc_id"))
+    labeled = clusters.withColumn("split_bucket", split_bucket_col("cluster", salt))
+    return labeled.withColumn("split", split_label_col(F.col("split_bucket"), weights))

@@ -1,0 +1,101 @@
+"""Deterministic sampling / splitting (pipelines/sampling.py).
+
+The properties that make a split usable for training-data prep:
+stability (assignment is a pure function of the key, immune to
+partitioning and appends), weight fidelity, and — for the
+leakage-safe variant — the invariant that no near-dup pair ever
+straddles two splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from searchgov_spider_spark.pipelines import dedup as pdedup
+from searchgov_spider_spark.pipelines import sampling as ps
+
+
+def _docs(spark, n=4000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("token"), (F.col("id") % 7).cast("string")).alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("es"), F.lit("zh"), F.lit("fr")),
+            ((F.col("id") % 4) + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_split_is_stable_under_partitioning_and_subsets(spark):
+    docs = _docs(spark)
+    full = {r["doc_id"]: r["split"] for r in ps.hash_split(docs, "doc_id").collect()}
+    # repartitioned + filtered view: every doc keeps its split (the
+    # incremental-append guarantee — rand() fails exactly this test)
+    subset = ps.hash_split(docs.where("doc_id % 3 = 0").repartition(13), "doc_id")
+    for r in subset.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_split_weights_and_bucket_range(spark):
+    out = ps.hash_split(_docs(spark), "doc_id").collect()
+    n = len(out)
+    counts = {}
+    for r in out:
+        assert 0 <= r["split_bucket"] < ps.SPLIT_BUCKETS
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    # md5 buckets over 4000 keys: expect weights within a loose tolerance
+    assert abs(counts["train"] / n - 0.9) < 0.03
+    assert abs(counts["val"] / n - 0.05) < 0.02
+    assert abs(counts["test"] / n - 0.05) < 0.02
+
+
+def test_custom_weights_cover_all_buckets(spark):
+    out = ps.hash_split(_docs(spark, 500), "doc_id", weights={"a": 0.5, "b": 0.5})
+    assert out.where(F.col("split").isNull()).count() == 0
+    assert {r["split"] for r in out.select("split").distinct().collect()} == {"a", "b"}
+
+
+def test_different_salts_give_independent_splits(spark):
+    docs = _docs(spark, 2000)
+    a = ps.hash_split(docs, "doc_id", salt="expA").select("doc_id", "split")
+    b = ps.hash_split(docs, "doc_id", salt="expB").select("doc_id", F.col("split").alias("split_b"))
+    agree = a.join(b, "doc_id").where("split = split_b").count()
+    # identical salts would agree 2000/2000; independent ones ~ sum(w^2)=0.815
+    assert agree < 1900
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    docs = _docs(spark)
+    fr = {"en": 0.5, "es": 0.1}
+    kept = ps.stratified_sample(docs, fr, strata_col="lang", key_col="doc_id")
+    rows = kept.collect()
+    assert {r["lang"] for r in rows} <= {"en", "es"}  # zh/fr: no fraction -> dropped
+    per = {}
+    for r in rows:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert abs(per["en"] / 1000 - 0.5) < 0.06
+    assert abs(per.get("es", 0) / 1000 - 0.1) < 0.04
+    # deterministic: a second run returns the identical id set
+    again = {r["doc_id"] for r in ps.stratified_sample(docs, fr, "lang", "doc_id").collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    # 7 distinct texts over 400 docs -> huge near-dup clusters
+    docs = _docs(spark, 400)
+    out = ps.leakage_safe_split(docs).collect()
+    assert len(out) == 400
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    cluster_of = {r["doc_id"]: r["cluster"] for r in out}
+    pairs = pdedup.simhash_near_dups(docs, max_hamming=3).collect()
+    assert pairs, "fixture must actually produce near-dup pairs"
+    for p in pairs:
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
+        assert cluster_of[p["doc_a"]] == cluster_of[p["doc_b"]]
+    # cluster representative is the minimum member (keep-rep contract)
+    by_cluster = {}
+    for d, c in cluster_of.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)
