@@ -141,7 +141,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "2000000"))
-    n_trials = int(os.environ.get("SPARK_GRAFT_WAVE_TRIALS", "3"))
+    n_trials = int(os.environ.get("SPARK_GRAFT_WAVE_TRIALS", "5"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark(app_name="bench")
