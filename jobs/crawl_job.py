@@ -36,7 +36,13 @@ import json
 
 def parse_args(argv=None):
     ap = argparse.ArgumentParser(description="searchgov_spider_spark crawl driver")
-    ap.add_argument("--seeds", required=True, help="seeds parquet (FIXTURES.md schema)")
+    seeds = ap.add_mutually_exclusive_group(required=True)
+    seeds.add_argument("--seeds", help="seeds parquet (FIXTURES.md schema)")
+    seeds.add_argument(
+        "--sites",
+        help="crawl-sites JSON in the reference's config format "
+        "(validated by sources/crawl_sites.py, reference crawl_sites.py parity)",
+    )
     ap.add_argument("--state-dir", required=True, help="frontier/seen/documents checkpoint dir")
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="replay pages parquet (sandbox / recorded-cache mode)")
@@ -56,7 +62,12 @@ def main(argv=None):
     from searchgov_spider_spark.sources.fetch import HttpFetcher, TablePageFetcher
 
     spark = get_spark("searchgov-crawl")
-    seeds = spark.read.parquet(args.seeds)
+    if args.sites:
+        from searchgov_spider_spark.sources.crawl_sites import CrawlSites
+
+        seeds = CrawlSites.from_file(args.sites).to_seeds_df(spark)
+    else:
+        seeds = spark.read.parquet(args.seeds)
     fetcher = HttpFetcher() if args.http else TablePageFetcher(spark.read.parquet(args.pages))
     robots = spark.read.parquet(args.robots) if args.robots else None
 
