@@ -38,6 +38,7 @@ from .operators.dedup import build_bloom, dedupe_against_seen
 from .operators.filters import apply_prefetch_filters, normalize_job_rules
 from .operators.politeness import schedule_wave, top_k_per_group
 from .operators.robots import apply_robots
+from .pipelines import cleaning as pclean
 from .pipelines import dedup as pdedup
 from .pipelines import multimodal as pmm
 from .pipelines import sampling as psampling
@@ -872,6 +873,23 @@ def q_quality(spark, sf_dir):
     return _longify(pstats.quality_features(load(spark, sf_dir, "documents")))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality-rule features + keep flag (pure projection)."""
+    return _longify(pclean.gopher_stats(load(spark, sf_dir, "documents")))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition rules: top-bigram fraction + duplicate-segment
+    fraction per document via explode + hash-agg (no per-row O(L^2) folds)."""
+    return _longify(pclean.repetition_stats(load(spark, sf_dir, "documents")))
+
+
+def q_segment_dedup(spark, sf_dir):
+    """C4-style cross-corpus boilerplate removal with order-preserving
+    document reassembly."""
+    return _longify(pclean.segment_dedup(load(spark, sf_dir, "documents")))
+
+
 def q_lang_id(spark, sf_dir):
     return _longify(pstats.language_id(load(spark, sf_dir, "documents")))
 
@@ -1497,6 +1515,9 @@ def queries():
         "ivf_ann_exact": q_ivf_ann_exact,
         "token_counts": q_token_counts,
         "quality": q_quality,
+        "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
+        "segment_dedup": q_segment_dedup,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -1548,6 +1569,9 @@ def oracle_sql():
         "ivf_ann_exact": psim.cosine_topk_sql(n_queries=10, k=5),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
+        "gopher_quality": pclean.gopher_stats_sql(),
+        "repetition_stats": pclean.repetition_stats_sql(),
+        "segment_dedup": pclean.segment_dedup_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

@@ -1,0 +1,269 @@
+"""Corpus cleaning for LLM training-data prep: Gopher-style quality rules,
+repetition statistics, and cross-corpus boilerplate (segment) dedup.
+
+These are corpus-preparation additions beyond the reference crawler (the
+reference's closest analog is the sanitize/summarize stage feeding i14y,
+elasticsearch/i14y_helper.py:78-133); the rule set follows the published
+Gopher (Rae et al. 2021, §A1.1) and C4 (Raffel et al. 2020, §2.2) cleaning
+heuristics restated as relational plans.
+
+Scale notes (100 TB):
+- `gopher_stats` is a pure projection — no shuffle, whole-stage codegen.
+- `repetition_stats` explodes n-grams/segments and hash-aggregates keyed by
+  (doc_id, gram): map-side combine applies, doc_id is high-cardinality so
+  the shuffle is well distributed. Deliberately NOT computed with per-row
+  array folds (an O(L^2) lambda per document dies on 10k-token web pages).
+- `segment_dedup` is the C4 "remove boilerplate repeated across documents"
+  pass: explode fixed-width token segments, count distinct docs per
+  segment (two-phase exact distinct), drop segments above the threshold,
+  reassemble order-preserving. The reassembly groups on doc_id with a
+  bounded per-doc segment list (ceil(len/width) rows).
+
+Every operator has a DuckDB-SQL twin so the driver's oracle gate verifies
+exact values; all ratios are integer counts followed by one round(x, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import STOPWORDS, tokens_col, tokens_sql
+
+# Gopher-ish acceptance thresholds, tuned so the synthetic corpus (10-99
+# tokens/doc) exercises both branches of the keep flag.
+MIN_TOKENS = 30
+MAX_TOKENS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MIN_ALPHA_FRAC = 0.8
+MIN_STOP_HITS = 2
+
+SEGMENT_WIDTH = 10  # tokens per non-overlapping dedup segment
+
+
+def _toks(text_col: str) -> Column:
+    return tokens_col(F.col(text_col))
+
+
+def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule features + keep flag (pure projection).
+
+    Features: token count, mean word length, fraction of tokens containing
+    an alphabetic character, stopword occurrence count. keep = all rule
+    thresholds hold (Rae et al. 2021 §A1.1 shape, thresholds local).
+    """
+    toks = _toks(text_col)
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_word_len = F.round(sum_len / n_tokens, 6)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.round(n_alpha / n_tokens, 6)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    keep = (
+        (n_tokens >= MIN_TOKENS)
+        & (n_tokens <= MAX_TOKENS)
+        & (mean_word_len >= MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= MAX_MEAN_WORD_LEN)
+        & (alpha_frac >= MIN_ALPHA_FRAC)
+        & (stop_hits >= MIN_STOP_HITS)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_stats_sql(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {tokens_sql('text')} AS toks FROM {table}
+        ), r AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 round(list_sum(list_transform(toks, x -> length(x))) / len(toks), 6) AS mean_word_len,
+                 round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / len(toks), 6) AS alpha_frac,
+                 len(list_filter(toks, x -> list_contains([{stop_list}], lower(x)))) AS stop_hits
+          FROM t
+        )
+        SELECT doc_id, n_tokens, mean_word_len, alpha_frac, stop_hits,
+               (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+                AND mean_word_len >= {MIN_MEAN_WORD_LEN} AND mean_word_len <= {MAX_MEAN_WORD_LEN}
+                AND alpha_frac >= {MIN_ALPHA_FRAC} AND stop_hits >= {MIN_STOP_HITS}) AS keep
+        FROM r
+        ORDER BY doc_id
+    """
+
+
+def _segments(docs: DataFrame, text_col: str, width: int) -> DataFrame:
+    """(doc_id, seg_idx, seg): non-overlapping width-token windows, the
+    remainder tail kept as a final shorter segment (so reassembly is exact)."""
+    toks = _toks(text_col)
+    n_segs = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+    seg_structs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.array_join(F.slice(toks, i * width + 1, width), " ").alias("seg"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(seg_structs).alias("s")).select(
+        "doc_id", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg")
+    )
+
+
+def _segments_sql(table: str, width: int) -> str:
+    return f"""
+        SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               array_to_string(toks[(i*{width}+1):(i*{width}+{width})], ' ') AS seg
+        FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {table}),
+             unnest(range(CAST(ceil(len(toks)/{float(width)}) AS BIGINT))) AS u(i)
+    """
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", width: int = SEGMENT_WIDTH
+) -> DataFrame:
+    """Per-document repetition features (Gopher §A1.1 repetition rules):
+
+    - top_bigram_frac: occurrences of the doc's most frequent token bigram
+      over total bigrams (1.0 shape-analog of "fraction of chars in the
+      most common 2-gram").
+    - dup_seg_frac: fraction of non-overlapping width-token segments that
+      are repeats of an earlier segment within the same document.
+
+    Shape: explode -> hash-agg keyed by (doc_id, gram) with map-side
+    combine -> per-doc agg -> joins back on doc_id. No O(L^2) per-row
+    folds, no window over the exploded stream.
+    """
+    base = docs.select("doc_id", _toks(text_col).alias("toks"))
+    n = F.size(F.col("toks"))
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, n - 1),
+                F.slice(F.col("toks"), 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    big_counts = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    big_stats = big_counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams")
+    )
+    segs = _segments(docs, text_col, width)
+    seg_stats = segs.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"), F.countDistinct("seg").alias("n_distinct_segs")
+    )
+    out = (
+        docs.select("doc_id")
+        .join(big_stats, "doc_id", "left")
+        .join(seg_stats, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.round(F.col("top_c") / F.col("n_bigrams"), 6), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+        F.col("n_segs").cast("long").alias("n_segs"),
+        F.round(1 - F.col("n_distinct_segs") / F.col("n_segs"), 6).alias("dup_seg_frac"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents", width: int = SEGMENT_WIDTH) -> str:
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {tokens_sql('text')} AS toks FROM {table}
+        ), big AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+          FROM base, unnest(range(1, len(toks))) AS u(i)
+        ), bc AS (
+          SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY doc_id, bigram
+        ), bs AS (
+          SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams FROM bc GROUP BY doc_id
+        ), seg AS ({_segments_sql(table, width)}),
+        ss AS (
+          SELECT doc_id, count(*) AS n_segs, count(DISTINCT seg) AS n_distinct_segs
+          FROM seg GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(bs.n_bigrams, 0) AS n_bigrams,
+               coalesce(round(bs.top_c / bs.n_bigrams, 6), 0.0) AS top_bigram_frac,
+               ss.n_segs AS n_segs,
+               round(1 - ss.n_distinct_segs / ss.n_segs, 6) AS dup_seg_frac
+        FROM {table} d
+        LEFT JOIN bs ON d.doc_id = bs.doc_id
+        LEFT JOIN ss ON d.doc_id = ss.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+def segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = SEGMENT_WIDTH,
+    max_docs: int = 1,
+) -> DataFrame:
+    """C4-style cross-corpus boilerplate removal: drop every width-token
+    segment whose normalized form occurs in more than `max_docs` distinct
+    documents, then reassemble each document's surviving segments in
+    original order.
+
+    Returns (doc_id, clean_text, n_segs, n_removed). Documents whose
+    segments are all removed survive with clean_text = ''.
+    """
+    segs = _segments(docs, text_col, width)
+    seg_docs = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = segs.join(seg_docs, "seg").withColumn(
+        "keep", F.col("n_docs") <= max_docs
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("seg_idx"), F.col("seg"))
+    )  # collect_list drops nulls -> removed segments vanish
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_segs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        )
+        .select("doc_id", "clean_text", "n_segs", "n_removed")
+    )
+
+
+def segment_dedup_sql(
+    table: str = "documents", width: int = SEGMENT_WIDTH, max_docs: int = 1
+) -> str:
+    return f"""
+        WITH seg AS ({_segments_sql(table, width)}),
+        sd AS (
+          SELECT seg, count(DISTINCT doc_id) AS n_docs FROM seg GROUP BY seg
+        ), flagged AS (
+          SELECT s.doc_id, s.seg_idx, s.seg, (sd.n_docs <= {max_docs}) AS keep
+          FROM seg s JOIN sd USING (seg)
+        )
+        SELECT doc_id,
+               coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '') AS clean_text,
+               count(*) AS n_segs,
+               count(*) FILTER (WHERE NOT keep) AS n_removed
+        FROM flagged
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """

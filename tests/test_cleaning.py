@@ -1,0 +1,79 @@
+"""Corpus-cleaning ops: Gopher quality rules, repetition stats, C4-style
+cross-corpus segment dedup (pipelines/cleaning.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchgov_spider_spark.pipelines import cleaning as pc
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    good = "the quick brown fox jumps over a lazy dog and then " * 4  # 44 toks, stopwords
+    short = "tiny doc with the a few words"  # < MIN_TOKENS
+    soup = ",,, ;;; ::: !!! ??? ... " * 10  # no alpha tokens
+    reps = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).strip()
+    boiler = "shared boilerplate segment one two three four five six seven"  # exactly 10 toks
+    rows = [
+        (0, good.strip()),
+        (1, short),
+        (2, soup.strip()),
+        (3, reps),  # 30 tokens = 3 identical 10-token segments
+        (4, boiler + " unique tail for document four only here now ok"),
+        (5, boiler + " another distinct tail for document five yes indeed ok"),
+        (6, "solo"),  # 1 token: no bigrams, one short segment
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_stats_rules(docs):
+    r = {x["doc_id"]: x for x in pc.gopher_stats(docs).collect()}
+    assert r[0]["keep"] is True
+    assert r[1]["keep"] is False  # too few tokens
+    assert r[2]["keep"] is False and r[2]["alpha_frac"] == 0.0
+    assert r[0]["stop_hits"] >= 2
+    assert 3.0 <= r[0]["mean_word_len"] <= 10.0
+
+
+def test_repetition_stats_values(docs):
+    r = {x["doc_id"]: x for x in pc.repetition_stats(docs).collect()}
+    # doc 3: 30 tokens repeating with period 10 -> all 3 segments identical
+    assert r[3]["n_segs"] == 3 and r[3]["dup_seg_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    # its bigrams: 29 total, "kappa alpha" appears 2x, the rest of the cycle 3x
+    assert r[3]["n_bigrams"] == 29
+    assert r[3]["top_bigram_frac"] == pytest.approx(3 / 29, abs=1e-6)
+    # doc 0 has distinct segments
+    assert r[0]["dup_seg_frac"] == 0.0
+    # 1-token doc: zero bigrams, one segment, no NaNs
+    assert r[6]["n_bigrams"] == 0 and r[6]["top_bigram_frac"] == 0.0
+    assert r[6]["n_segs"] == 1 and r[6]["dup_seg_frac"] == 0.0
+
+
+def test_segment_dedup_removes_cross_doc_boilerplate(docs):
+    out = {x["doc_id"]: x for x in pc.segment_dedup(docs, max_docs=1).collect()}
+    assert len(out) == 7  # every doc survives, even if emptied
+    # docs 4 and 5 share their first 10-token segment -> removed from both
+    assert out[4]["n_removed"] == 1 and out[5]["n_removed"] == 1
+    assert not out[4]["clean_text"].startswith("shared boilerplate")
+    assert out[4]["clean_text"] == "unique tail for document four only here now ok"
+    # intra-doc repetition alone is NOT cross-doc: doc 3's segments live in
+    # one distinct doc, so nothing is removed
+    assert out[3]["n_removed"] == 0
+    # unaffected docs reassemble to the whitespace-normalized original
+    orig = {x["doc_id"]: " ".join(x["text"].split()) for x in docs.collect()}
+    for d in (0, 1, 2, 3, 6):
+        assert out[d]["clean_text"] == orig[d], d
+
+
+def test_segment_dedup_can_empty_a_document(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "one two three")], "doc_id long, text string"
+    )
+    out = {x["doc_id"]: x for x in pc.segment_dedup(df, max_docs=1).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 1
+
+
+def test_segment_dedup_identity_when_threshold_high(docs):
+    out = pc.segment_dedup(docs, max_docs=10_000)
+    assert out.filter(F.col("n_removed") > 0).count() == 0
