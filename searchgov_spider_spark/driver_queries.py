@@ -890,6 +890,16 @@ def q_segment_dedup(spark, sf_dir):
     return _longify(pclean.segment_dedup(load(spark, sf_dir, "documents")))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any 8-gram with a
+    deterministic synthetic eval set (doc_id % 37 == 0) are flagged.
+    Benchmark grams broadcast; corpus-side probe is shuffle-free."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return _longify(pclean.decontaminate(corpus, bench))
+
+
 def q_lang_id(spark, sf_dir):
     return _longify(pstats.language_id(load(spark, sf_dir, "documents")))
 
@@ -1518,6 +1528,7 @@ def queries():
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "segment_dedup": q_segment_dedup,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -1572,6 +1583,7 @@ def oracle_sql():
         "gopher_quality": pclean.gopher_stats_sql(),
         "repetition_stats": pclean.repetition_stats_sql(),
         "segment_dedup": pclean.segment_dedup_sql(),
+        "decontaminate": pclean.decontaminate_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

@@ -208,6 +208,111 @@ def repetition_stats_sql(table: str = "documents", width: int = SEGMENT_WIDTH) -
     """
 
 
+def _ngrams(toks: Column, n: int) -> Column:
+    """Distinct space-joined n-grams of a token array (empty if < n tokens).
+
+    sequence(1, count) is gated on count >= 1: Spark's sequence steps
+    DOWNWARD when stop < start, so an unguarded sequence(1, 0) would
+    yield [1, 0] and slice(toks, 0, n) throws.
+    """
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with an eval benchmark set (the standard train-set
+    contamination check, e.g. GPT-3 Brown et al. 2020 §C / PaLM app. B,
+    restated as a relational plan).
+
+    Returns (doc_id, n_grams, n_hits, contaminated) for every corpus doc.
+
+    Scale shape: benchmark n-grams are DISTINCT and broadcast (eval sets
+    are tiny next to a 100 TB corpus), so the probe is a broadcast hash
+    join on the exploded corpus grams — no corpus-side shuffle for the
+    join; the per-doc hit count hash-aggregates on high-cardinality
+    doc_id with map-side combine. Corpus grams are array_distinct'ed
+    per doc before explode to bound fan-out at <= token count.
+    """
+    grams = _ngrams(tokens_col(F.col(text_col)), n)
+    bench_grams = (
+        benchmark.select(F.explode(_ngrams(tokens_col(F.col(text_col)), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select("doc_id", F.explode(grams).alias("gram"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id", F.size(grams).cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    bench_pred: str = "doc_id % 37 = 0",
+    n: int = 8,
+) -> str:
+    """DuckDB twin: benchmark = rows of `table` matching bench_pred,
+    corpus = the rest (mirrors the driver query's deterministic split)."""
+
+    def grams(src: str) -> str:
+        return f"""
+          SELECT doc_id, g AS gram FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                     i -> array_to_string(toks[i:(i+{n - 1})], ' ')))) AS g
+            FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {src})
+          )
+        """
+
+    return f"""
+        WITH bench AS (SELECT * FROM {table} WHERE {bench_pred}),
+        corpus AS (SELECT * FROM {table} WHERE NOT ({bench_pred})),
+        bg AS (SELECT DISTINCT gram FROM ({grams('bench')})),
+        cg AS ({grams('corpus')}),
+        hits AS (
+          SELECT cg.doc_id, count(*) AS n_hits
+          FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id
+        ),
+        sizes AS (
+          SELECT doc_id,
+                 len(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                   i -> array_to_string(toks[i:(i+{n - 1})], ' ')))) AS n_grams
+          FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM corpus)
+        )
+        SELECT s.doc_id, s.n_grams,
+               coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        ORDER BY s.doc_id
+    """
+
+
 def segment_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -77,3 +77,38 @@ def test_segment_dedup_can_empty_a_document(spark):
 def test_segment_dedup_identity_when_threshold_high(docs):
     out = pc.segment_dedup(docs, max_docs=10_000)
     assert out.filter(F.col("n_removed") > 0).count() == 0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta leak tail")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the benchmark's first 8-gram verbatim
+            (1, "x alpha beta gamma delta epsilon zeta eta theta y"),
+            # same words, one swapped -> no shared 8-gram
+            (2, "x alpha beta gamma delta epsilon zeta eta NOPE y"),
+            # too short for any 8-gram
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pc.decontaminate(corpus, bench, n=8).collect()}
+    assert len(out) == 3
+    assert out[1]["contaminated"] is True and out[1]["n_hits"] == 1
+    assert out[2]["contaminated"] is False and out[2]["n_hits"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["contaminated"] is False
+
+
+def test_decontaminate_counts_distinct_hits_once(spark):
+    # the contaminated 8-gram repeats in the corpus doc; distinct grams
+    # per doc mean it still counts as ONE hit
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame([(0, leak)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, f"{leak} filler {leak}")], "doc_id long, text string"
+    )
+    row = pc.decontaminate(corpus, bench, n=8).collect()[0]
+    assert row["n_hits"] == 1 and row["contaminated"] is True
