@@ -39,6 +39,7 @@ from .operators.filters import apply_prefetch_filters, normalize_job_rules
 from .operators.politeness import schedule_wave, top_k_per_group
 from .operators.robots import apply_robots
 from .pipelines import cleaning as pclean
+from .pipelines import packing as ppack
 from .pipelines import dedup as pdedup
 from .pipelines import multimodal as pmm
 from .pipelines import sampling as psampling
@@ -890,6 +891,51 @@ def q_segment_dedup(spark, sf_dir):
     return _longify(pclean.segment_dedup(load(spark, sf_dir, "documents")))
 
 
+def _inject_pii(docs):
+    """Deterministically append synthetic PII to every 7th document so
+    the scrub has nonzero signal at any sf (mirrored in the oracle SQL)."""
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@agency.gov or call 202-555-0199 ssn 078-05-1120"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+_INJECT_PII_SQL = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach user' || doc_id
+                   || '@agency.gov or call 202-555-0199 ssn 078-05-1120'
+              ELSE text END AS text
+  FROM documents
+)"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Email/SSN/phone redaction + counts (pure regexp projection)."""
+    return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing placement: shard-local windowed
+    prefix sum, chunk boundaries from fixed token capacity."""
+    return _longify(ppack.pack_chunks(load(spark, sf_dir, "documents")))
+
+
+def q_chunk_stats(spark, sf_dir):
+    """Per-shard packing summary (docs, tokens, chunks, fill fraction)."""
+    return _longify(
+        ppack.chunk_stats(ppack.pack_chunks(load(spark, sf_dir, "documents")))
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing any 8-gram with a
     deterministic synthetic eval set (doc_id % 37 == 0) are flagged.
@@ -1529,6 +1575,9 @@ def queries():
         "repetition_stats": q_repetition_stats,
         "segment_dedup": q_segment_dedup,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "pack_chunks": q_pack_chunks,
+        "chunk_stats": q_chunk_stats,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -1584,6 +1633,9 @@ def oracle_sql():
         "repetition_stats": pclean.repetition_stats_sql(),
         "segment_dedup": pclean.segment_dedup_sql(),
         "decontaminate": pclean.decontaminate_sql(),
+        "pii_scrub": pclean.pii_scrub_sql(_INJECT_PII_SQL),
+        "pack_chunks": ppack.pack_chunks_sql(),
+        "chunk_stats": ppack.chunk_stats_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

@@ -15,4 +15,13 @@ portable md5-based hash family in ``functions.hashing`` makes MinHash /
 SimHash / fingerprints bit-identical across engines).
 """
 
-from . import dedup, multimodal, sampling, similarity, spans, textstats  # noqa: F401
+from . import (  # noqa: F401
+    cleaning,
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    spans,
+    textstats,
+)

@@ -208,6 +208,53 @@ def repetition_stats_sql(table: str = "documents", width: int = SEGMENT_WIDTH) -
     """
 
 
+# PII patterns restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) treat identically; replacement is applied in this order, and
+# counts are taken on the ORIGINAL text (a PII span nested inside an
+# earlier-replaced one is counted but only scrubbed once — documented
+# semantics, identical in both engines).
+PII_PATTERNS = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssns", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phones", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / SSNs / US phone numbers; count each kind.
+
+    Pure projection (one codegen'd regexp pass per pattern, no shuffle,
+    no Python) — at 100 TB this runs at scan speed. Returns
+    (doc_id, n_emails, n_ssns, n_phones, clean_text).
+    """
+    t = F.col(text_col)
+    clean = t
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select("doc_id", *counts, clean.alias("clean_text"))
+
+
+def pii_scrub_sql(table: str = "documents") -> str:
+    """DuckDB twin. `table` may be any relation expression (a table name
+    or a parenthesized subquery exposing doc_id + text)."""
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id,
+               {counts},
+               {clean} AS clean_text
+        FROM {table}
+        ORDER BY doc_id
+    """
+
+
 def _ngrams(toks: Column, n: int) -> Column:
     """Distinct space-joined n-grams of a token array (empty if < n tokens).
 

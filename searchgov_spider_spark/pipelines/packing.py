@@ -1,0 +1,140 @@
+"""Sequence packing for pretraining batches: concat-and-chunk placement.
+
+GPT-style pretraining concatenates documents (with a separator) and
+slices the token stream into fixed-`capacity` chunks; a document's
+placement is fully determined by the running token offset in front of
+it. Globally that ordering is a single sort — useless at 100 TB — so
+the scale-correct design packs WITHIN deterministic shards: documents
+hash into `n_shards` independent streams, each packed in doc_id order.
+Chunk boundaries never cross shards, shards never interact, and the
+only non-projection work is one windowed prefix-sum per shard (a
+shuffle on the shard key, then a per-partition sort bounded by shard
+size; pick n_shards >= cluster parallelism so every executor packs in
+parallel).
+
+The reference crawler has no batching stage (its closest analog is the
+fixed-size POST batching of `search_gov_crawler/elasticsearch/...`
+document uploads, re-expressed in sources/sinks.py); this is one of the
+corpus-preparation additions the brief calls for, with a DuckDB oracle
+twin (window prefix-sums are ANSI SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col, tokens_sql
+
+CAPACITY = 128  # tokens per packed chunk (driver-query default)
+N_SHARDS = 8
+
+
+def pack_chunks(
+    docs: DataFrame,
+    capacity: int = CAPACITY,
+    n_shards: int = N_SHARDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document placement in the packed token stream.
+
+    Returns (doc_id, shard, n_tokens, start_off, end_off, first_chunk,
+    last_chunk): offsets are within the shard's concatenated stream
+    (end exclusive), chunks are `capacity`-token slices of it; a
+    document straddles last_chunk - first_chunk chunk boundaries.
+    """
+    n_tokens = F.size(tokens_col(F.col(text_col)))
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long").alias("shard"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_off"),
+        (start + F.col("n_tokens")).alias("end_off"),
+        F.floor(start / capacity).alias("first_chunk"),
+        F.floor((start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / capacity).alias(
+            "last_chunk"
+        ),
+    )
+
+
+def pack_chunks_sql(
+    table: str = "documents",
+    capacity: int = CAPACITY,
+    n_shards: int = N_SHARDS,
+) -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 doc_id % {n_shards} AS shard,
+                 len({tokens_sql('text')}) AS n_tokens
+          FROM {table}
+        ), s AS (
+          SELECT doc_id, shard, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+          FROM t
+        )
+        SELECT doc_id, shard, n_tokens, start_off,
+               start_off + n_tokens AS end_off,
+               CAST(floor(start_off / {capacity}) AS BIGINT) AS first_chunk,
+               CAST(floor((start_off + greatest(n_tokens, 1) - 1) / {capacity}) AS BIGINT) AS last_chunk
+        FROM s
+        ORDER BY doc_id
+    """
+
+
+def chunk_stats(packed: DataFrame, capacity: int = CAPACITY) -> DataFrame:
+    """Per-shard packing summary from `pack_chunks` output:
+    (shard, n_docs, n_tokens, n_chunks, fill_frac) where fill_frac is
+    the last chunk's utilization-inclusive overall fill ratio."""
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.ceil(F.sum("n_tokens") / capacity).cast("long").alias("n_chunks"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "n_chunks",
+            F.round(
+                F.col("n_tokens") / (F.col("n_chunks") * F.lit(capacity)), 6
+            ).alias("fill_frac"),
+        )
+    )
+
+
+def chunk_stats_sql(
+    table: str = "documents",
+    capacity: int = CAPACITY,
+    n_shards: int = N_SHARDS,
+) -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id % {n_shards} AS shard,
+                 len({tokens_sql('text')}) AS n_tokens
+          FROM {table}
+        ), g AS (
+          SELECT shard, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+                 CAST(ceil(sum(n_tokens) / {float(capacity)}) AS BIGINT) AS n_chunks
+          FROM t GROUP BY shard
+        )
+        SELECT shard, n_docs, n_tokens, n_chunks,
+               round(n_tokens / (n_chunks * {capacity}), 6) AS fill_frac
+        FROM g
+        ORDER BY shard
+    """

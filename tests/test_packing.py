@@ -1,0 +1,72 @@
+"""Sequence packing (pipelines/packing.py): concat-and-chunk placement."""
+
+import pytest
+
+from searchgov_spider_spark.pipelines import packing as pp
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # one shard (n_shards=1 in tests) with token counts 5, 10, 3, 130
+    rows = [
+        (0, "a b c d e"),
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, "x y z"),
+        (3, " ".join(f"w{i}" for i in range(130))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_chunks_offsets_and_straddle(docs):
+    out = {
+        r["doc_id"]: r
+        for r in pp.pack_chunks(docs, capacity=16, n_shards=1).collect()
+    }
+    # doc_id order within the single shard: 0(5) 1(10) 2(3) 3(130)
+    assert (out[0]["start_off"], out[0]["end_off"]) == (0, 5)
+    assert (out[1]["start_off"], out[1]["end_off"]) == (5, 15)
+    assert (out[2]["start_off"], out[2]["end_off"]) == (15, 18)
+    assert (out[3]["start_off"], out[3]["end_off"]) == (18, 148)
+    # chunk placement at capacity 16
+    assert (out[0]["first_chunk"], out[0]["last_chunk"]) == (0, 0)
+    assert (out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 0)  # ends at tok 14
+    assert (out[2]["first_chunk"], out[2]["last_chunk"]) == (0, 1)  # straddles 15..17
+    assert (out[3]["first_chunk"], out[3]["last_chunk"]) == (1, 9)  # 18..147
+
+
+def test_pack_chunks_shards_are_independent(docs):
+    out = {
+        r["doc_id"]: r
+        for r in pp.pack_chunks(docs, capacity=16, n_shards=2).collect()
+    }
+    # shard 0 gets docs 0,2 — doc 2 now starts right after doc 0
+    assert out[0]["shard"] == 0 and out[2]["shard"] == 0
+    assert (out[2]["start_off"], out[2]["end_off"]) == (5, 8)
+    # shard 1 gets docs 1,3
+    assert (out[3]["start_off"], out[3]["end_off"]) == (10, 140)
+
+
+def test_chunk_stats_fill(docs):
+    packed = pp.pack_chunks(docs, capacity=16, n_shards=1)
+    row = pp.chunk_stats(packed, capacity=16).collect()[0]
+    assert row["n_docs"] == 4 and row["n_tokens"] == 148
+    assert row["n_chunks"] == 10  # ceil(148/16)
+    assert row["fill_frac"] == pytest.approx(148 / 160, abs=1e-6)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from searchgov_spider_spark.pipelines import cleaning as pc
+
+    rows = [
+        (0, "mail me at jane.doe+x@agency.gov or bob@sub.example.org today"),
+        (1, "ssn 078-05-1120 phone 202-555-0199 also 303.555.0100"),
+        (2, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pc.pii_scrub(df).collect()}
+    assert out[0]["n_emails"] == 2 and "<EMAIL>" in out[0]["clean_text"]
+    assert "@" not in out[0]["clean_text"]
+    assert out[1]["n_ssns"] == 1 and out[1]["n_phones"] == 2
+    assert out[1]["clean_text"] == "ssn <SSN> phone <PHONE> also <PHONE>"
+    assert out[2]["clean_text"] == rows[2][1]
+    assert out[2]["n_emails"] == out[2]["n_ssns"] == out[2]["n_phones"] == 0
