@@ -40,6 +40,7 @@ from .operators.politeness import schedule_wave, top_k_per_group
 from .operators.robots import apply_robots
 from .pipelines import cleaning as pclean
 from .pipelines import packing as ppack
+from .pipelines import prep as pprep
 from .pipelines import dedup as pdedup
 from .pipelines import multimodal as pmm
 from .pipelines import sampling as psampling
@@ -946,6 +947,16 @@ def q_decontaminate(spark, sf_dir):
     return _longify(pclean.decontaminate(corpus, bench))
 
 
+def q_corpus_prep(spark, sf_dir):
+    """Flagship composition: Gopher quality filter -> exact dedup ->
+    benchmark decontamination -> hash split -> sequence packing, with a
+    single CTE-chain oracle verifying the whole pipeline end to end."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return _longify(pprep.corpus_prep(corpus, bench))
+
+
 def q_lang_id(spark, sf_dir):
     return _longify(pstats.language_id(load(spark, sf_dir, "documents")))
 
@@ -1578,6 +1589,7 @@ def queries():
         "pii_scrub": q_pii_scrub,
         "pack_chunks": q_pack_chunks,
         "chunk_stats": q_chunk_stats,
+        "corpus_prep": q_corpus_prep,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -1636,6 +1648,7 @@ def oracle_sql():
         "pii_scrub": pclean.pii_scrub_sql(_INJECT_PII_SQL),
         "pack_chunks": ppack.pack_chunks_sql(),
         "chunk_stats": ppack.chunk_stats_sql(),
+        "corpus_prep": pprep.corpus_prep_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     dedup,
     multimodal,
     packing,
+    prep,
     sampling,
     similarity,
     spans,

@@ -46,13 +46,9 @@ def _toks(text_col: str) -> Column:
     return tokens_col(F.col(text_col))
 
 
-def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document Gopher rule features + keep flag (pure projection).
-
-    Features: token count, mean word length, fraction of tokens containing
-    an alphabetic character, stopword occurrence count. keep = all rule
-    thresholds hold (Rae et al. 2021 §A1.1 shape, thresholds local).
-    """
+def _gopher_feature_cols(text_col: str):
+    """(n_tokens, mean_word_len, alpha_frac, stop_hits, keep) columns —
+    shared by gopher_stats and the composed corpus_prep filter."""
     toks = _toks(text_col)
     n_tokens = F.size(toks)
     sum_len = F.aggregate(
@@ -71,6 +67,22 @@ def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         & (alpha_frac >= MIN_ALPHA_FRAC)
         & (stop_hits >= MIN_STOP_HITS)
     )
+    return n_tokens, mean_word_len, alpha_frac, stop_hits, keep
+
+
+def gopher_keep_col(text_col: str = "text") -> Column:
+    """The Gopher acceptance flag alone (for inline corpus filtering)."""
+    return _gopher_feature_cols(text_col)[4]
+
+
+def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule features + keep flag (pure projection).
+
+    Features: token count, mean word length, fraction of tokens containing
+    an alphabetic character, stopword occurrence count. keep = all rule
+    thresholds hold (Rae et al. 2021 §A1.1 shape, thresholds local).
+    """
+    n_tokens, mean_word_len, alpha_frac, stop_hits, keep = _gopher_feature_cols(text_col)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -78,6 +90,21 @@ def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         alpha_frac.alias("alpha_frac"),
         stop_hits.alias("stop_hits"),
         keep.alias("keep"),
+    )
+
+
+def gopher_keep_sql(text_expr: str = "text") -> str:
+    """Boolean SQL fragment mirroring gopher_keep_col (DuckDB)."""
+    toks = tokens_sql(text_expr)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    nt = f"len({toks})"
+    mwl = f"round(list_sum(list_transform({toks}, x -> length(x))) / len({toks}), 6)"
+    af = f"round(len(list_filter({toks}, x -> regexp_matches(x, '[A-Za-z]'))) / len({toks}), 6)"
+    sh = f"len(list_filter({toks}, x -> list_contains([{stop_list}], lower(x))))"
+    return (
+        f"({nt} >= {MIN_TOKENS} AND {nt} <= {MAX_TOKENS}"
+        f" AND {mwl} >= {MIN_MEAN_WORD_LEN} AND {mwl} <= {MAX_MEAN_WORD_LEN}"
+        f" AND {af} >= {MIN_ALPHA_FRAC} AND {sh} >= {MIN_STOP_HITS})"
     )
 
 
@@ -317,6 +344,20 @@ def decontaminate(
     )
 
 
+def ngrams_rel_sql(src: str, n: int) -> str:
+    """(doc_id, gram) relation of distinct word n-grams per doc (DuckDB);
+    `src` is a table name or CTE name exposing doc_id + text."""
+    return f"""
+          SELECT doc_id, g AS gram FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                     i -> array_to_string(toks[i:(i+{n - 1})], ' ')))) AS g
+            FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {src})
+          )
+        """
+
+
 def decontaminate_sql(
     table: str = "documents",
     bench_pred: str = "doc_id % 37 = 0",
@@ -326,15 +367,7 @@ def decontaminate_sql(
     corpus = the rest (mirrors the driver query's deterministic split)."""
 
     def grams(src: str) -> str:
-        return f"""
-          SELECT doc_id, g AS gram FROM (
-            SELECT doc_id,
-                   unnest(list_distinct(list_transform(
-                     range(1, greatest(len(toks) - {n - 1}, 0) + 1),
-                     i -> array_to_string(toks[i:(i+{n - 1})], ' ')))) AS g
-            FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {src})
-          )
-        """
+        return ngrams_rel_sql(src, n)
 
     return f"""
         WITH bench AS (SELECT * FROM {table} WHERE {bench_pred}),

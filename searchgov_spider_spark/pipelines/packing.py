@@ -35,28 +35,34 @@ def pack_chunks(
     capacity: int = CAPACITY,
     n_shards: int = N_SHARDS,
     text_col: str = "text",
+    extra_partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document placement in the packed token stream.
 
-    Returns (doc_id, shard, n_tokens, start_off, end_off, first_chunk,
-    last_chunk): offsets are within the shard's concatenated stream
-    (end exclusive), chunks are `capacity`-token slices of it; a
-    document straddles last_chunk - first_chunk chunk boundaries.
+    Returns (doc_id, *extra_partition_cols, shard, n_tokens, start_off,
+    end_off, first_chunk, last_chunk): offsets are within the
+    (extra..., shard) stream's concatenation (end exclusive), chunks are
+    `capacity`-token slices of it; a document straddles
+    last_chunk - first_chunk chunk boundaries. Extra partition columns
+    let a caller pack e.g. each train/val/test split independently.
     """
+    extra = list(extra_partition_cols)
     n_tokens = F.size(tokens_col(F.col(text_col)))
     base = docs.select(
         "doc_id",
+        *extra,
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long").alias("shard"),
         n_tokens.cast("long").alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*extra, "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return base.select(
         "doc_id",
+        *extra,
         "shard",
         "n_tokens",
         start.alias("start_off"),
@@ -72,25 +78,28 @@ def pack_chunks_sql(
     table: str = "documents",
     capacity: int = CAPACITY,
     n_shards: int = N_SHARDS,
+    extra_cols: tuple[str, ...] = (),
 ) -> str:
+    ex = "".join(f"{c}, " for c in extra_cols)
+    part = ", ".join([*extra_cols, "shard"])
     return f"""
-        WITH t AS (
-          SELECT doc_id,
+        WITH pc_t AS (
+          SELECT doc_id, {ex}
                  doc_id % {n_shards} AS shard,
                  len({tokens_sql('text')}) AS n_tokens
           FROM {table}
-        ), s AS (
-          SELECT doc_id, shard, n_tokens,
+        ), pc_s AS (
+          SELECT doc_id, {ex}shard, n_tokens,
                  coalesce(sum(n_tokens) OVER (
-                   PARTITION BY shard ORDER BY doc_id
+                   PARTITION BY {part} ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
-          FROM t
+          FROM pc_t
         )
-        SELECT doc_id, shard, n_tokens, start_off,
+        SELECT doc_id, {ex}shard, n_tokens, start_off,
                start_off + n_tokens AS end_off,
                CAST(floor(start_off / {capacity}) AS BIGINT) AS first_chunk,
                CAST(floor((start_off + greatest(n_tokens, 1) - 1) / {capacity}) AS BIGINT) AS last_chunk
-        FROM s
+        FROM pc_s
         ORDER BY doc_id
     """
 
