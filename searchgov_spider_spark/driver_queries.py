@@ -39,6 +39,7 @@ from .operators.filters import apply_prefetch_filters, normalize_job_rules
 from .operators.politeness import schedule_wave, top_k_per_group
 from .operators.robots import apply_robots
 from .pipelines import cleaning as pclean
+from .pipelines import events as pevents
 from .pipelines import packing as ppack
 from .pipelines import prep as pprep
 from .pipelines import dedup as pdedup
@@ -947,6 +948,17 @@ def q_decontaminate(spark, sf_dir):
     return _longify(pclean.decontaminate(corpus, bench))
 
 
+def q_sessionize(spark, sf_dir):
+    """Per-user session windows over crawl events (native session_window;
+    oracle = gaps-and-islands SQL)."""
+    return _longify(pevents.sessionize(load(spark, sf_dir, "events")))
+
+
+def q_props_rollup(spark, sf_dir):
+    """JSON props extraction + per-event-type rollup (codegen JSON path)."""
+    return _longify(pevents.props_rollup(load(spark, sf_dir, "events")))
+
+
 def q_corpus_prep(spark, sf_dir):
     """Flagship composition: Gopher quality filter -> exact dedup ->
     benchmark decontamination -> hash split -> sequence packing, with a
@@ -1590,6 +1602,8 @@ def queries():
         "pack_chunks": q_pack_chunks,
         "chunk_stats": q_chunk_stats,
         "corpus_prep": q_corpus_prep,
+        "sessionize": q_sessionize,
+        "props_rollup": q_props_rollup,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -1649,6 +1663,8 @@ def oracle_sql():
         "pack_chunks": ppack.pack_chunks_sql(),
         "chunk_stats": ppack.chunk_stats_sql(),
         "corpus_prep": pprep.corpus_prep_sql(),
+        "sessionize": pevents.sessionize_sql(),
+        "props_rollup": pevents.props_rollup_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

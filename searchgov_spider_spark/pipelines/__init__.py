@@ -18,6 +18,7 @@ SimHash / fingerprints bit-identical across engines).
 from . import (  # noqa: F401
     cleaning,
     dedup,
+    events,
     multimodal,
     packing,
     prep,
