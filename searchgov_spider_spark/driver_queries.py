@@ -948,6 +948,26 @@ def q_decontaminate(spark, sf_dir):
     return _longify(pclean.decontaminate(corpus, bench))
 
 
+_MIXTURE = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Pile/DoReMi-style source mixture: deterministic per-doc repeat
+    counts from fractional epoch weights (pure projection)."""
+    return _longify(
+        psampling.mixture_weights(load(spark, sf_dir, "documents"), _MIXTURE)
+    )
+
+
+def q_mixture_expand(spark, sf_dir):
+    """Materialized mixture rows (doc_id, copy_idx); zero-weight docs drop."""
+    return _longify(
+        psampling.mixture_expand(
+            psampling.mixture_weights(load(spark, sf_dir, "documents"), _MIXTURE)
+        )
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Per-user session windows over crawl events (native session_window;
     oracle = gaps-and-islands SQL)."""
@@ -1602,6 +1622,8 @@ def queries():
         "pack_chunks": q_pack_chunks,
         "chunk_stats": q_chunk_stats,
         "corpus_prep": q_corpus_prep,
+        "mixture_weights": q_mixture_weights,
+        "mixture_expand": q_mixture_expand,
         "sessionize": q_sessionize,
         "props_rollup": q_props_rollup,
         "lang_id": q_lang_id,
@@ -1663,6 +1685,8 @@ def oracle_sql():
         "pack_chunks": ppack.pack_chunks_sql(),
         "chunk_stats": ppack.chunk_stats_sql(),
         "corpus_prep": pprep.corpus_prep_sql(),
+        "mixture_weights": psampling.mixture_weights_sql(_MIXTURE),
+        "mixture_expand": psampling.mixture_expand_sql(_MIXTURE),
         "sessionize": pevents.sessionize_sql(),
         "props_rollup": pevents.props_rollup_sql(),
         "lang_id": pstats.language_id_sql(),

@@ -171,3 +171,82 @@ def leakage_safe_split(
     clusters = dup_clusters(pairs, docs.select("doc_id"))
     labeled = clusters.withColumn("split_bucket", split_bucket_col("cluster", salt))
     return labeled.withColumn("split", split_label_col(F.col("split_bucket"), weights))
+
+
+def mixture_weights(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default: float = 1.0,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Per-document repeat counts for a weighted source mixture
+    (Pile/DoReMi-style epoch factors): a source with weight 2.5 repeats
+    every doc twice and a deterministic hash-chosen half of them a third
+    time, so the expected epoch count per source is exact while each
+    document's multiplicity is reproducible (same properties as
+    hash_split: stable under repartitioning and appends, no rand()).
+
+    Adds (weight, n_repeats); n_repeats = floor(w) + (bucket < frac(w)).
+    Pure projection — no shuffle.
+    """
+    w = None
+    for s, f_ in weights.items():
+        cond = F.col(source_col) == F.lit(s)
+        w = F.when(cond, F.lit(float(f_))) if w is None else w.when(cond, F.lit(float(f_)))
+    w = F.lit(float(default)) if w is None else w.otherwise(F.lit(float(default)))
+    bucket = split_bucket_col(key_col, salt)
+    base = F.floor(w).cast("long")
+    frac_th = F.round((w - F.floor(w)) * SPLIT_BUCKETS).cast("long")
+    extra = (bucket < frac_th).cast("long")
+    return docs.withColumn("weight", w).withColumn("n_repeats", base + extra)
+
+
+def mixture_expand(weighted: DataFrame) -> DataFrame:
+    """Materialize the mixture: one row per (doc_id, copy_idx) repeat.
+    Docs with n_repeats = 0 are dropped. sequence() is gated (Spark's
+    sequence(1, 0) steps DOWNWARD, it is not empty)."""
+    copies = F.when(
+        F.col("n_repeats") >= 1,
+        F.sequence(F.lit(1).cast("long"), F.col("n_repeats")),
+    ).otherwise(F.array().cast("array<long>"))
+    return weighted.select("doc_id", F.explode(copies).alias("copy_idx"))
+
+
+def mixture_weights_sql(
+    weights: dict[str, float],
+    default: float = 1.0,
+    table: str = "documents",
+    key_expr: str = "doc_id",
+    source_expr: str = "source",
+    salt: str = "mixture",
+) -> str:
+    arms = " ".join(
+        f"WHEN {source_expr} = '{s}' THEN {float(f_)}" for s, f_ in weights.items()
+    )
+    # CAST: DuckDB folds numeric CASE literals to DECIMAL, whose string
+    # form ('0.00') would hash-mismatch Spark's double ('0.0').
+    w = f"CAST((CASE {arms} ELSE {float(default)} END) AS DOUBLE)"
+    bucket = split_bucket_sql(key_expr, salt)
+    return f"""
+        SELECT *, {w} AS weight,
+               CAST(floor({w}) AS BIGINT)
+                 + CAST({bucket} < CAST(round(({w} - floor({w})) * {SPLIT_BUCKETS}, 0) AS BIGINT) AS BIGINT)
+                 AS n_repeats
+        FROM {table}
+        ORDER BY doc_id
+    """
+
+
+def mixture_expand_sql(
+    weights: dict[str, float],
+    default: float = 1.0,
+    table: str = "documents",
+) -> str:
+    inner = mixture_weights_sql(weights, default, table)
+    return f"""
+        SELECT doc_id, CAST(c AS BIGINT) AS copy_idx
+        FROM ({inner}) , unnest(range(1, n_repeats + 1)) AS u(c)
+        ORDER BY doc_id, copy_idx
+    """
