@@ -887,6 +887,12 @@ def q_repetition_stats(spark, sf_dir):
     return _longify(pclean.repetition_stats(load(spark, sf_dir, "documents")))
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Full Gopher repetition family: top 2/3/4-gram + duplicated
+    5..10-gram character fractions via one tagged explode + hash-aggs."""
+    return _longify(pclean.repetition_profile(load(spark, sf_dir, "documents")))
+
+
 def q_segment_dedup(spark, sf_dir):
     """C4-style cross-corpus boilerplate removal with order-preserving
     document reassembly."""
@@ -1616,6 +1622,7 @@ def queries():
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
+        "repetition_profile": q_repetition_profile,
         "segment_dedup": q_segment_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1679,6 +1686,7 @@ def oracle_sql():
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),
         "repetition_stats": pclean.repetition_stats_sql(),
+        "repetition_profile": pclean.repetition_profile_sql(),
         "segment_dedup": pclean.segment_dedup_sql(),
         "decontaminate": pclean.decontaminate_sql(),
         "pii_scrub": pclean.pii_scrub_sql(_INJECT_PII_SQL),

@@ -393,6 +393,139 @@ def decontaminate_sql(
     """
 
 
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _ngrams_all(toks: Column, n: int) -> Column:
+    """ALL space-joined n-gram occurrences (with repeats; empty if < n
+    tokens). Same descending-sequence guard as _ngrams."""
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = TOP_NS,
+    dup_ns: tuple[int, ...] = DUP_NS,
+) -> DataFrame:
+    """The full Gopher repetition rule family (Rae et al. 2021 §A1.1):
+    per document, the fraction of characters covered by the most
+    frequent n-gram (n in top_ns) and by all duplicated n-grams
+    (n in dup_ns; char mass of every occurrence of grams seen > once —
+    the overlap-ignoring published approximation, so it can exceed 1).
+
+    Character base = length of the whitespace-normalized token stream.
+    Shape: ONE explode of (n, gram) pairs for all n -> hash-agg on
+    (doc_id, n, gram) with map-side combine -> per-(doc_id, n) masses ->
+    conditional-agg pivot to columns -> left join back (short docs get
+    zeros). No per-row O(L^2) folds, no window over the exploded rows.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = _toks(text_col)
+    n_chars = F.length(F.array_join(toks, " "))
+    def _tagged_grams(n: int) -> Column:
+        # NB: the lambda must be unary — F.transform treats a 2-arg
+        # lambda as (element, index), which would shadow the n tag.
+        return F.transform(
+            _ngrams_all(toks, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    tagged = F.flatten(F.array(*[_tagged_grams(n) for n in ns]))
+    base = docs.select("doc_id", n_chars.cast("long").alias("n_chars"))
+    exploded = docs.select("doc_id", F.explode(tagged).alias("g")).select(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    glen = F.length(F.col("gram"))
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.max(F.col("c") * glen).alias("top_mass"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * glen).otherwise(0)).alias("dup_mass"),
+    )
+    frac = lambda mass: F.round(mass / F.nullif(F.col("n_chars"), F.lit(0)), 6)  # noqa: E731
+    pivoted = (
+        per_n.join(base, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("n") == n, frac(F.col("top_mass")))).alias(
+                    f"top_{n}gram_char_frac"
+                )
+                for n in top_ns
+            ],
+            *[
+                F.max(F.when(F.col("n") == n, frac(F.col("dup_mass")))).alias(
+                    f"dup_{n}gram_char_frac"
+                )
+                for n in dup_ns
+            ],
+        )
+    )
+    out_cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
+    joined = base.join(pivoted, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        "n_chars",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols],
+    )
+
+
+def repetition_profile_sql(
+    table: str = "documents",
+    top_ns: tuple[int, ...] = TOP_NS,
+    dup_ns: tuple[int, ...] = DUP_NS,
+) -> str:
+    ns = sorted(set(top_ns) | set(dup_ns))
+    gram_blocks = "\n          UNION ALL\n".join(
+        f"""          SELECT doc_id, {n} AS n,
+                 array_to_string(toks[i:(i+{n - 1})], ' ') AS gram
+          FROM base, unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS u(i)"""
+        for n in ns
+    )
+    top_cols = ",\n               ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN round(top_mass / nullif(n_chars, 0), 6) END), 0.0)"
+        f" AS top_{n}gram_char_frac"
+        for n in top_ns
+    )
+    dup_cols = ",\n               ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN round(dup_mass / nullif(n_chars, 0), 6) END), 0.0)"
+        f" AS dup_{n}gram_char_frac"
+        for n in dup_ns
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {tokens_sql('text')} AS toks FROM {table}
+        ), chars AS (
+          SELECT doc_id, length(array_to_string(toks, ' ')) AS n_chars FROM base
+        ), g AS (
+{gram_blocks}
+        ), c AS (
+          SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
+        ), m AS (
+          SELECT doc_id, n,
+                 max(c * length(gram)) AS top_mass,
+                 sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_mass
+          FROM c GROUP BY doc_id, n
+        )
+        SELECT ch.doc_id, ch.n_chars,
+               {top_cols},
+               {dup_cols}
+        FROM chars ch LEFT JOIN m ON ch.doc_id = m.doc_id
+        GROUP BY ch.doc_id, ch.n_chars
+        ORDER BY ch.doc_id
+    """
+
+
 def segment_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -79,6 +79,39 @@ def test_segment_dedup_identity_when_threshold_high(docs):
     assert out.filter(F.col("n_removed") > 0).count() == 0
 
 
+def test_repetition_profile_fracs(spark):
+    # "ab cd ab cd ab cd" : 17 chars; top 2-gram mass — "ab cd" x3 = 15,
+    # "cd ab" x2 = 10 -> top = 15/17; dup 5-grams: the two 5-grams
+    # "ab cd ab cd ab" / "cd ab cd ab cd" are distinct -> 0.0
+    df = spark.createDataFrame(
+        [(1, "ab cd ab cd ab cd"), (2, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in pc.repetition_profile(df).collect()}
+    r1 = out[1]
+    assert r1["n_chars"] == 17
+    assert r1["top_2gram_char_frac"] == pytest.approx(15 / 17, abs=1e-6)
+    # top 3-gram: "ab cd ab" x2 (8 chars) and "cd ab cd" x2 -> mass 16
+    assert r1["top_3gram_char_frac"] == pytest.approx(16 / 17, abs=1e-6)
+    assert r1["dup_5gram_char_frac"] == 0.0
+    # single-token doc: no grams at all -> zeros, not nulls
+    r2 = out[2]
+    assert r2["n_chars"] == 1
+    assert all(
+        r2[c] == 0.0
+        for c in r2.asDict()
+        if c.endswith("_char_frac")
+    )
+
+
+def test_repetition_profile_dup_mass(spark):
+    # 30 tokens with period 10: every 5..10-gram repeats -> dup frac > 0
+    reps = ("t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 " * 3).strip()
+    df = spark.createDataFrame([(1, reps)], "doc_id long, text string")
+    r = pc.repetition_profile(df).collect()[0]
+    assert r["dup_5gram_char_frac"] > 0.5
+    assert r["dup_10gram_char_frac"] > 0.5
+
+
 def test_decontaminate_flags_ngram_overlap(spark):
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon zeta eta theta leak tail")],
