@@ -1381,6 +1381,32 @@ Q_STREAM_DEDUP_SQL = """
 """
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Streaming twin of `sessionize`, run as a REAL Structured Streaming
+    query: events replayed through readStream.parquet into the SAME
+    session_window aggregation (pipelines/events.sessionize works
+    unchanged on a streaming DataFrame), drained with
+    trigger(availableNow) into a memory sink in complete mode — so every
+    session emits and the batch gaps-and-islands oracle applies verbatim.
+    Production would run append/update mode with a real watermark so
+    session state stays bounded; complete mode here is the in-sandbox
+    drain (the watermark path is exercised in tests/test_streaming.py)."""
+    from .streaming.monitor import run_to_memory
+
+    sch = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ev = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = pevents.sessionize(ev.withWatermark("ts", "0 seconds"))
+    run_to_memory(out, "stream_sessions_drv")
+    return _longify(spark.table("stream_sessions_drv"))
+
+
 def q_stream_monitor(spark, sf_dir):
     """A1 streaming twin: the SAME status_code_monitor used by the
     Structured Streaming job (streaming/monitor.py), executed on a batch
@@ -1632,6 +1658,7 @@ def queries():
         "mixture_weights": q_mixture_weights,
         "mixture_expand": q_mixture_expand,
         "sessionize": q_sessionize,
+        "stream_sessions": q_stream_sessions,
         "props_rollup": q_props_rollup,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -1696,6 +1723,7 @@ def oracle_sql():
         "mixture_weights": psampling.mixture_weights_sql(_MIXTURE),
         "mixture_expand": psampling.mixture_expand_sql(_MIXTURE),
         "sessionize": pevents.sessionize_sql(),
+        "stream_sessions": pevents.sessionize_sql(),
         "props_rollup": pevents.props_rollup_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),

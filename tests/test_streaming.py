@@ -104,3 +104,48 @@ def test_no_item_monitor(spark, tmp_path):
     ok = [r for r in wins.values() if not r["no_item_alarm"]]
     assert len(alarm) == 1 and alarm[0]["fetches"] == 2
     assert len(ok) == 1 and ok[0]["emitted"] == 1
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """The same sessionize() aggregation, streamed with availableNow +
+    complete mode, must reproduce the batch result exactly."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from searchgov_spider_spark.pipelines.events import sessionize
+    from searchgov_spider_spark.streaming.monitor import run_to_memory
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for uid in range(5):
+        for burst in range(3):
+            t0 = base + timedelta(hours=burst * 2, minutes=uid)
+            for k in range(4):
+                rows.append((eid, t0 + timedelta(minutes=5 * k), uid, "view", 1.0, "{}"))
+                eid += 1
+    sch = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df = spark.createDataFrame(rows, sch)
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+
+    batch = {
+        (r["user_id"], r["session_start"]): r
+        for r in sessionize(df).collect()
+    }
+    stream = spark.readStream.schema(sch).parquet(path)
+    run_to_memory(sessionize(stream.withWatermark("ts", "0 seconds")), "t_sess")
+    got = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.table("t_sess").collect()
+    }
+    assert len(batch) == 15  # 5 users x 3 well-separated bursts
+    assert got.keys() == batch.keys()
+    for k in batch:
+        assert got[k]["n_events"] == batch[k]["n_events"]
+        assert got[k]["session_end"] == batch[k]["session_end"]
+        assert got[k]["total_value"] == batch[k]["total_value"]
