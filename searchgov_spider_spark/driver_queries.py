@@ -45,6 +45,7 @@ from .pipelines import prep as pprep
 from .pipelines import dedup as pdedup
 from .pipelines import multimodal as pmm
 from .pipelines import sampling as psampling
+from .pipelines import search as psearch
 from .pipelines import similarity as psim
 from .pipelines import spans as pspans
 from .pipelines import textstats as pstats
@@ -995,6 +996,31 @@ def q_corpus_prep(spark, sf_dir):
     return _longify(pprep.corpus_prep(corpus, bench))
 
 
+def q_inverted_index(spark, sf_dir):
+    """Posting-list build: (term, df, total_tf, sorted postings arrays) —
+    the physical structure behind the reference's Elasticsearch/i14y sink."""
+    return _longify(psearch.inverted_index(load(spark, sf_dir, "documents")))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 per benchmark query: broadcast query-term join onto
+    postings, corpus stats as a broadcast 1-row aggregate, windowed top-k."""
+    return _longify(psearch.bm25_topk(load(spark, sf_dir, "documents"), k=10))
+
+
+def q_pagerank(spark, sf_dir):
+    """3-iteration power-iteration PageRank over the deterministic
+    synthetic doc link graph — the crawl-priority feed (domain-priority
+    ordering's scale analog). One shuffle per iteration."""
+    return _longify(psearch.pagerank_docs(load(spark, sf_dir, "documents")))
+
+
+def q_lm_score(spark, sf_dir):
+    """Unigram-LM quality scoring: add-one-smoothed avg logprob +
+    perplexity per document (broadcast vocab, two hash-aggs)."""
+    return _longify(psearch.lm_score(load(spark, sf_dir, "documents")))
+
+
 def q_lang_id(spark, sf_dir):
     return _longify(pstats.language_id(load(spark, sf_dir, "documents")))
 
@@ -1660,6 +1686,10 @@ def queries():
         "sessionize": q_sessionize,
         "stream_sessions": q_stream_sessions,
         "props_rollup": q_props_rollup,
+        "inverted_index": q_inverted_index,
+        "bm25_topk": q_bm25_topk,
+        "pagerank": q_pagerank,
+        "lm_score": q_lm_score,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -1725,6 +1755,10 @@ def oracle_sql():
         "sessionize": pevents.sessionize_sql(),
         "stream_sessions": pevents.sessionize_sql(),
         "props_rollup": pevents.props_rollup_sql(),
+        "inverted_index": psearch.inverted_index_sql(),
+        "bm25_topk": psearch.bm25_topk_sql(k=10),
+        "pagerank": psearch.pagerank_docs_sql(),
+        "lm_score": psearch.lm_score_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

@@ -1,0 +1,423 @@
+"""Search-index operators: inverted index, BM25 ranking, link-graph
+PageRank, and unigram language-model scoring.
+
+The reference crawler exists to feed search.gov's index (its sinks POST
+i14y documents to the indexing endpoint, searchgov-spider
+`elasticsearch/es_batch_upload.py` / `i14y_helper.py`); these operators
+are the index-side continuation of that pipeline re-expressed as Spark
+plans:
+
+* ``inverted_index`` — posting lists per term (the physical structure the
+  reference's Elasticsearch sink ultimately builds),
+* ``bm25_topk`` — the standard BM25 ranking function evaluated as a
+  broadcast join + hash aggregation (no per-row Python),
+* ``pagerank`` — power-iteration link rank; the scale analog of the
+  reference's static domain-priority ordering
+  (`helpers/domain_spider.py` spider priorities): rank from the link
+  graph feeds the frontier's priority column,
+* ``lm_score`` — add-one-smoothed unigram log-likelihood / perplexity
+  per document, the classic LM quality filter for training corpora.
+
+Every operator has a DuckDB-SQL twin built from the same constants so
+the driver's value-hash gate verifies exact results (floats agree well
+inside the gate's 1e-9 rounding: both engines do IEEE arithmetic on
+identical operands in identical association; only ``ln``/``exp`` differ
+by ulps).
+
+Scale shapes (100 TB): tokenize+explode is embarrassingly parallel;
+term statistics are one hash-agg with map-side combine; query terms and
+per-term df are broadcast (vocabulary << corpus); BM25 scoring touches
+only postings of query terms (filter pushed before the explode output
+shuffles); PageRank shuffles once per iteration on dst with AQE handling
+skew; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col, tokens_sql
+
+# Fixed benchmark queries over the synthetic corpus vocabulary ("dup" is
+# the rare high-idf term). Tuples of (query_id, query_text); tokenization
+# is the same whitespace split as the corpus side.
+SEARCH_QUERIES: tuple[tuple[str, str], ...] = (
+    ("q_dup", "dup stream window"),
+    ("q_join", "hash join merge"),
+    ("q_scan", "fast table scan"),
+    ("q_sort", "sort order value"),
+)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+# Synthetic deterministic link graph over doc_ids: each doc links to
+# (a*doc_id + b) mod N for each (a, b) below. Mirrored in the SQL twin.
+PR_EDGE_COEFFS: tuple[tuple[int, int], ...] = ((7, 1), (13, 3), (31, 7))
+
+
+def _terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term) rows: lowercased whitespace tokens, empties dropped."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.transform(tokens_col(text_col), F.lower)).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def _terms_sql(table: str = "documents") -> str:
+    return f"""(
+      SELECT doc_id, lower(w) AS term
+      FROM {table}, unnest({tokens_sql('text')}) AS u(w)
+      WHERE w <> ''
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index
+# ---------------------------------------------------------------------------
+
+def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Posting lists: (term, df, total_tf, doc_ids, tfs), postings sorted
+    by doc_id.
+
+    Plan: explode -> hash-agg to (term, doc_id, tf) -> hash-agg to
+    term-level arrays. The per-term collect_list is bounded by document
+    frequency; for web-scale vocabularies the heavy terms are exactly the
+    ones a real index stores as blocked posting lists — partition by term
+    and the build is one shuffle.
+    """
+    tf = _terms(docs, text_col).groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    postings = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("p"),
+    )
+    return postings.select(
+        "term",
+        "df",
+        "total_tf",
+        F.col("p.doc_id").alias("doc_ids"),
+        F.col("p.tf").alias("tfs"),
+    )
+
+
+def inverted_index_sql(table: str = "documents") -> str:
+    return f"""
+        WITH terms AS (SELECT * FROM {_terms_sql(table)}),
+        tf AS (
+          SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY term, doc_id
+        )
+        SELECT term,
+               count(*) AS df,
+               sum(tf) AS total_tf,
+               list(doc_id ORDER BY doc_id) AS doc_ids,
+               list(tf ORDER BY doc_id) AS tfs
+        FROM tf GROUP BY term ORDER BY term
+    """
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k
+# ---------------------------------------------------------------------------
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: Sequence[tuple[str, str]] = SEARCH_QUERIES,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query under BM25.
+
+    idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)          [Robertson]
+    s(t, d) = idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Plan: the (query_id, term) table is broadcast against the corpus
+    (doc_id, term, tf) postings, so only postings of query terms survive
+    the join; corpus statistics (N, avgdl) ride along as a broadcast
+    1-row aggregate; the final per-query top-k is a window over the
+    already-small scored set (Catalyst applies WindowGroupLimit).
+    """
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [
+            (qid, tok.lower())
+            for qid, qtext in queries
+            for tok in qtext.split()
+            if tok
+        ],
+        "query_id string, term string",
+    ).distinct()
+
+    tf = _terms(docs, text_col).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    dl = docs.select(
+        "doc_id", F.size(tokens_col(text_col)).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dft = tf.join(F.broadcast(qterms.select("term").distinct()), "term").groupBy(
+        "term"
+    ).agg(F.count("*").alias("dft"))
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+        / (F.col("dft") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(term_score).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_terms", "score", "rank")
+    )
+
+
+def bm25_topk_sql(
+    queries: Sequence[tuple[str, str]] = SEARCH_QUERIES,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    table: str = "documents",
+) -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{tok.lower()}')"
+        for qid, qtext in queries
+        for tok in qtext.split()
+        if tok
+    )
+    return f"""
+        WITH qterms AS (
+          SELECT DISTINCT * FROM (VALUES {qvals}) AS q(query_id, term)
+        ), terms AS (SELECT * FROM {_terms_sql(table)}),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+        ), dl AS (
+          SELECT doc_id, len({tokens_sql('text')})::BIGINT AS dl FROM {table}
+        ), stats AS (
+          SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+        ), dft AS (
+          SELECT term, count(*) AS dft FROM tf
+          WHERE term IN (SELECT term FROM qterms) GROUP BY term
+        ), scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 count(*)::BIGINT AS n_terms,
+                 sum(
+                   ln((s.n_docs - dft.dft + 0.5) / (dft.dft + 0.5) + 1.0)
+                   * (tf.tf * {k1 + 1.0!r})
+                   / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.dl / s.avgdl))
+                 ) AS score
+          FROM tf
+          JOIN qterms q USING (term)
+          JOIN dft USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.query_id, tf.doc_id
+        ), ranked AS (
+          SELECT query_id, doc_id, n_terms, score,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                 )::BIGINT AS rank
+          FROM scored
+        )
+        SELECT query_id, doc_id, n_terms, score, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
+# PageRank over a deterministic synthetic link graph
+# ---------------------------------------------------------------------------
+
+def synthetic_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic link graph over doc_ids: src -> (a*src + b) mod N for
+    each (a, b) in PR_EDGE_COEFFS. N rides along as a broadcast 1-row
+    aggregate (no driver-side count action)."""
+    nodes = docs.select(F.col("doc_id").alias("src"))
+    n = docs.agg(F.count("*").alias("n_nodes"))
+    edges = None
+    for a, bb in PR_EDGE_COEFFS:
+        e = nodes.crossJoin(F.broadcast(n)).select(
+            "src",
+            ((F.col("src") * a + bb) % F.col("n_nodes")).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return edges
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """Power-iteration PageRank: rank(v) = (1-d)/N + d * sum over in-edges
+    of rank(u)/outdeg(u). ``nodes`` must have column ``node``; ``edges``
+    columns ``src``/``dst``. Dangling nodes keep the teleport term only.
+
+    Plan per iteration: one shuffle on dst (hash-agg of contributions)
+    plus a left join back onto nodes; out-degrees are computed once.
+    At web scale this is the standard edge-partitioned power iteration —
+    contributions combine map-side, hot dst pages are AQE-skew-split,
+    and the rank vector stays a DataFrame (never driver-side).
+    """
+    n = nodes.agg(F.count("*").alias("n_nodes"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e = edges.join(deg, "src")
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def pagerank_docs(docs: DataFrame) -> DataFrame:
+    """PageRank over the synthetic doc_id link graph; returns
+    (doc_id, rank) — the crawl-priority feed."""
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    ranks = pagerank(nodes, synthetic_edges(docs))
+    return ranks.select(F.col("node").alias("doc_id"), "rank")
+
+
+def pagerank_docs_sql(
+    n_iter: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    table: str = "documents",
+) -> str:
+    edge_selects = " UNION ALL ".join(
+        f"SELECT node AS src, (node * {a} + {bb}) % (SELECT n_int FROM nn) AS dst FROM nodes"
+        for a, bb in PR_EDGE_COEFFS
+    )
+    ctes = [
+        f"nodes AS (SELECT doc_id AS node FROM {table})",
+        "nn AS (SELECT count(*)::BIGINT AS n_int, count(*)::DOUBLE AS n FROM nodes)",
+        f"edges AS ({edge_selects})",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "e AS (SELECT src, dst, outdeg FROM edges JOIN deg USING (src))",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT dst AS node, sum(rank / outdeg) AS s "
+            f"FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node, "
+            f"{1.0 - damping!r} / (SELECT n FROM nn) "
+            f"+ {damping!r} * coalesce(s, 0.0) AS rank "
+            f"FROM nodes LEFT JOIN c{i} USING (node))"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, rank FROM {prev} ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (perplexity quality filter)
+# ---------------------------------------------------------------------------
+
+def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add-one-smoothed unigram log-likelihood per document:
+
+    p(w) = (c_w + 1) / (total + V);  avg_logprob = mean over tokens of
+    ln p(w);  ppl = exp(-avg_logprob).
+
+    The vocabulary (term -> logprob) is one hash-agg over the corpus and
+    broadcasts back onto the token stream (vocab << corpus at any scale);
+    the per-doc score is a second hash-agg. Self-scoring means every
+    token hits the vocab, so the join is inner.
+    """
+    terms = _terms(docs, text_col)
+    vocab = terms.groupBy("term").agg(F.count("*").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("total"), F.count("*").alias("v_size")
+    )
+    logp = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.log(
+            (F.col("c") + F.lit(1)).cast("double")
+            / (F.col("total") + F.col("v_size")).cast("double")
+        ).alias("logp"),
+    )
+    return (
+        terms.join(F.broadcast(logp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("logp").alias("ll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("ll") / F.col("n_tokens")).alias("avg_logprob"),
+            F.exp(-(F.col("ll") / F.col("n_tokens"))).alias("ppl"),
+        )
+    )
+
+
+def lm_score_sql(table: str = "documents") -> str:
+    return f"""
+        WITH terms AS (SELECT * FROM {_terms_sql(table)}),
+        vocab AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+        tot AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS v_size FROM vocab),
+        logp AS (
+          SELECT term, ln((c + 1) / (total + v_size)) AS logp
+          FROM vocab CROSS JOIN tot
+        ), scored AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(logp) AS ll
+          FROM terms JOIN logp USING (term) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               ll / n_tokens AS avg_logprob,
+               exp(-(ll / n_tokens)) AS ppl
+        FROM scored ORDER BY doc_id
+    """

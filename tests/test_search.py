@@ -1,0 +1,144 @@
+"""Tests for the search-index pipeline (inverted index, BM25, PageRank,
+unigram-LM scoring) against pure-Python oracles on a small corpus."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from searchgov_spider_spark.pipelines import search as psearch
+
+DOCS = [
+    (0, "dup table scan fast fast table"),
+    (1, "hash join merge join hash join"),
+    (2, "sort order value window stream"),
+    (3, "table scan slow merge order"),
+    (4, "dup dup dup stream window"),
+    (5, "fast fast fast fast fast"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _tokens(text):
+    return [t.lower() for t in text.split() if t]
+
+
+def test_inverted_index_matches_python(docs_df):
+    rows = {r.term: r for r in psearch.inverted_index(docs_df).collect()}
+    # Python oracle
+    post = {}
+    for doc_id, text in DOCS:
+        for t in set(_tokens(text)):
+            post.setdefault(t, []).append(doc_id)
+    for term, doc_ids in post.items():
+        r = rows[term]
+        assert r.doc_ids == sorted(doc_ids)
+        assert r.df == len(doc_ids)
+        assert len(r.tfs) == r.df
+    assert set(rows) == set(post)
+    # tf values align with postings order
+    r = rows["dup"]
+    assert r.doc_ids == [0, 4]
+    assert r.tfs == [1, 3]
+    assert r.total_tf == 4
+
+
+def _bm25_python(queries, k1=psearch.BM25_K1, b=psearch.BM25_B):
+    """Independent BM25 on DOCS; returns {(qid, doc_id): score}."""
+    toks = {d: _tokens(t) for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for qid, qtext in queries:
+        terms = set(_tokens(qtext))
+        dft = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+        for d, v in toks.items():
+            s = 0.0
+            hit = False
+            for t in terms:
+                tf = v.count(t)
+                if not tf or not dft[t]:
+                    continue
+                hit = True
+                idf = math.log((n - dft[t] + 0.5) / (dft[t] + 0.5) + 1.0)
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(v) / avgdl)
+                )
+            if hit:
+                out[(qid, d)] = s
+    return out
+
+QUERIES = (("qa", "dup stream"), ("qb", "fast table scan"))
+
+
+def test_bm25_scores_match_python(docs_df):
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in psearch.bm25_topk(docs_df, queries=QUERIES, k=10).collect()
+    }
+    want = _bm25_python(QUERIES)
+    assert set(got) == set(want)
+    for key, s in want.items():
+        assert got[key] == pytest.approx(s, abs=1e-12)
+
+
+def test_bm25_rank_ordering_and_k(docs_df):
+    rows = psearch.bm25_topk(docs_df, queries=QUERIES, k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 2
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # doc 4 ("dup dup dup stream window") must top the dup query
+    assert by_q["qa"][0].doc_id == 4
+
+
+def test_pagerank_sums_to_one_and_matches_python(docs_df):
+    ranks = {r.doc_id: r["rank"] for r in psearch.pagerank_docs(docs_df).collect()}
+    n = len(DOCS)
+    assert len(ranks) == n
+    # rank mass conserved: no dangling nodes, so sum == 1
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-12)
+    # python power iteration
+    edges = [
+        (s, (s * a + bb) % n) for s in range(n) for a, bb in psearch.PR_EDGE_COEFFS
+    ]
+    outdeg = {s: sum(1 for e in edges if e[0] == s) for s in range(n)}
+    r = {v: 1.0 / n for v in range(n)}
+    for _ in range(psearch.PR_ITERS):
+        nxt = {v: (1.0 - psearch.PR_DAMPING) / n for v in range(n)}
+        for s, d in edges:
+            nxt[d] += psearch.PR_DAMPING * (r[s] / outdeg[s])
+        r = nxt
+    for v in range(n):
+        assert ranks[v] == pytest.approx(r[v], abs=1e-12)
+
+
+def test_lm_score_matches_python(docs_df):
+    got = {r.doc_id: r for r in psearch.lm_score(docs_df).collect()}
+    counts = {}
+    total = 0
+    for _, text in DOCS:
+        for t in _tokens(text):
+            counts[t] = counts.get(t, 0) + 1
+            total += 1
+    vsize = len(counts)
+    for doc_id, text in DOCS:
+        toks = _tokens(text)
+        ll = sum(math.log((counts[t] + 1) / (total + vsize)) for t in toks)
+        avg = ll / len(toks)
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.avg_logprob == pytest.approx(avg, abs=1e-12)
+        assert r.ppl == pytest.approx(math.exp(-avg), rel=1e-12)
+    # rare-token docs are higher perplexity than the repetitive doc 5
+    assert got[5].ppl < got[0].ppl
