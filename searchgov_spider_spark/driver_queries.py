@@ -1021,6 +1021,30 @@ def q_lm_score(spark, sf_dir):
     return _longify(psearch.lm_score(load(spark, sf_dir, "documents")))
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style quality tiers: per-source ntile over LM perplexity
+    (bucket 1 = cleanest); keep = head+middle."""
+    return _longify(psearch.ppl_buckets(load(spark, sf_dir, "documents")))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms: two hash-aggs, broadcast df +
+    corpus size, WindowGroupLimit top-k per doc."""
+    return _longify(psearch.tfidf_topk(load(spark, sf_dir, "documents"), k=3))
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """Top-20 bigram collocations by PMI (count floor 5): shifted-slice
+    zip_with pairing, two hash-aggs, broadcast totals."""
+    return _longify(pstats.pmi_bigrams(load(spark, sf_dir, "documents"), k=20, min_count=5))
+
+
+def q_knn_classify(spark, sf_dir):
+    """Exact 5-NN cosine majority-vote label prediction for the first 10
+    vectors (integer-ordered vote window; floats never order)."""
+    return _longify(psim.knn_classify(load(spark, sf_dir, "embeddings"), n_queries=10, k=5))
+
+
 def q_lang_id(spark, sf_dir):
     return _longify(pstats.language_id(load(spark, sf_dir, "documents")))
 
@@ -1690,6 +1714,10 @@ def queries():
         "bm25_topk": q_bm25_topk,
         "pagerank": q_pagerank,
         "lm_score": q_lm_score,
+        "ppl_buckets": q_ppl_buckets,
+        "tfidf_topk": q_tfidf_topk,
+        "pmi_bigrams": q_pmi_bigrams,
+        "knn_classify": q_knn_classify,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -1759,6 +1787,10 @@ def oracle_sql():
         "bm25_topk": psearch.bm25_topk_sql(k=10),
         "pagerank": psearch.pagerank_docs_sql(),
         "lm_score": psearch.lm_score_sql(),
+        "ppl_buckets": psearch.ppl_buckets_sql(),
+        "tfidf_topk": psearch.tfidf_topk_sql(k=3),
+        "pmi_bigrams": pstats.pmi_bigrams_sql(k=20, min_count=5),
+        "knn_classify": psim.knn_classify_sql(n_queries=10, k=5),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

@@ -421,3 +421,112 @@ def lm_score_sql(table: str = "documents") -> str:
                exp(-(ll / n_tokens)) AS ppl
         FROM scored ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 3
+
+
+def ppl_buckets(
+    docs: DataFrame, n_buckets: int = PPL_BUCKETS, text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style quality tiers: per source, rank documents by LM
+    perplexity ascending and ntile into ``n_buckets`` (1 = head / lowest
+    ppl = cleanest; CCNet keeps head+middle). ``keep`` = bucket < tail.
+
+    Ordering key is (round(ppl, 9), doc_id) so the bucket boundary is
+    insensitive to ln/exp ulp differences across engines. Plan: lm_score's
+    two hash-aggs, a join back for ``source``, one window per source —
+    the window input is one row per doc (already aggregated), so the sort
+    is over the doc table, not the token stream.
+    """
+    scored = lm_score(docs, text_col)
+    src = docs.select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.round(F.col("ppl"), 9).asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(src, "doc_id")
+        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+        .withColumn("keep", F.col("bucket") < n_buckets)
+        .select("doc_id", "source", "ppl", "bucket", "keep")
+    )
+
+
+def ppl_buckets_sql(n_buckets: int = PPL_BUCKETS, table: str = "documents") -> str:
+    lm = lm_score_sql(table)
+    return f"""
+        WITH lm AS ({lm})
+        SELECT lm.doc_id, d.source, lm.ppl,
+               ntile({n_buckets}) OVER (
+                 PARTITION BY d.source ORDER BY round(lm.ppl, 9) ASC, lm.doc_id ASC
+               )::BIGINT AS bucket,
+               ntile({n_buckets}) OVER (
+                 PARTITION BY d.source ORDER BY round(lm.ppl, 9) ASC, lm.doc_id ASC
+               ) < {n_buckets} AS keep
+        FROM lm JOIN {table} d ON d.doc_id = lm.doc_id
+        ORDER BY lm.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF top-k terms
+# ---------------------------------------------------------------------------
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k terms per document by TF-IDF (tf * ln(N/df)) — per-doc
+    keyword extraction (complements ``top_keywords``' per-source view).
+
+    Ranking key is (round(score, 9) desc, term asc) so ln ulps can't
+    flip ranks between engines. Plan: two hash-aggs (tf, df), df
+    broadcast back onto tf (vocabulary << corpus), N as a broadcast
+    1-row agg, then a per-doc window; Catalyst turns the row_number
+    filter into WindowGroupLimit so only k rows per doc survive the sort.
+    """
+    tf = _terms(docs, text_col).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def tfidf_topk_sql(k: int = 3, table: str = "documents") -> str:
+    return f"""
+        WITH terms AS (SELECT * FROM {_terms_sql(table)}),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+        ), dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM {table}),
+        scored AS (
+          SELECT doc_id, term, round(tf * ln(n_docs::DOUBLE / df), 9) AS tfidf
+          FROM tf JOIN dft USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                 )::BIGINT AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {k}
+        ORDER BY doc_id, rank
+    """

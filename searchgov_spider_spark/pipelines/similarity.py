@@ -359,3 +359,67 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def knn_classify(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """k-NN majority-vote classification over the embedding table's
+    ``label`` column: the exact top-k cosine neighborhood of each query
+    vector votes; ties break by cosine-weight sum, then smaller label.
+
+    Output: (query_id, true_label, pred_label, votes, weight).
+
+    Plan: the (n_queries x k)-row neighbor table broadcasts against the
+    label column (never the reverse — labels are corpus-sized), one
+    hash-agg of votes, one window over the per-query vote table. The
+    vote ordering key uses integer votes then label (never the float
+    weight) so engine ulps can't flip the prediction.
+    """
+    nn = cosine_topk(emb, n_queries=n_queries, k=k)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").cast("long").alias("label")
+    )
+    votes = (
+        labels.join(F.broadcast(nn), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.count("*").cast("long").alias("votes"),
+            F.round(F.sum("cos_sim"), 6).alias("weight"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    truth = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("label").cast("long").alias("true_label")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id", "true_label", F.col("label").alias("pred_label"),
+            "votes", "weight",
+        )
+    )
+
+
+def knn_classify_sql(table: str = "embeddings", n_queries: int = 10, k: int = 5) -> str:
+    nn = cosine_topk_sql(table=table, n_queries=n_queries, k=k)
+    return f"""
+        WITH nn AS ({nn}),
+        votes AS (
+          SELECT nn.query_id, e.label::BIGINT AS label,
+                 count(*)::BIGINT AS votes, round(sum(nn.cos_sim), 6) AS weight
+          FROM nn JOIN {table} e ON e.vec_id = nn.neighbor_id
+          GROUP BY nn.query_id, e.label
+        ), ranked AS (
+          SELECT query_id, label, votes, weight,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY votes DESC, label ASC
+                 ) AS r
+          FROM votes
+        )
+        SELECT r.query_id, q.label::BIGINT AS true_label, r.label AS pred_label,
+               r.votes, r.weight
+        FROM ranked r JOIN {table} q ON q.vec_id = r.query_id
+        WHERE r.r = 1
+        ORDER BY query_id
+    """

@@ -273,3 +273,106 @@ def top_keywords_sql(k: int = 10, table: str = "documents") -> str:
         SELECT source, word, n, rank FROM ranked WHERE rank <= {k}
         ORDER BY source, rank
     """
+
+
+def pmi_bigrams(
+    docs: DataFrame, k: int = 20, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    pmi(x,y) = ln( p(xy) / (p(x) p(y)) ) over adjacent lowercased tokens,
+    bigrams with count < ``min_count`` dropped (classic corpus-analysis /
+    tokenizer-merge-candidate signal).
+
+    Adjacent pairs come from zip_with over two shifted slices of the
+    token array (no self-join on token position); counts are two
+    hash-aggs with map-side combine; totals ride along as broadcast
+    1-row aggregates; the filtered bigram table (small after the count
+    floor) broadcasts against the vocabulary. pmi is rounded to 9
+    decimals for output AND ordering so ln ulps can't flip ranks
+    between engines. The final top-k window runs over the filtered
+    aggregate, never the token stream.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.transform(tokens_col(text_col), F.lower), lambda x: x != "")
+    t = docs.select(toks.alias("t"))
+    ln = F.greatest(F.size("t") - F.lit(1), F.lit(0))
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, ln),
+                F.slice("t", 2, ln),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = t.select(F.explode("t").alias("word")).groupBy("word").agg(
+        F.count("*").alias("c")
+    )
+    t_tot = uni.agg(F.sum("c").cast("double").alias("t_tot"))
+    b_tot = pairs.agg(F.count("*").cast("double").alias("b_tot"))
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    scored = (
+        F.broadcast(bg)
+        .join(uni.select(F.col("word").alias("w1"), F.col("c").alias("cx")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("c").alias("cy")), "w2")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(b_tot))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n") / F.col("b_tot"))
+                    / ((F.col("cx") / F.col("t_tot")) * (F.col("cy") / F.col("t_tot")))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.partitionBy().orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("w1", "w2", "n", "pmi", "rank")
+    )
+
+
+def pmi_bigrams_sql(k: int = 20, min_count: int = 5, table: str = "documents") -> str:
+    return f"""
+        WITH toks AS (
+          SELECT list_filter(
+                   list_transform({tokens_sql('text')}, w -> lower(w)),
+                   w -> w <> ''
+                 ) AS t
+          FROM {table}
+        ), pairs AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        ), uni AS (
+          SELECT u.w AS word, count(*) AS c FROM toks, unnest(t) AS u(w) GROUP BY u.w
+        ), tt AS (SELECT sum(c)::DOUBLE AS t_tot FROM uni),
+        bt AS (SELECT count(*)::DOUBLE AS b_tot FROM pairs),
+        bg AS (
+          SELECT w1, w2, count(*) AS n FROM pairs
+          GROUP BY w1, w2 HAVING count(*) >= {min_count}
+        ), scored AS (
+          SELECT w1, w2, n,
+                 round(ln((n / b_tot) / ((cx.c / t_tot) * (cy.c / t_tot))), 9) AS pmi
+          FROM bg
+          JOIN uni cx ON cx.word = bg.w1
+          JOIN uni cy ON cy.word = bg.w2
+          CROSS JOIN tt CROSS JOIN bt
+        ), ranked AS (
+          SELECT w1, w2, n, pmi,
+                 row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)::BIGINT AS rank
+          FROM scored
+        )
+        SELECT w1, w2, n, pmi, rank FROM ranked WHERE rank <= {k}
+        ORDER BY rank
+    """

@@ -368,3 +368,57 @@ class TestDupClusters:
         )
         got = {r["doc_id"]: r["cluster"] for r in pdedup.dup_clusters(pairs, nodes).collect()}
         assert all(v == 0 for v in got.values())
+
+
+def test_pmi_bigrams_matches_python(spark):
+    import math as _math
+    from collections import Counter
+    from searchgov_spider_spark.pipelines.textstats import pmi_bigrams
+
+    texts = [
+        "new york new york city hall",
+        "new york is a big city",
+        "city hall of new york",
+        "big city big city big city",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [(r.w1, r.w2, r.n, r.pmi, r.rank) for r in pmi_bigrams(df, k=50, min_count=2).collect()]
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = [w.lower() for w in t.split() if w]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    t_tot = float(sum(uni.values()))
+    b_tot = float(sum(bi.values()))
+    scored = [
+        (w1, w2, n, round(_math.log((n / b_tot) / ((uni[w1] / t_tot) * (uni[w2] / t_tot))), 9))
+        for (w1, w2), n in bi.items() if n >= 2
+    ]
+    scored.sort(key=lambda x: (-x[3], x[0], x[1]))
+    want = [(w1, w2, n, pytest.approx(p, abs=1e-9), i + 1) for i, (w1, w2, n, p) in enumerate(scored)]
+    assert got == want
+    # the collocation "new york" must outrank the frequent-but-independent pairs
+    assert got[0][:2] == ("new", "york")
+
+
+def test_knn_classify_votes(spark):
+    from searchgov_spider_spark.pipelines.similarity import knn_classify
+
+    # 2 query vectors + 8 corpus vectors in 2 tight clusters by label
+    rows = []
+    for i in range(10):
+        if i in (0, 5, 6, 7, 8):   # cluster A along x
+            vec, label = [1.0, 0.01 * i], 1
+        else:                       # cluster B along y
+            vec, label = [0.01 * i, 1.0], 2
+        rows.append((i, vec, label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.query_id: r for r in knn_classify(df, n_queries=2, k=3).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].true_label == 1 and got[0].pred_label == 1
+    assert got[1].true_label == 2 and got[1].pred_label == 2
+    assert got[0].votes == 3  # 5,6,7 or 8 all label-1 neighbors
+    assert 1 <= got[1].votes <= 3

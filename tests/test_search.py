@@ -142,3 +142,46 @@ def test_lm_score_matches_python(docs_df):
         assert r.ppl == pytest.approx(math.exp(-avg), rel=1e-12)
     # rare-token docs are higher perplexity than the repetitive doc 5
     assert got[5].ppl < got[0].ppl
+
+
+def test_ppl_buckets_tiering(spark):
+    # two sources, 6 docs each; doc text repetitiveness controls ppl
+    rows = [
+        (i, " ".join(["common"] * 5 + ["rare%d" % i] * (i % 6)), "s%d" % (i // 6))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in psearch.ppl_buckets(df, n_buckets=3).collect()}
+    assert len(got) == 12
+    for src in ("s0", "s1"):
+        members = [r for r in got.values() if r.source == src]
+        # 6 docs into 3 tiles -> 2 per bucket
+        from collections import Counter
+        assert Counter(r.bucket for r in members) == {1: 2, 2: 2, 3: 2}
+        by_bucket = sorted(members, key=lambda r: (r.bucket, r.ppl))
+        ppls = [r.ppl for r in by_bucket]
+        assert ppls == sorted(ppls)  # bucket order == ppl order
+        for r in members:
+            assert r.keep == (r.bucket < 3)
+
+
+def test_tfidf_topk_matches_python(docs_df):
+    got = {}
+    for r in psearch.tfidf_topk(docs_df, k=2).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    toks = {d: _tokens(t) for d, t in DOCS}
+    n = len(DOCS)
+    df_t = {}
+    for v in toks.values():
+        for t in set(v):
+            df_t[t] = df_t.get(t, 0) + 1
+    for d, v in toks.items():
+        scored = sorted(
+            (
+                (round(v.count(t) * math.log(n / df_t[t]), 9), t)
+                for t in set(v)
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        want = [(i + 1, t, s) for i, (s, t) in enumerate(scored)]
+        assert sorted(got[d]) == [(r, t, pytest.approx(s, abs=1e-9)) for r, t, s in want]
