@@ -45,6 +45,7 @@ from .pipelines import prep as pprep
 from .pipelines import dedup as pdedup
 from .pipelines import multimodal as pmm
 from .pipelines import sampling as psampling
+from .pipelines import temporal as ptemporal
 from .pipelines import search as psearch
 from .pipelines import similarity as psim
 from .pipelines import spans as pspans
@@ -986,6 +987,32 @@ def q_props_rollup(spark, sf_dir):
     return _longify(pevents.props_rollup(load(spark, sf_dir, "events")))
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase to the user's most recent prior-or-equal
+    click — union-tag + sorted last-non-null carry, one shuffle, no
+    quadratic range join."""
+    return _longify(ptemporal.asof_join(load(spark, sf_dir, "events")))
+
+
+def q_range_join(spark, sf_dir):
+    """Interval-overlap (range) join via time-bucket binning: per-session
+    cross-user concurrency counts over sessionized events."""
+    sessions = pevents.sessionize(load(spark, sf_dir, "events"))
+    return _longify(ptemporal.range_join_concurrency(sessions))
+
+
+def q_rollup_hypertable(spark, sf_dir):
+    """One-pass GROUPING SETS continuous-aggregate ladder over
+    (event_type, day, hour) — the hypertable rollup."""
+    return _longify(ptemporal.rollup_hypertable(load(spark, sf_dir, "events")))
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Deterministic KMV cardinality sketch: per-source vocabulary-size
+    estimate from the 64 smallest token hashes, vs exact distinct."""
+    return _longify(ptemporal.kmv_distinct(load(spark, sf_dir, "documents")))
+
+
 def q_corpus_prep(spark, sf_dir):
     """Flagship composition: Gopher quality filter -> exact dedup ->
     benchmark decontamination -> hash split -> sequence packing, with a
@@ -1710,6 +1737,10 @@ def queries():
         "sessionize": q_sessionize,
         "stream_sessions": q_stream_sessions,
         "props_rollup": q_props_rollup,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rollup_hypertable": q_rollup_hypertable,
+        "kmv_distinct": q_kmv_distinct,
         "inverted_index": q_inverted_index,
         "bm25_topk": q_bm25_topk,
         "pagerank": q_pagerank,
@@ -1783,6 +1814,10 @@ def oracle_sql():
         "sessionize": pevents.sessionize_sql(),
         "stream_sessions": pevents.sessionize_sql(),
         "props_rollup": pevents.props_rollup_sql(),
+        "asof_join": ptemporal.asof_join_sql(),
+        "range_join": ptemporal.range_join_concurrency_sql(pevents.sessionize_sql()),
+        "rollup_hypertable": ptemporal.rollup_hypertable_sql(),
+        "kmv_distinct": ptemporal.kmv_distinct_sql(),
         "inverted_index": psearch.inverted_index_sql(),
         "bm25_topk": psearch.bm25_topk_sql(k=10),
         "pagerank": psearch.pagerank_docs_sql(),

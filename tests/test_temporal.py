@@ -1,0 +1,134 @@
+"""Tests for the temporal/custom-operator family: as-of join, binned
+range join, grouping-sets rollup, KMV distinct sketch."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from searchgov_spider_spark.functions.hashing import portable_hash32
+from searchgov_spider_spark.pipelines import temporal as pt
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    # (event_id, ts, user_id, event_type, value)
+    rows = [
+        # user 1: clicks at 0, 10, 10 (tie), purchase at 10 (same-ts), 20
+        (1, _ts(0), 1, "click", 1.0),
+        (2, _ts(10), 1, "click", 1.0),
+        (3, _ts(10), 1, "click", 1.0),
+        (4, _ts(10), 1, "purchase", 5.0),
+        (5, _ts(20), 1, "purchase", 7.0),
+        # user 2: purchase with NO prior click, then click, then purchase
+        (6, _ts(5), 2, "purchase", 2.0),
+        (7, _ts(6), 2, "click", 1.0),
+        (8, _ts(90), 2, "purchase", 3.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_asof_join_semantics(events_df):
+    got = {r.event_id: r for r in pt.asof_join(events_df).collect()}
+    assert set(got) == {4, 5, 6, 8}
+    # same-ts click matches (at-or-before), tie -> larger event_id (3)
+    assert got[4].match_id == 3 and got[4].lag_us == 0
+    # most recent prior click for the later purchase is still id 3
+    assert got[5].match_id == 3
+    assert got[5].lag_us == 10 * 60 * 1_000_000
+    # no prior click -> nulls
+    assert got[6].match_id is None and got[6].match_ts is None and got[6].lag_us is None
+    # user 2's later purchase matches its only click, 84 minutes earlier
+    assert got[8].match_id == 7 and got[8].lag_us == 84 * 60 * 1_000_000
+
+
+def _sessions(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, session_start timestamp, session_end timestamp"
+    )
+
+
+def test_range_join_overlap_counts(spark):
+    s = _sessions(spark, [
+        (1, _ts(0), _ts(30)),      # overlaps u2a, u3
+        (2, _ts(10), _ts(20)),     # inside u1
+        (3, _ts(29), _ts(200)),    # overlaps u1 (1 min), u2b; spans 3 bins
+        (2, _ts(30), _ts(40)),     # touches u1 end exactly -> NO overlap with u1
+    ])
+    got = {(r.user_id, r.session_start): r.n_concurrent
+           for r in pt.range_join_concurrency(s, bin_minutes=60).collect()}
+    assert got[(1, _ts(0))] == 2      # u2a + u3 (u2b only touches the end)
+    assert got[(2, _ts(10))] == 1     # u1 only (u3 starts at 29 >= u2a's end 20)
+    assert got[(3, _ts(29))] == 2     # u1 (one minute) + u2b
+    assert got[(2, _ts(30))] == 1     # u3 only (half-open: [0,30) doesn't touch)
+
+
+def test_range_join_matches_bruteforce(spark):
+    # deterministic pseudo-random interval set incl. multi-bin spans
+    rows = []
+    for i in range(40):
+        u = i % 7
+        start = _ts((i * 37) % 300)
+        end = start + dt.timedelta(minutes=5 + (i * 13) % 120)
+        rows.append((u, start, end))
+    s = _sessions(spark, rows)
+    got = {(r.user_id, r.session_start): r.n_concurrent
+           for r in pt.range_join_concurrency(s, bin_minutes=60).collect()}
+    for (u, st, en) in rows:
+        want = sum(
+            1 for (u2, st2, en2) in rows
+            if u2 != u and st < en2 and st2 < en
+        )
+        assert got[(u, st)] == want, (u, st)
+
+
+def test_rollup_hypertable_grains(events_df):
+    rows = pt.rollup_hypertable(events_df).collect()
+    by_grain = {}
+    for r in rows:
+        by_grain.setdefault(r.grain, []).append(r)
+    # grand total
+    assert len(by_grain[7]) == 1
+    total = by_grain[7][0]
+    assert total.n_events == 8 and total.event_type is None and total.day is None
+    # per-type totals sum to the grand total
+    assert sum(r.n_events for r in by_grain[3]) == 8
+    assert {r.event_type for r in by_grain[3]} == {"click", "purchase"}
+    # daily == per-type here (all events on one day except the 90-min one... same day)
+    assert sum(r.n_events for r in by_grain[1]) == 8
+    # hourly leaves: purchases split across hour 0 and hour 1
+    leaves = [r for r in by_grain[0] if r.event_type == "purchase"]
+    assert sorted(r.n_events for r in leaves) == [1, 3]
+    assert sum(r.sum_value for r in by_grain[0] if r.event_type == "purchase") == pytest.approx(17.0)
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    # source "small": fewer distinct tokens than k -> est == exact
+    # source "big": 500 distinct tokens, k=64 -> estimator formula
+    rows = [(0, "a b c a b", "small")]
+    big_tokens = [f"tok{i}" for i in range(500)]
+    for j in range(10):
+        rows.append((1 + j, " ".join(big_tokens[j * 50:(j + 1) * 50]), "big"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in pt.kmv_distinct(df, k=64).collect()}
+    assert got["small"].n_kept == 3
+    assert got["small"].est_distinct == 3.0
+    assert got["small"].exact_distinct == 3
+    # big: python replica of the estimator
+    hashes = sorted({portable_hash32(t) for t in big_tokens})
+    h_k = hashes[63]
+    want = round(63.0 * 4294967296.0 / h_k, 6)
+    assert got["big"].h_k == h_k
+    assert got["big"].est_distinct == pytest.approx(want, abs=1e-6)
+    assert got["big"].exact_distinct == 500
+    # the estimate lands within 35% of truth for this k
+    assert abs(got["big"].est_distinct - 500) / 500 < 0.35
