@@ -129,6 +129,9 @@ HEADLINE_QUERIES = (
     "pricing_summary",
     "top_keywords",
     "spans_flatten",
+    "bm25_topk",
+    "asof_join",
+    "rollup_hypertable",
 )
 
 
