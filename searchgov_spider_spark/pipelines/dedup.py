@@ -538,15 +538,23 @@ def dup_clusters(
     themselves as cluster).
     """
     id_col = nodes.columns[0]
-    labels = nodes.select(F.col(id_col).alias("doc_id")).distinct().withColumn(
-        "cluster", F.col("doc_id")
-    )
+    all_nodes = nodes.select(F.col(id_col).alias("doc_id")).distinct()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Iterate ONLY over edge-incident nodes: the pair table is tiny next
+    # to the corpus (it came from a banded-LSH candidate filter), so the
+    # propagation loop never touches the singleton majority — they join
+    # back as their own cluster at the end.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+    )
+    prev_sum = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -558,26 +566,31 @@ def dup_clusters(
             "doc_id",
             F.least(F.col("cluster"), F.coalesce("n_cluster", "cluster")).alias("cluster"),
         )
-        # pointer jump (path halving): cluster <- cluster's cluster, so a
-        # length-D chain converges in O(log D) rounds, not D
-        parent = hooked.select(
-            F.col("doc_id").alias("cluster"), F.col("cluster").alias("cc")
-        )
-        new_labels = (
-            hooked.join(parent, "cluster", "left")
-            .select("doc_id", F.least("cluster", F.coalesce("cc", "cluster")).alias("cluster"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .take(1)
-        )
+        # two pointer jumps (path quartering): cluster <- cluster's
+        # cluster, twice — a length-D chain converges in O(log D) rounds
+        # and each extra jump is one more cheap join, not another action
+        jumped = hooked
+        for _ in range(2):
+            parent = jumped.select(
+                F.col("doc_id").alias("cluster"), F.col("cluster").alias("cc")
+            )
+            jumped = jumped.join(parent, "cluster", "left").select(
+                "doc_id",
+                F.least("cluster", F.coalesce("cc", "cluster")).alias("cluster"),
+            )
+        # lazy checkpoint + aggregate probe: min-labels only ever
+        # DECREASE, so sum(cluster) strictly decreases iff any label
+        # changed — one full-scan action per round both detects
+        # convergence and materializes every checkpoint partition
+        new_labels = jumped.localCheckpoint(eager=False)
+        new_sum = new_labels.agg(F.sum("cluster")).first()[0]
         labels = new_labels
-        if not changed:
+        if new_sum is None or new_sum == prev_sum:
             break
-    return labels
+        prev_sum = new_sum
+    return all_nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+    )
 
 
 def dup_clusters_sql(pairs_cte: str, nodes_cte: str) -> str:
