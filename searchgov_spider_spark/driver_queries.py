@@ -987,6 +987,29 @@ def q_props_rollup(spark, sf_dir):
     return _longify(pevents.props_rollup(load(spark, sf_dir, "events")))
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact nearest-rank p50/p90/p99 of value per event_type (selection
+    only — no float arithmetic, bit-exact across engines)."""
+    return _longify(pevents.percentiles_exact(load(spark, sf_dir, "events")))
+
+
+def q_rolling_stats(spark, sf_dir):
+    """Per-user trailing-4-rows and running window aggregates — single
+    shuffle, one shared Window sort."""
+    return _longify(pevents.rolling_stats(load(spark, sf_dir, "events")))
+
+
+def q_pivot_events(spark, sf_dir):
+    """Per-user event-type count pivot with explicit values (one pass)."""
+    return _longify(pevents.pivot_events(load(spark, sf_dir, "events")))
+
+
+def q_hopping_counts(spark, sf_dir):
+    """Sliding 10-min/5-min hopping windows per event_type — the
+    streaming monitor's sliding variant run as a batch twin."""
+    return _longify(pevents.hopping_counts(load(spark, sf_dir, "events")))
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: each purchase to the user's most recent prior-or-equal
     click — union-tag + sorted last-non-null carry, one shuffle, no
@@ -1737,6 +1760,10 @@ def queries():
         "sessionize": q_sessionize,
         "stream_sessions": q_stream_sessions,
         "props_rollup": q_props_rollup,
+        "percentiles": q_percentiles,
+        "rolling_stats": q_rolling_stats,
+        "pivot_events": q_pivot_events,
+        "hopping_counts": q_hopping_counts,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rollup_hypertable": q_rollup_hypertable,
@@ -1814,6 +1841,10 @@ def oracle_sql():
         "sessionize": pevents.sessionize_sql(),
         "stream_sessions": pevents.sessionize_sql(),
         "props_rollup": pevents.props_rollup_sql(),
+        "percentiles": pevents.percentiles_exact_sql(),
+        "rolling_stats": pevents.rolling_stats_sql(),
+        "pivot_events": pevents.pivot_events_sql(),
+        "hopping_counts": pevents.hopping_counts_sql(),
         "asof_join": ptemporal.asof_join_sql(),
         "range_join": ptemporal.range_join_concurrency_sql(pevents.sessionize_sql()),
         "rollup_hypertable": ptemporal.rollup_hypertable_sql(),

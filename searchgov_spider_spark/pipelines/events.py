@@ -104,3 +104,191 @@ def props_rollup_sql(table: str = "events") -> str:
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+PCTS = (0.5, 0.9, 0.99)
+
+
+def percentiles_exact(events: DataFrame) -> DataFrame:
+    """Exact nearest-rank percentiles of ``value`` per event_type:
+    p_q = the value at rank ceil(q * n) of the ascending sort (ties on
+    value break by event_id so the selected element is unique).
+
+    One shuffle on event_type + one window sort; the per-group sort is
+    the unavoidable cost of EXACT percentiles — the approximate path at
+    corpus scale is ``percentile_approx`` (t-digest), which this pins
+    numerically via the same plan shape. No float arithmetic: selection
+    only, so cross-engine equality is exact.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    ranked = events.select("event_type", "event_id", "value").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+    aggs = [F.count("*").cast("long").alias("n")]
+    for q in PCTS:
+        tag = f"p{int(q * 100)}"
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("value"))
+            ).alias(tag)
+        )
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+def percentiles_exact_sql(table: str = "events") -> str:
+    pct_cols = ",\n               ".join(
+        f"max(CASE WHEN rn = ceil({q} * n) THEN value END) AS p{int(q * 100)}"
+        for q in PCTS
+    )
+    return f"""
+        WITH ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value ASC, event_id ASC
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM {table}
+        )
+        SELECT event_type, count(*)::BIGINT AS n,
+               {pct_cols}
+        FROM ranked GROUP BY event_type ORDER BY event_type
+    """
+
+
+ROLL_WINDOW = 4
+
+
+def rolling_stats(events: DataFrame, window_rows: int = ROLL_WINDOW) -> DataFrame:
+    """Per-user moving aggregates ordered by (ts, event_id): count and
+    value-sum over the trailing ``window_rows`` rows, plus the running
+    event count — the standard ROWS-frame window family.
+
+    One shuffle on user_id; both frames share the single per-partition
+    sort (Catalyst collapses same-spec windows into one Window node).
+    """
+    from pyspark.sql import Window
+
+    base = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    trailing = base.rowsBetween(-(window_rows - 1), Window.currentRow)
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(trailing).cast("long").alias("w_n"),
+        F.round(F.sum("value").over(trailing), 6).alias("w_sum"),
+        F.count("*").over(running).cast("long").alias("cum_n"),
+    )
+
+
+def rolling_stats_sql(table: str = "events", window_rows: int = ROLL_WINDOW) -> str:
+    return f"""
+        SELECT event_id, user_id, ts,
+               (count(*) OVER w_trail)::BIGINT AS w_n,
+               round(sum(value) OVER w_trail, 6) AS w_sum,
+               (count(*) OVER w_run)::BIGINT AS cum_n
+        FROM {table}
+        WINDOW
+          w_trail AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {window_rows - 1} PRECEDING AND CURRENT ROW),
+          w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events(events: DataFrame) -> DataFrame:
+    """Per-user event-type count matrix: one column per known type plus
+    a total. Explicit pivot values ⇒ single pass (no extra distinct-scan
+    job); unknown types would land in no column by design.
+    """
+    counts = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    total = None
+    for t in EVENT_TYPES:
+        c = F.coalesce(F.col(t), F.lit(0)).cast("long")
+        counts = counts.withColumn(t, c)
+        total = c if total is None else total + c
+    return counts.withColumn("total", total.cast("long"))
+
+
+def pivot_events_sql(table: str = "events") -> str:
+    cols = ",\n               ".join(
+        f"(count(*) FILTER (WHERE event_type = '{t}'))::BIGINT AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+        SELECT user_id,
+               {cols},
+               (count(*) FILTER (WHERE event_type IN ({', '.join(repr(t) for t in EVENT_TYPES)})))::BIGINT AS total
+        FROM {table}
+        GROUP BY user_id ORDER BY user_id
+    """
+
+
+HOP_WINDOW_MIN = 10
+HOP_SLIDE_MIN = 5
+
+
+def hopping_counts(
+    events: DataFrame,
+    window_min: int = HOP_WINDOW_MIN,
+    slide_min: int = HOP_SLIDE_MIN,
+) -> DataFrame:
+    """Hopping (sliding) window counts per event_type: ``F.window`` with
+    a slide — each event lands in window_min/slide_min overlapping
+    windows. The same expression runs unchanged under readStream (the
+    streaming monitor's sliding variant); batch here so the oracle can
+    pin values. Epoch origin 1970-01-01 (Spark's default), mirrored in
+    the SQL twin's epoch arithmetic.
+    """
+    w = F.window(F.col("ts"), f"{window_min} minutes", f"{slide_min} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def hopping_counts_sql(
+    table: str = "events",
+    window_min: int = HOP_WINDOW_MIN,
+    slide_min: int = HOP_SLIDE_MIN,
+) -> str:
+    n_hops = window_min // slide_min
+    slide_s = slide_min * 60
+    starts = ", ".join(
+        f"to_timestamp((floor(epoch(ts) / {slide_s}) - {i}) * {slide_s})::TIMESTAMP"
+        for i in range(n_hops)
+    )
+    return f"""
+        WITH hopped AS (
+          SELECT u.ws AS window_start, event_type, value
+          FROM {table}, unnest([{starts}]) AS u(ws)
+        )
+        SELECT window_start,
+               window_start + INTERVAL {window_min} MINUTE AS window_end,
+               event_type,
+               count(*)::BIGINT AS n,
+               round(sum(value), 6) AS sum_value
+        FROM hopped
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """

@@ -56,3 +56,59 @@ def test_props_rollup_extracts_json(spark):
     assert row["n_events"] == 4
     assert row["sum_k"] == 17          # malformed props -> null, ignored by sum
     assert row["distinct_k"] == 2      # countDistinct skips the null
+
+
+def _ev_typed(spark, rows):
+    """rows: (event_id, ts, user_id, event_type, value)"""
+    return spark.createDataFrame(
+        [(i, ts, uid, et, v, "{}") for (i, ts, uid, et, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def test_percentiles_nearest_rank(spark):
+    t = datetime(2024, 1, 1)
+    # 10 values 1..10 for type a; 3 values for type b
+    rows = [(i, t, 1, "a", float(i + 1)) for i in range(10)]
+    rows += [(100 + i, t, 1, "b", float(v)) for i, v in enumerate((5, 1, 9))]
+    out = {r.event_type: r for r in pe.percentiles_exact(_ev_typed(spark, rows)).collect()}
+    a = out["a"]
+    # nearest-rank: ceil(0.5*10)=5 -> 5.0; ceil(0.9*10)=9 -> 9.0; ceil(0.99*10)=10 -> 10.0
+    assert (a.n, a.p50, a.p90, a.p99) == (10, 5.0, 9.0, 10.0)
+    b = out["b"]
+    # sorted [1,5,9]: ceil(1.5)=2 -> 5; ceil(2.7)=3 -> 9; ceil(2.97)=3 -> 9
+    assert (b.n, b.p50, b.p90, b.p99) == (3, 5.0, 9.0, 9.0)
+
+
+def test_rolling_stats_frames(spark):
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [(i, t(i), 7, "a", float(i)) for i in range(6)]
+    out = sorted(pe.rolling_stats(_ev_typed(spark, rows), window_rows=4).collect(),
+                 key=lambda r: r.event_id)
+    # trailing-4 count saturates at 4; cumulative keeps growing
+    assert [r.w_n for r in out] == [1, 2, 3, 4, 4, 4]
+    assert [r.cum_n for r in out] == [1, 2, 3, 4, 5, 6]
+    assert out[5].w_sum == 2.0 + 3 + 4 + 5
+
+
+def test_pivot_events_counts(spark):
+    t = datetime(2024, 1, 1)
+    rows = [
+        (0, t, 1, "click", 0.0), (1, t, 1, "click", 0.0), (2, t, 1, "view", 0.0),
+        (3, t, 2, "purchase", 0.0),
+    ]
+    out = {r.user_id: r for r in pe.pivot_events(_ev_typed(spark, rows)).collect()}
+    assert (out[1].click, out[1].view, out[1].purchase, out[1].total) == (2, 1, 0, 3)
+    assert (out[2].purchase, out[2].click, out[2].total) == (1, 0, 1)
+
+
+def test_hopping_counts_overlap(spark):
+    # one event at 00:07 -> windows [00:00,00:10) and [00:05,00:15)
+    rows = [(0, datetime(2024, 1, 1, 0, 7), 1, "a", 2.5)]
+    out = sorted(pe.hopping_counts(_ev_typed(spark, rows)).collect(),
+                 key=lambda r: r.window_start)
+    assert len(out) == 2
+    assert out[0].window_start == datetime(2024, 1, 1, 0, 0)
+    assert out[0].window_end == datetime(2024, 1, 1, 0, 10)
+    assert out[1].window_start == datetime(2024, 1, 1, 0, 5)
+    assert all(r.n == 1 and r.sum_value == 2.5 for r in out)
