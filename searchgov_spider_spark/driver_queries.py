@@ -813,6 +813,102 @@ Q_SHIPPING_PRIORITY_SQL = """
 """
 
 
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog (6-table join): revenue per ASIA nation from
+    orders in 1996 where the customer and supplier share the nation.
+    The region->nation dimension chain broadcasts; lineitem joins
+    orders/supplier/customer on their keys (shuffle or broadcast —
+    AQE's call by size); the same-nation predicate rides the supplier
+    join. Exact integer-cents arithmetic end-to-end."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    df = (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c"))
+    )
+    return df.select("n_name", "revenue_c")
+
+
+Q_LOCAL_VOLUME_SQL = """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue_c DESC, n_name
+"""
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over lineitem's two hottest filter
+    columns — the multi-dimensional clustering key an OPTIMIZE ZORDER
+    write sorts by. Pure bit-interleave expressions, whole-stage
+    codegen, zero shuffles (the production write adds a repartitionByRange
+    on zkey)."""
+    from .functions.zorder import zorder_col
+
+    li = load(spark, sf_dir, "lineitem")
+    x = F.pmod(F.col("l_partkey"), F.lit(65536)).cast("long")
+    y = F.pmod(F.col("l_suppkey"), F.lit(65536)).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_col(x, y).alias("zkey"),
+    )
+
+
+def _q_zorder_sql() -> str:
+    from .functions.zorder import zorder_sql
+
+    z = zorder_sql("(l_partkey % 65536)", "(l_suppkey % 65536)")
+    return f"""
+        SELECT l_orderkey, l_linenumber, {z}::BIGINT AS zkey
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """
+
+
+def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: merge(agg(history), agg(delta)) ==
+    agg(all) — the oracle IS the full recompute, so a green row proves
+    the merge algebra."""
+    return _longify(pevents.incremental_counts(load(spark, sf_dir, "events")))
+
+
 # ===========================================================================
 # 3. Corpus-pipeline queries (oracles generated next to implementations)
 # ===========================================================================
@@ -1733,6 +1829,9 @@ def queries():
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "shipping_priority": q_shipping_priority,
+        "local_volume": q_local_volume,
+        "zorder_key": q_zorder_key,
+        "incremental_counts": q_incremental_counts,
         # corpus pipelines
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -1816,6 +1915,9 @@ def oracle_sql():
         "pricing_summary": Q_PRICING_SUMMARY_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,
         "shipping_priority": Q_SHIPPING_PRIORITY_SQL,
+        "local_volume": Q_LOCAL_VOLUME_SQL,
+        "zorder_key": _q_zorder_sql(),
+        "incremental_counts": pevents.incremental_counts_sql(),
         "exact_dedup": pdedup.exact_dup_groups_sql(),
         "minhash_pairs": pdedup.minhash_lsh_pairs_sql(threshold=0.1),
         "simhash_sig": pdedup.simhash_sql(),

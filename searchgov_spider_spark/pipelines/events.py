@@ -292,3 +292,44 @@ def hopping_counts_sql(
         GROUP BY window_start, event_type
         ORDER BY window_start, event_type
     """
+
+
+INCR_CUTOFF = "2024-01-25"
+
+
+def incremental_counts(events: DataFrame, cutoff: str = INCR_CUTOFF) -> DataFrame:
+    """Incremental view maintenance of a per-type aggregate: the
+    committed aggregate over history (ts < cutoff) merges with the
+    aggregate of the new delta (ts >= cutoff) by RE-AGGREGATING the
+    partials — count and integer-cent sums are algebraic, so
+    merge(agg(A), agg(B)) == agg(A ∪ B) exactly.
+
+    This is the per-wave update shape the crawl state store uses
+    (sources/state.py write_delta/read_accumulated): never recompute
+    history, just fold the delta's partial in. The oracle is the full
+    recompute — equality IS the IVM correctness proof.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents).alias("sum_c"),
+        )
+
+    prev = agg(events.filter(F.col("ts") < cutoff))
+    delta = agg(events.filter(F.col("ts") >= cutoff))
+    return (
+        prev.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_c").alias("sum_c"))
+    )
+
+
+def incremental_counts_sql(table: str = "events") -> str:
+    # full recompute — the merged incremental result must equal this
+    return f"""
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_c
+        FROM {table} GROUP BY event_type ORDER BY event_type
+    """

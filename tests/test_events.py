@@ -112,3 +112,16 @@ def test_hopping_counts_overlap(spark):
     assert out[0].window_end == datetime(2024, 1, 1, 0, 10)
     assert out[1].window_start == datetime(2024, 1, 1, 0, 5)
     assert all(r.n == 1 and r.sum_value == 2.5 for r in out)
+
+
+def test_incremental_counts_equals_full(spark):
+    t = lambda d: datetime(2024, 1, d)
+    rows = [(i, t(1 + i % 28), i % 5, "ab"[i % 2], float(i) * 0.37) for i in range(60)]
+    df = _ev_typed(spark, rows)
+    got = {r.event_type: (r.n, r.sum_c)
+           for r in pe.incremental_counts(df, cutoff="2024-01-15").collect()}
+    want = {}
+    for i, ts, uid, et, v in rows:
+        n, s = want.get(et, (0, 0))
+        want[et] = (n + 1, s + round(v * 100))
+    assert got == want
