@@ -1603,6 +1603,28 @@ def q_stream_sessions(spark, sf_dir):
     return _longify(spark.table("stream_sessions_drv"))
 
 
+def q_stream_hopping(spark, sf_dir):
+    """Streaming twin of `hopping_counts`, run as a REAL Structured
+    Streaming query: the identical sliding-window aggregation over
+    readStream with a watermark, drained via trigger(availableNow) into
+    a memory sink in complete mode — the batch epoch-grid oracle applies
+    verbatim."""
+    from .streaming.monitor import run_to_memory
+
+    sch = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ev = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = pevents.hopping_counts(ev.withWatermark("ts", "0 seconds"))
+    run_to_memory(out, "stream_hopping_drv")
+    return _longify(spark.table("stream_hopping_drv"))
+
+
 def q_stream_monitor(spark, sf_dir):
     """A1 streaming twin: the SAME status_code_monitor used by the
     Structured Streaming job (streaming/monitor.py), executed on a batch
@@ -1863,6 +1885,7 @@ def queries():
         "rolling_stats": q_rolling_stats,
         "pivot_events": q_pivot_events,
         "hopping_counts": q_hopping_counts,
+        "stream_hopping": q_stream_hopping,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rollup_hypertable": q_rollup_hypertable,
@@ -1947,6 +1970,7 @@ def oracle_sql():
         "rolling_stats": pevents.rolling_stats_sql(),
         "pivot_events": pevents.pivot_events_sql(),
         "hopping_counts": pevents.hopping_counts_sql(),
+        "stream_hopping": pevents.hopping_counts_sql(),
         "asof_join": ptemporal.asof_join_sql(),
         "range_join": ptemporal.range_join_concurrency_sql(pevents.sessionize_sql()),
         "rollup_hypertable": ptemporal.rollup_hypertable_sql(),
