@@ -1191,6 +1191,12 @@ def q_knn_classify(spark, sf_dir):
     return _longify(psim.knn_classify(load(spark, sf_dir, "embeddings"), n_queries=10, k=5))
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocab planning: top-100 corpus vocabulary, per-doc OOV
+    fraction (broadcast vocab left join, two hash-aggs)."""
+    return _longify(pstats.vocab_coverage(load(spark, sf_dir, "documents")))
+
+
 def q_lang_id(spark, sf_dir):
     return _longify(pstats.language_id(load(spark, sf_dir, "documents")))
 
@@ -1898,6 +1904,7 @@ def queries():
         "tfidf_topk": q_tfidf_topk,
         "pmi_bigrams": q_pmi_bigrams,
         "knn_classify": q_knn_classify,
+        "vocab_coverage": q_vocab_coverage,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -1983,6 +1990,7 @@ def oracle_sql():
         "tfidf_topk": psearch.tfidf_topk_sql(k=3),
         "pmi_bigrams": pstats.pmi_bigrams_sql(k=20, min_count=5),
         "knn_classify": psim.knn_classify_sql(n_queries=10, k=5),
+        "vocab_coverage": pstats.vocab_coverage_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

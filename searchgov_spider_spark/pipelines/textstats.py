@@ -376,3 +376,72 @@ def pmi_bigrams_sql(k: int = 20, min_count: int = 5, table: str = "documents") -
         SELECT w1, w2, n, pmi, rank FROM ranked WHERE rank <= {k}
         ORDER BY rank
     """
+
+
+VOCAB_SIZE = 100
+
+
+def vocab_coverage(
+    docs: DataFrame, vocab_size: int = VOCAB_SIZE, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-vocabulary planning: take the top ``vocab_size`` corpus
+    tokens by frequency (ties: token asc), then measure each document's
+    OOV token fraction against that vocabulary — the coverage/size curve
+    a tokenizer build sweeps.
+
+    Plan: one hash-agg for counts, a global top-k window over the
+    (small, already-aggregated) vocab candidates, the chosen vocab
+    broadcast back onto the token stream as a left join, one per-doc agg.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.transform(tokens_col(text_col), F.lower)).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    w = Window.partitionBy().orderBy(F.desc("c"), F.asc("token"))
+    vocab = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= vocab_size)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 9).alias("oov_rate"),
+        )
+    )
+
+
+def vocab_coverage_sql(vocab_size: int = VOCAB_SIZE, table: str = "documents") -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lower(w) AS token
+          FROM {table}, unnest({tokens_sql('text')}) AS u(w)
+          WHERE w <> ''
+        ), counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        vocab AS (
+          SELECT token FROM (
+            SELECT token, row_number() OVER (ORDER BY c DESC, token ASC) AS r
+            FROM counts
+          ) WHERE r <= {vocab_size}
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+               round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                     / count(*), 9) AS oov_rate
+        FROM toks LEFT JOIN vocab v USING (token)
+        GROUP BY doc_id ORDER BY doc_id
+    """

@@ -185,3 +185,19 @@ def test_tfidf_topk_matches_python(docs_df):
         )[:2]
         want = [(i + 1, t, s) for i, (s, t) in enumerate(scored)]
         assert sorted(got[d]) == [(r, t, pytest.approx(s, abs=1e-9)) for r, t, s in want]
+
+
+def test_vocab_coverage_oov(spark):
+    from searchgov_spider_spark.pipelines.textstats import vocab_coverage
+
+    rows = [
+        (0, "a a a b b c"),
+        (1, "c c c c"),
+        (2, "a b a b"),
+    ]
+    # corpus counts: a=5, c=5, b=4 -> vocab_size=2 keeps {a, c}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    assert (got[0].n_tokens, got[0].n_oov) == (6, 2)
+    assert got[0].oov_rate == pytest.approx(2 / 6, abs=1e-9)
+    assert (got[1].n_oov, got[2].n_oov) == (0, 2)
