@@ -1029,6 +1029,63 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def _profile_events_sql() -> str:
+    from .pipelines.profiling import profile_table_sql
+
+    return profile_table_sql(
+        "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+_TYPOS = ("tabl", "joinn", "hashh", "sctan")
+
+
+def _inject_typos(docs):
+    """Deterministically append a misspelled variant of a common corpus
+    word to every 5th document (the synthetic vocabulary is typo-free,
+    so the fuzzy join needs injected signal; mirrored in the oracle)."""
+    typo = F.element_at(
+        F.array(*[F.lit(t) for t in _TYPOS]),
+        (F.col("doc_id") % len(_TYPOS) + 1).cast("int"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" "), typo)
+        ).otherwise(F.col("text")),
+    )
+
+
+_INJECT_TYPOS_SQL = f"""(
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' ' || {list(_TYPOS)!r}[(doc_id % {len(_TYPOS)}) + 1]
+              ELSE text END AS text
+  FROM documents
+)"""
+
+
+def q_typo_pairs(spark, sf_dir):
+    """SymSpell fuzzy vocabulary self-join at lev<=1: deletion-key
+    blocking (complete, linear fanout) + exact levenshtein verify.
+    Deterministic misspellings injected (synthetic vocab is typo-free)."""
+    return _longify(pclean.typo_pairs(_inject_typos(load(spark, sf_dir, "documents"))))
+
+
+def q_triangle_count(spark, sf_dir):
+    """Global triangle count via ordered wedge-close (two single-key
+    joins over u<v canonical edges)."""
+    return _longify(psearch.triangle_count(load(spark, sf_dir, "documents")))
+
+
+def q_profile_table(spark, sf_dir):
+    """Per-column profiling of events (null rate, cardinality) in ONE
+    scan: struct-per-column aggregate exploded to long format."""
+    from .pipelines.profiling import profile_table
+
+    return _longify(profile_table(load(spark, sf_dir, "events")))
+
+
 def q_pack_chunks(spark, sf_dir):
     """Concat-and-chunk sequence packing placement: shard-local windowed
     prefix sum, chunk boundaries from fixed token capacity."""
@@ -1905,6 +1962,9 @@ def queries():
         "pmi_bigrams": q_pmi_bigrams,
         "knn_classify": q_knn_classify,
         "vocab_coverage": q_vocab_coverage,
+        "typo_pairs": q_typo_pairs,
+        "triangle_count": q_triangle_count,
+        "profile_table": q_profile_table,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -1991,6 +2051,9 @@ def oracle_sql():
         "pmi_bigrams": pstats.pmi_bigrams_sql(k=20, min_count=5),
         "knn_classify": psim.knn_classify_sql(n_queries=10, k=5),
         "vocab_coverage": pstats.vocab_coverage_sql(),
+        "typo_pairs": pclean.typo_pairs_sql(table=_INJECT_TYPOS_SQL),
+        "triangle_count": psearch.triangle_count_sql(),
+        "profile_table": _profile_events_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

@@ -585,3 +585,81 @@ def segment_dedup_sql(
         GROUP BY doc_id
         ORDER BY doc_id
     """
+
+
+def typo_pairs(docs: DataFrame, min_len: int = 4, text_col: str = "text") -> DataFrame:
+    """Fuzzy self-join of the corpus vocabulary at edit distance <= 1 —
+    spelling-variant / typo candidate pairs for normalization.
+
+    Blocking is the SymSpell deletion neighborhood: each distinct token
+    joins under itself plus every single-character-deletion key; two
+    strings within one edit ALWAYS share such a key, so the blocked
+    equi-join is COMPLETE for lev <= 1 with key fanout len+1 per token
+    (linear — never the quadratic all-pairs join), and ``levenshtein``
+    verifies candidates exactly. Tokens shorter than ``min_len`` are
+    skipped (dense false-cognate neighborhoods).
+
+    Output: (w1, w2, c1, c2, dist) with w1 < w2, pair-distinct.
+    """
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), F.lower),
+                lambda x: x != "",
+            )
+        ).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c")).filter(
+        F.length("token") >= min_len
+    )
+    del_keys = F.array_distinct(
+        F.concat(
+            F.array(F.col("token")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("token")),
+                lambda i: F.concat(
+                    F.col("token").substr(F.lit(1), i - 1),
+                    F.col("token").substr(i + 1, F.length("token")),
+                ),
+            ),
+        )
+    )
+    keys = vocab.select("token", "c", F.explode(del_keys).alias("k"))
+    a = keys.select(F.col("k"), F.col("token").alias("w1"), F.col("c").alias("c1"))
+    b = keys.select(F.col("k"), F.col("token").alias("w2"), F.col("c").alias("c2"))
+    return (
+        a.join(b, "k")
+        .filter(
+            (F.col("w1") < F.col("w2"))
+            & (F.levenshtein("w1", "w2") <= 1)
+        )
+        .select(
+            "w1", "w2", "c1", "c2",
+            F.levenshtein("w1", "w2").cast("long").alias("dist"),
+        )
+        .distinct()
+    )
+
+
+def typo_pairs_sql(min_len: int = 4, table: str = "documents") -> str:
+    return f"""
+        WITH toks AS (
+          SELECT lower(w) AS token
+          FROM {table}, unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+          WHERE w <> ''
+        ), vocab AS (
+          SELECT token, count(*) AS c FROM toks
+          GROUP BY token HAVING length(token) >= {min_len}
+        ), keys AS (
+          SELECT token, c, u.k
+          FROM vocab, unnest(list_distinct(list_prepend(token,
+            list_transform(generate_series(1, length(token)),
+              i -> substr(token, 1, i - 1) || substr(token, i + 1, length(token)))
+          ))) AS u(k)
+        )
+        SELECT DISTINCT a.token AS w1, b.token AS w2, a.c AS c1, b.c AS c2,
+               levenshtein(a.token, b.token)::BIGINT AS dist
+        FROM keys a JOIN keys b ON a.k = b.k
+        WHERE a.token < b.token AND levenshtein(a.token, b.token) <= 1
+        ORDER BY w1, w2
+    """

@@ -530,3 +530,51 @@ def tfidf_topk_sql(k: int = 3, table: str = "documents") -> str:
         SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {k}
         ORDER BY doc_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the link graph
+# ---------------------------------------------------------------------------
+
+def triangle_count(docs: DataFrame) -> DataFrame:
+    """Global triangle count of the (undirected) synthetic link graph —
+    the standard graph-clustering statistic.
+
+    Plan: canonicalize edges to u < v (kills duplicate orientations),
+    then the two-join wedge-close: e1(a,b) ⋈ e2(b,c) forms wedges with
+    a < b < c ordering baked into the edge direction, e3(a,c) closes
+    them. Ordering means each triangle is counted exactly once and both
+    joins shuffle on a single key — the degree-ordered triangle-count
+    shape that survives power-law graphs (hot vertices only ever build
+    wedges toward higher-ordered neighbors).
+    """
+    e = synthetic_edges(docs).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, ["a", "c"])
+    return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def triangle_count_sql(table: str = "documents") -> str:
+    edge_selects = " UNION ALL ".join(
+        f"SELECT node AS src, (node * {a} + {bb}) % (SELECT n_int FROM nn) AS dst FROM nodes"
+        for a, bb in PR_EDGE_COEFFS
+    )
+    return f"""
+        WITH nodes AS (SELECT doc_id AS node FROM {table}),
+        nn AS (SELECT count(*)::BIGINT AS n_int FROM nodes),
+        edges AS ({edge_selects}),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM edges WHERE src <> dst
+        )
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e1.v = e2.u
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    """

@@ -422,3 +422,58 @@ def test_knn_classify_votes(spark):
     assert got[1].true_label == 2 and got[1].pred_label == 2
     assert got[0].votes == 3  # 5,6,7 or 8 all label-1 neighbors
     assert 1 <= got[1].votes <= 3
+
+
+def test_typo_pairs_symspell_complete(spark):
+    from searchgov_spider_spark.pipelines.cleaning import typo_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table table tabl chair"),      # deletion pair
+            (1, "chair chairs stool"),          # insertion pair
+            (2, "stool spool"),                 # substitution pair
+            (3, "microservice monoliths"),      # far apart - no pair
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.w1, r.w2): (r.c1, r.c2, r.dist) for r in typo_pairs(docs).collect()}
+    assert ("tabl", "table") in got and got[("tabl", "table")] == (1, 2, 1)
+    assert ("chair", "chairs") in got
+    assert ("spool", "stool") in got and got[("spool", "stool")][2] == 1
+    # no quadratic surprises: far pairs absent
+    assert all(d <= 1 for (_, _, d) in got.values())
+    assert len(got) == 3
+
+
+def test_triangle_count_matches_python(spark):
+    from itertools import combinations
+
+    from searchgov_spider_spark.pipelines import search as psearch
+
+    docs = spark.createDataFrame([(i, "x") for i in range(17)], "doc_id long, text string")
+    (got,) = psearch.triangle_count(docs).collect()
+    n = 17
+    und = set()
+    for s in range(n):
+        for a, bb in psearch.PR_EDGE_COEFFS:
+            d = (s * a + bb) % n
+            if s != d:
+                und.add((min(s, d), max(s, d)))
+    tri = sum(
+        1 for a, b, c in combinations(range(n), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    assert got.n_triangles == tri
+
+
+def test_profile_table_one_scan(spark):
+    from searchgov_spider_spark.pipelines.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.0), (3, None, 2.0), (4, "b", None)],
+        "id long, s string, v double",
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["id"].n == 4 and got["id"].n_null == 0 and got["id"].n_distinct == 4
+    assert got["s"].n_null == 1 and got["s"].n_distinct == 2
+    assert got["v"].n_null == 2 and got["v"].n_distinct == 2
