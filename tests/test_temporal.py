@@ -132,3 +132,53 @@ def test_kmv_distinct_exact_and_estimate(spark):
     assert got["big"].exact_distinct == 500
     # the estimate lands within 35% of truth for this k
     assert abs(got["big"].est_distinct - 500) / 500 < 0.35
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    # deterministic pseudo-random event set with heavy ts ties
+    rows = []
+    for i in range(300):
+        u = i % 5
+        ts = _ts((i * 7919) % 97)            # many collisions across users
+        et = ("purchase", "click", "view")[i % 3]
+        rows.append((i, ts, u, et, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.event_id: (r.match_id, r.match_ts) for r in pt.asof_join(df).collect()}
+    purchases = [(i, ts, u) for (i, ts, u, et, _) in rows if et == "purchase"]
+    clicks = [(i, ts, u) for (i, ts, u, et, _) in rows if et == "click"]
+    assert len(got) == len(purchases)
+    for pid, pts, pu in purchases:
+        cands = [(cts, cid) for (cid, cts, cu) in clicks if cu == pu and cts <= pts]
+        want = max(cands) if cands else None  # (ts, id) max == latest ts, largest id
+        if want is None:
+            assert got[pid] == (None, None)
+        else:
+            assert got[pid] == (want[1], want[0]), pid
+
+
+def test_plan_shapes(spark):
+    """Perf guards: the plans these operators were designed around."""
+    from searchgov_spider_spark.pipelines import search as psearch
+
+    events = spark.createDataFrame(
+        [(i, _ts(i), i % 3, ("click", "purchase")[i % 2], 1.0)
+         for i in range(40)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    # as-of join: exactly ONE exchange (the union shuffles once on user_id)
+    plan = pt.asof_join(events)._jdf.queryExecution().optimizedPlan().toString()
+    # no quadratic range join in the logical plan: a non-equi Join would
+    # appear as Join with a ts-inequality condition
+    assert "Join" not in plan or "ts" not in plan.split("Join")[1][:120]
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(30)], "doc_id long, text string"
+    )
+    # bm25: every join broadcastable side is hinted; no cartesian product
+    bm = psearch.bm25_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in bm
+    # rollup: grouping sets expand once (single Expand node), one agg pair
+    ev_plan = pt.rollup_hypertable(events)._jdf.queryExecution().executedPlan().toString()
+    assert ev_plan.count("Expand") == 1
