@@ -146,11 +146,18 @@ def range_join_concurrency(
 
     Plan (the scalable range join): each interval explodes into the
     fixed-width time bins it spans (``sequence`` of truncated
-    timestamps), candidate pairs equi-join on bin, duplicates from
-    multi-bin spans collapse via DISTINCT on the pair key, and the exact
+    timestamps), candidate pairs equi-join on bin, and the exact
     half-open overlap predicate (a.start < b.end AND b.start < a.end)
-    filters — never an unbinned theta join.
+    filters — never an unbinned theta join. Multi-bin duplicate pairs
+    are killed WITHOUT a distinct shuffle: a pair is counted only in
+    the first bin both intervals occupy (bin == trunc(max(starts)) —
+    every overlapping pair shares that bin, and only once), so the
+    count is one hash-agg over the filtered join output.
     """
+    if 60 % bin_minutes != 0:
+        # the first-shared-bin dedupe below keys on hour marks; a step
+        # that skips them would miss pairs
+        raise ValueError("bin_minutes must divide 60")
     step = F.expr(f"interval {bin_minutes} minutes")
     binned = sessions.select(
         "user_id",
@@ -176,15 +183,14 @@ def range_join_concurrency(
         F.col("session_end").alias("b_end"),
         "bin",
     )
-    pairs = (
-        a.join(b, "bin")
-        .filter(
-            (F.col("a_user") != F.col("b_user"))
-            & (F.col("a_start") < F.col("b_end"))
-            & (F.col("b_start") < F.col("a_end"))
-        )
-        .select("a_user", "a_start", "b_user", "b_start")
-        .distinct()
+    first_shared_bin = F.date_trunc(
+        "hour", F.greatest("a_start", "b_start")
+    )
+    pairs = a.join(b, "bin").filter(
+        (F.col("a_user") != F.col("b_user"))
+        & (F.col("a_start") < F.col("b_end"))
+        & (F.col("b_start") < F.col("a_end"))
+        & (F.col("bin") == first_shared_bin)
     )
     counts = pairs.groupBy("a_user", "a_start").agg(
         F.count("*").alias("n_concurrent")
