@@ -1029,12 +1029,62 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_upsert(spark, sf_dir):
+    """MERGE-style upsert: deterministic delta (every 10th customer's
+    balance bumped + synthetic new keys) applied as updates ∪ anti-join —
+    the per-wave state-store commit shape as a generic keyed operator."""
+    from .pipelines.warehouse import upsert
+
+    cust = load(spark, sf_dir, "customer")
+    upd1 = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    upd2 = cust.filter(F.col("c_custkey") % 97 == 3).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    return _longify(upsert(cust, upd1.unionByName(upd2), "c_custkey"))
+
+
+_UPSERT_SQL_PARTS = dict(
+    target_sql="SELECT * FROM customer",
+    updates_sql=(
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,"
+        " c_mktsegment FROM customer WHERE c_custkey % 10 = 0 "
+        "UNION ALL SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,"
+        " c_mktsegment FROM customer WHERE c_custkey % 97 = 3"
+    ),
+    key="c_custkey",
+    order_by="c_custkey",
+)
+
+
+def q_scd2(spark, sf_dir):
+    """SCD2 validity intervals from the signup change log: lead-window
+    interval chain with deterministic tie-break, is_current flag."""
+    from .pipelines.warehouse import scd2_intervals
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return _longify(scd2_intervals(ev))
+
+
 def _profile_events_sql() -> str:
     from .pipelines.profiling import profile_table_sql
 
     return profile_table_sql(
         "events", ["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
+
+
+def _upsert_oracle_sql() -> str:
+    from .pipelines.warehouse import upsert_sql
+
+    return upsert_sql(**_UPSERT_SQL_PARTS)
+
+
+def _scd2_oracle_sql() -> str:
+    from .pipelines.warehouse import scd2_intervals_sql
+
+    return scd2_intervals_sql(where="event_type = 'signup'")
 
 
 _TYPOS = ("tabl", "joinn", "hashh", "sctan")
@@ -1965,6 +2015,8 @@ def queries():
         "typo_pairs": q_typo_pairs,
         "triangle_count": q_triangle_count,
         "profile_table": q_profile_table,
+        "upsert": q_upsert,
+        "scd2": q_scd2,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -2054,6 +2106,8 @@ def oracle_sql():
         "typo_pairs": pclean.typo_pairs_sql(table=_INJECT_TYPOS_SQL),
         "triangle_count": psearch.triangle_count_sql(),
         "profile_table": _profile_events_sql(),
+        "upsert": _upsert_oracle_sql(),
+        "scd2": _scd2_oracle_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

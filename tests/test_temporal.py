@@ -182,3 +182,38 @@ def test_plan_shapes(spark):
     # rollup: grouping sets expand once (single Expand node), one agg pair
     ev_plan = pt.rollup_hypertable(events)._jdf.queryExecution().executedPlan().toString()
     assert ev_plan.count("Expand") == 1
+
+
+def test_upsert_merge_semantics(spark):
+    from searchgov_spider_spark.pipelines.warehouse import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r.k: (r.s, r.v) for r in upsert(target, updates, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_interval_chain(spark):
+    from searchgov_spider_spark.pipelines.warehouse import scd2_intervals
+
+    rows = [
+        (1, _ts(0), 7, "signup", 1.0),
+        (2, _ts(10), 7, "signup", 2.0),
+        (3, _ts(10), 7, "signup", 3.0),   # tie: id breaks the chain order
+        (4, _ts(5), 8, "signup", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = sorted(scd2_intervals(df).collect(), key=lambda r: (r.user_id, r.valid_from, r.change_id))
+    u7 = [r for r in got if r.user_id == 7]
+    assert [r.value for r in u7] == [1.0, 2.0, 3.0]
+    assert u7[0].valid_to == u7[1].valid_from == _ts(10)
+    assert u7[1].valid_to == _ts(10)  # tied middle interval is zero-length
+    assert u7[2].valid_to is None and u7[2].is_current
+    (u8,) = [r for r in got if r.user_id == 8]
+    assert u8.is_current and u8.valid_from == _ts(5)
