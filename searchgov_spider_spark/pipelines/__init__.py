@@ -22,8 +22,12 @@ from . import (  # noqa: F401
     multimodal,
     packing,
     prep,
+    profiling,
     sampling,
+    search,
     similarity,
     spans,
+    temporal,
     textstats,
+    warehouse,
 )
