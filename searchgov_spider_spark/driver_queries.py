@@ -1029,6 +1029,29 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): staged
+    conditional-min aggregation, floors in the join conditions."""
+    return _longify(pevents.funnel(load(spark, sf_dir, "events")))
+
+
+def q_retention(spark, sf_dir):
+    """Weekly retention triangle: first-event cohorts x active weeks."""
+    return _longify(pevents.retention_cohorts(load(spark, sf_dir, "events")))
+
+
+def q_transitions(spark, sf_dir):
+    """First-order Markov transition counts over per-user event
+    sequences (lead window + hash-agg)."""
+    return _longify(pevents.transitions(load(spark, sf_dir, "events")))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis-Spirakis weighted sample (w = n_chars):
+    salted-hash uniforms, top-k by ln(u)/w."""
+    return _longify(psampling.weighted_sample(load(spark, sf_dir, "documents")))
+
+
 def q_upsert(spark, sf_dir):
     """MERGE-style upsert: deterministic delta (every 10th customer's
     balance bumped + synthetic new keys) applied as updates ∪ anti-join —
@@ -2017,6 +2040,10 @@ def queries():
         "profile_table": q_profile_table,
         "upsert": q_upsert,
         "scd2": q_scd2,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "transitions": q_transitions,
+        "weighted_sample": q_weighted_sample,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
@@ -2108,6 +2135,10 @@ def oracle_sql():
         "profile_table": _profile_events_sql(),
         "upsert": _upsert_oracle_sql(),
         "scd2": _scd2_oracle_sql(),
+        "funnel": pevents.funnel_sql(),
+        "retention": pevents.retention_cohorts_sql(),
+        "transitions": pevents.transitions_sql(),
+        "weighted_sample": psampling.weighted_sample_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),

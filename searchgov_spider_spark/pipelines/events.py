@@ -333,3 +333,158 @@ def incremental_counts_sql(table: str = "events") -> str:
                sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_c
         FROM {table} GROUP BY event_type ORDER BY event_type
     """
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, stages=FUNNEL_STAGES) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest time each stage
+    was reached AFTER the previous stage (classic conversion funnel —
+    view -> click -> purchase in order, not mere presence).
+
+    Output: (user_id, t_<stage>..., reached) where reached = number of
+    stages completed in order.
+
+    Plan: one conditional-min hash-agg per stage, each joined back
+    before the next (stage k's floor is stage k-1's time) — k tiny
+    shuffles of per-user 1-row tables, never a window over raw events.
+    """
+    cur = events.select("user_id").distinct()
+    prev_col = None
+    t_cols = []
+    for s in stages:
+        ev_s = events.filter(F.col("event_type") == s).select(
+            F.col("user_id").alias("_u"), F.col("ts").alias("_t")
+        )
+        # the stage floor lives in the JOIN condition (not a post-filter)
+        # so users whose stage events all precede the floor keep their
+        # row with a null stage time instead of vanishing
+        cond = F.col("user_id") == F.col("_u")
+        if prev_col is not None:
+            cond = cond & (F.col("_t") >= F.col(prev_col))
+        tc = f"t_{s}"
+        cur = (
+            cur.join(ev_s, cond, "left")
+            .groupBy("user_id", *t_cols)
+            .agg(F.min("_t").alias(tc))
+        )
+        t_cols.append(tc)
+        prev_col = tc
+    reached = None
+    for tc in t_cols:
+        c = F.when(F.col(tc).isNotNull(), 1).otherwise(0)
+        reached = c if reached is None else reached + c
+    return cur.select("user_id", *t_cols, reached.cast("long").alias("reached"))
+
+
+def funnel_sql(table: str = "events", stages=FUNNEL_STAGES) -> str:
+    s1, s2, s3 = stages
+    return f"""
+        WITH users AS (SELECT DISTINCT user_id FROM {table}),
+        f1 AS (
+          SELECT u.user_id, min(e.ts) AS t_{s1}
+          FROM users u LEFT JOIN {table} e
+            ON e.user_id = u.user_id AND e.event_type = '{s1}'
+          GROUP BY u.user_id
+        ), f2 AS (
+          SELECT f1.user_id, f1.t_{s1},
+                 min(CASE WHEN f1.t_{s1} IS NOT NULL THEN e.ts END) AS t_{s2}
+          FROM f1 LEFT JOIN {table} e
+            ON e.user_id = f1.user_id AND e.event_type = '{s2}'
+           AND e.ts >= f1.t_{s1}
+          GROUP BY f1.user_id, f1.t_{s1}
+        ), f3 AS (
+          SELECT f2.user_id, f2.t_{s1}, f2.t_{s2},
+                 min(CASE WHEN f2.t_{s2} IS NOT NULL THEN e.ts END) AS t_{s3}
+          FROM f2 LEFT JOIN {table} e
+            ON e.user_id = f2.user_id AND e.event_type = '{s3}'
+           AND e.ts >= f2.t_{s2}
+          GROUP BY f2.user_id, f2.t_{s1}, f2.t_{s2}
+        )
+        SELECT user_id, t_{s1}, t_{s2}, t_{s3},
+               ((t_{s1} IS NOT NULL)::INT + (t_{s2} IS NOT NULL)::INT
+                + (t_{s3} IS NOT NULL)::INT)::BIGINT AS reached
+        FROM f3 ORDER BY user_id
+    """
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention triangle: cohort = Monday-truncated week of each
+    user's first event; one row per (cohort_week, week_offset) with the
+    distinct-user count active that week.
+
+    Plan: first-event agg (one shuffle), join back (broadcast — the
+    per-user table is small relative to events at corpus scale... it is
+    NOT, so hash join on user_id), distinct + hash-agg.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    j = active.join(firsts, "user_id")
+    offset = (
+        (F.unix_timestamp(F.col("week").cast("timestamp"))
+         - F.unix_timestamp(F.col("cohort_week").cast("timestamp")))
+        / (7 * 86400)
+    ).cast("long")
+    return (
+        j.select("user_id", "cohort_week", offset.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def retention_cohorts_sql(table: str = "events") -> str:
+    return f"""
+        WITH firsts AS (
+          SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+          FROM {table} GROUP BY user_id
+        ), active AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS week
+          FROM {table}
+        )
+        SELECT f.cohort_week,
+               ((epoch(a.week) - epoch(f.cohort_week)) / {7 * 86400})::BIGINT AS week_offset,
+               count(DISTINCT a.user_id)::BIGINT AS n_users
+        FROM active a JOIN firsts f USING (user_id)
+        GROUP BY f.cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """
+
+
+def transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence ordered by (ts, event_id): (from_type, to_type, n).
+
+    One shuffle on user_id + one window (lead), then a hash-agg —
+    linear in the log.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def transitions_sql(table: str = "events") -> str:
+    return f"""
+        WITH seq AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ) AS to_type
+          FROM {table}
+        )
+        SELECT from_type, to_type, count(*)::BIGINT AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+        ORDER BY from_type, to_type
+    """

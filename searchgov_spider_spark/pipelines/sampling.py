@@ -250,3 +250,58 @@ def mixture_expand_sql(
         FROM ({inner}) , unnest(range(1, n_repeats + 1)) AS u(c)
         ORDER BY doc_id, copy_idx
     """
+
+
+WSAMPLE_SALT = "wsample-r2"
+WSAMPLE_K = 50
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = WSAMPLE_K, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws u in (0, 1] from the salted portable
+    hash of its id and keeps key = ln(u) / w; the k largest keys are the
+    sample, each row's inclusion probability proportional to its weight.
+
+    Determinism: u is a pure function of doc_id (same value in the SQL
+    twin), keys are rounded to 9 decimals for ORDERING so ln ulps can't
+    flip the boundary, and doc_id breaks exact ties. Plan: projection +
+    global top-k window over a 2-column frame (WindowGroupLimit — only k
+    rows survive each partition's sort at scale).
+    """
+    u = (
+        portable_hash32_col(
+            F.concat(F.lit(f"{WSAMPLE_SALT}|"), F.col("doc_id").cast("string"))
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", F.col(weight_col).alias("weight"), key.alias("key"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "weight", "key", "rank")
+    )
+
+
+def weighted_sample_sql(
+    k: int = WSAMPLE_K, weight_col: str = "n_chars", table: str = "documents"
+) -> str:
+    h = portable_hash32_sql(f"'{WSAMPLE_SALT}|' || doc_id")
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id, {weight_col} AS weight,
+                 round(ln(({h} + 1)::DOUBLE / 4294967296.0) / {weight_col}, 9) AS key
+          FROM {table}
+        ), ranked AS (
+          SELECT doc_id, weight, key,
+                 row_number() OVER (ORDER BY key DESC, doc_id ASC)::BIGINT AS rank
+          FROM keyed
+        )
+        SELECT doc_id, weight, key, rank FROM ranked WHERE rank <= {k}
+        ORDER BY rank
+    """

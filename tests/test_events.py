@@ -125,3 +125,47 @@ def test_incremental_counts_equals_full(spark):
         n, s = want.get(et, (0, 0))
         want[et] = (n + 1, s + round(v * 100))
     assert got == want
+
+
+def test_funnel_ordered_stages(spark):
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: complete in-order funnel
+        (0, t(0), 1, "view", 0.0), (1, t(5), 1, "click", 0.0), (2, t(9), 1, "purchase", 0.0),
+        # user 2: purchase BEFORE click -> only view+click count in order
+        (3, t(0), 2, "view", 0.0), (4, t(2), 2, "purchase", 0.0), (5, t(4), 2, "click", 0.0),
+        # user 3: no view at all -> later stages can't start
+        (6, t(1), 3, "click", 0.0), (7, t(2), 3, "purchase", 0.0),
+    ]
+    df = _ev_typed(spark, rows)
+    got = {r.user_id: r for r in pe.funnel(df).collect()}
+    assert got[1].reached == 3 and got[1].t_purchase == t(9)
+    assert got[2].reached == 2 and got[2].t_click == t(4) and got[2].t_purchase is None
+    assert got[3].reached == 0 and got[3].t_view is None
+    # user 2 has no purchase AT OR AFTER the click
+    # user 1's stage times are ordered
+    assert got[1].t_view <= got[1].t_click <= got[1].t_purchase
+
+
+def test_transitions_counts(spark):
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        (0, t(0), 1, "view", 0.0), (1, t(1), 1, "click", 0.0), (2, t(2), 1, "view", 0.0),
+        (3, t(0), 2, "view", 0.0), (4, t(1), 2, "click", 0.0),
+    ]
+    got = {(r.from_type, r.to_type): r.n for r in pe.transitions(_ev_typed(spark, rows)).collect()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    # user 1 first active week 0, also week 2; user 2 only week 1
+    d = lambda day: datetime(2024, 1, day)  # 2024-01-01 is a Monday
+    rows = [
+        (0, d(2), 1, "view", 0.0), (1, d(16), 1, "view", 0.0),
+        (2, d(9), 2, "view", 0.0),
+    ]
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in pe.retention_cohorts(_ev_typed(spark, rows)).collect()}
+    assert got[(d(1), 0)] == 1 and got[(d(1), 2)] == 1
+    assert got[(d(8), 0)] == 1
+    assert len(got) == 3

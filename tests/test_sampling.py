@@ -99,3 +99,39 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
         by_cluster.setdefault(c, []).append(d)
     for c, members in by_cluster.items():
         assert c == min(members)
+
+
+def test_weighted_sample_matches_python():
+    import math
+
+    from searchgov_spider_spark.functions.hashing import portable_hash32
+    from searchgov_spider_spark.pipelines.sampling import WSAMPLE_SALT
+
+    # python replica of the A-ES key for a given doc
+    def key(doc_id, w):
+        u = (portable_hash32(f"{WSAMPLE_SALT}|{doc_id}") + 1) / 4294967296.0
+        return round(math.log(u) / w, 9)
+
+    # sanity: keys are negative and heavier weights push keys toward 0
+    assert key(1, 1000) > key(1, 10)
+
+
+def test_weighted_sample_topk(spark):
+    from searchgov_spider_spark.pipelines.sampling import weighted_sample
+
+    import math
+    from searchgov_spider_spark.functions.hashing import portable_hash32
+    from searchgov_spider_spark.pipelines.sampling import WSAMPLE_SALT
+
+    rows = [(i, "x", "s", 10 + (i * 13) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    got = [(r.doc_id, r.rank) for r in weighted_sample(df, k=20).collect()]
+    keys = sorted(
+        (
+            -round(math.log((portable_hash32(f"{WSAMPLE_SALT}|{i}") + 1) / 4294967296.0) / w, 9),
+            i,
+        )
+        for (i, _, _, w) in rows
+    )[:20]
+    want = [(i, r + 1) for r, (_, i) in enumerate(keys)]
+    assert got == want
