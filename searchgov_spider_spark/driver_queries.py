@@ -1029,6 +1029,26 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_bfs_depths(spark, sf_dir):
+    """BFS hop distances from the source set over the synthetic graph:
+    frontier-only expansion per level (the crawl wave loop as a graph
+    operator); unreached = -1. Oracle = recursive-CTE shortest hop."""
+    return _longify(psearch.bfs_depths(load(spark, sf_dir, "documents")))
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities, 2 iterations, L1-normalized half-steps —
+    two shuffles per iteration, broadcast normalizers."""
+    return _longify(psearch.hits(load(spark, sf_dir, "documents")))
+
+
+def q_trend(spark, sf_dir):
+    """Closed-form OLS trend per event type from EXACT integer
+    sufficient statistics (day index x cents) — one hash-agg, solve in
+    the projection."""
+    return _longify(pevents.trend(load(spark, sf_dir, "events")))
+
+
 def q_funnel(spark, sf_dir):
     """Ordered conversion funnel (view -> click -> purchase): staged
     conditional-min aggregation, floors in the join conditions."""
@@ -2040,6 +2060,9 @@ def queries():
         "profile_table": q_profile_table,
         "upsert": q_upsert,
         "scd2": q_scd2,
+        "bfs_depths": q_bfs_depths,
+        "hits": q_hits,
+        "trend": q_trend,
         "funnel": q_funnel,
         "retention": q_retention,
         "transitions": q_transitions,
@@ -2135,6 +2158,9 @@ def oracle_sql():
         "profile_table": _profile_events_sql(),
         "upsert": _upsert_oracle_sql(),
         "scd2": _scd2_oracle_sql(),
+        "bfs_depths": psearch.bfs_depths_sql(),
+        "hits": psearch.hits_sql(),
+        "trend": pevents.trend_sql(),
         "funnel": pevents.funnel_sql(),
         "retention": pevents.retention_cohorts_sql(),
         "transitions": pevents.transitions_sql(),

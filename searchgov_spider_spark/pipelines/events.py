@@ -488,3 +488,58 @@ def transitions_sql(table: str = "events") -> str:
         GROUP BY from_type, to_type
         ORDER BY from_type, to_type
     """
+
+
+def trend(events: DataFrame) -> DataFrame:
+    """Per-type linear trend (OLS slope/intercept) of daily value over
+    time. ALL sufficient statistics are exact integers — x = day index
+    since epoch, y = value in cents — so n, Sx, Sy, Sxy, Sxx are
+    bit-identical across engines and the closed-form doubles
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) divide identical operands.
+
+    One hash-agg; the regression itself is a projection (this is how
+    closed-form ML fits run at 100 TB — aggregate sufficient statistics,
+    solve on the skinny result).
+    """
+    x = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    s = events.select("event_type", x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = s["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (s["n"] * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / denom.cast("double")
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / s["n"].cast("double")
+    return s.select(
+        "event_type", "n",
+        F.round(slope, 9).alias("slope_cents_per_day"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )
+
+
+def trend_sql(table: str = "events") -> str:
+    return f"""
+        WITH s AS (
+          SELECT event_type,
+                 count(*)::BIGINT AS n,
+                 sum(floor(epoch(ts) / 86400)::BIGINT)::BIGINT AS sx,
+                 sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sy,
+                 sum(floor(epoch(ts) / 86400)::BIGINT
+                     * CAST(round(value * 100) AS BIGINT))::BIGINT AS sxy,
+                 sum(floor(epoch(ts) / 86400)::BIGINT
+                     * floor(epoch(ts) / 86400)::BIGINT)::BIGINT AS sxx
+          FROM {table} GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 9)
+                 AS slope_cents_per_day,
+               round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE) / n::DOUBLE, 6)
+                 AS intercept_cents
+        FROM s ORDER BY event_type
+    """

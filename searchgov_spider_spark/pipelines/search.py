@@ -578,3 +578,168 @@ def triangle_count_sql(table: str = "documents") -> str:
         JOIN und e2 ON e1.v = e2.u
         JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
     """
+
+
+# ---------------------------------------------------------------------------
+# BFS depth layers from a source set
+# ---------------------------------------------------------------------------
+
+BFS_MAX_DEPTH = 6
+
+
+def bfs_depths(docs: DataFrame, source_mod: int = 101, max_depth: int = BFS_MAX_DEPTH) -> DataFrame:
+    """Hop distance of every node from the source set (doc_id %
+    ``source_mod`` == 0) over the synthetic link graph, capped at
+    ``max_depth`` — the crawl engine's wave expansion as a standalone
+    graph operator (plans/crawl.py runs this exact loop with fetch +
+    extraction in the middle; reference BFS: scrapy's default FIFO
+    scheduling, SURVEY §2.5 P1).
+
+    One join + hash-agg per level on the frontier only (never the full
+    visited set); unreached nodes report depth = -1.
+    """
+    edges = synthetic_edges(docs).localCheckpoint(eager=True)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    depths = nodes.filter(F.col("node") % source_mod == 0).select(
+        "node", F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint(eager=True)
+    frontier = depths.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(depths.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        depths = depths.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return nodes.join(depths, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("depth", F.lit(-1)).cast("long").alias("depth"),
+    )
+
+
+def bfs_depths_sql(
+    table: str = "documents", source_mod: int = 101, max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    edge_selects = " UNION ALL ".join(
+        f"SELECT node AS src, (node * {a} + {bb}) % (SELECT n_int FROM nn) AS dst FROM nodes"
+        for a, bb in PR_EDGE_COEFFS
+    )
+    return f"""
+        WITH RECURSIVE nodes AS (SELECT doc_id AS node FROM {table}),
+        nn AS (SELECT count(*)::BIGINT AS n_int FROM nodes),
+        edges AS ({edge_selects}),
+        walk(node, depth) AS (
+          SELECT node, 0::BIGINT FROM nodes WHERE node % {source_mod} = 0
+          UNION
+          SELECT e.dst, w.depth + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.depth < {max_depth}
+        ),
+        best AS (SELECT node, min(depth) AS depth FROM walk GROUP BY node)
+        SELECT n.node AS doc_id, coalesce(b.depth, -1)::BIGINT AS depth
+        FROM nodes n LEFT JOIN best b USING (node)
+        ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 2
+
+
+def hits(docs: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
+    """HITS over the synthetic link graph: ``n_iter`` rounds of
+    authority(v) = sum of hub(u) over in-edges, then hub(u) = sum of
+    authority(v) over out-edges, L1-normalized each half-step (L1 keeps
+    the normalizer a plain sum — exact-order float math both engines).
+
+    Two shuffles per iteration (one per half-step) + a broadcast 1-row
+    normalizer — the same edge-partitioned shape as PageRank.
+    """
+    edges = synthetic_edges(docs)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    n = nodes.agg(F.count("*").alias("n_nodes"))
+    hub = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("hub")
+    )
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        a_tot = a_raw.agg(F.sum("a").alias("t"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select("node", (F.coalesce("a", F.lit(0.0)) / F.col("t")).alias("auth"))
+        )
+        h_raw = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("h"))
+        )
+        h_tot = h_raw.agg(F.sum("h").alias("t"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select("node", (F.coalesce("h", F.lit(0.0)) / F.col("t")).alias("hub"))
+        )
+    return (
+        hub.join(auth, "node")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.round("hub", 9).alias("hub"),
+            F.round("auth", 9).alias("auth"),
+        )
+    )
+
+
+def hits_sql(table: str = "documents", n_iter: int = HITS_ITERS) -> str:
+    edge_selects = " UNION ALL ".join(
+        f"SELECT node AS src, (node * {a} + {bb}) % (SELECT n_int FROM nn) AS dst FROM nodes"
+        for a, bb in PR_EDGE_COEFFS
+    )
+    ctes = [
+        f"nodes AS (SELECT doc_id AS node FROM {table})",
+        "nn AS (SELECT count(*)::BIGINT AS n_int, count(*)::DOUBLE AS n FROM nodes)",
+        f"edges AS ({edge_selects})",
+        "h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM nodes)",
+    ]
+    hub_prev = "h0"
+    auth_prev = None
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT dst AS node, sum(hub) AS a FROM edges "
+            f"JOIN {hub_prev} ON edges.src = {hub_prev}.node GROUP BY dst)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT nodes.node, coalesce(a, 0.0) / (SELECT sum(a) FROM ar{i}) AS auth "
+            f"FROM nodes LEFT JOIN ar{i} USING (node))"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT src AS node, sum(auth) AS h FROM edges "
+            f"JOIN a{i} ON edges.dst = a{i}.node GROUP BY src)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT nodes.node, coalesce(h, 0.0) / (SELECT sum(h) FROM hr{i}) AS hub "
+            f"FROM nodes LEFT JOIN hr{i} USING (node))"
+        )
+        hub_prev, auth_prev = f"h{i}", f"a{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT {hub_prev}.node AS doc_id, round(hub, 9) AS hub, round(auth, 9) AS auth
+        FROM {hub_prev} JOIN {auth_prev} ON {hub_prev}.node = {auth_prev}.node
+        ORDER BY doc_id
+        """
+    )

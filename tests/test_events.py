@@ -2,6 +2,8 @@
 
 from datetime import datetime
 
+import pytest
+
 from searchgov_spider_spark.pipelines import events as pe
 
 
@@ -169,3 +171,27 @@ def test_retention_cohorts_offsets(spark):
     assert got[(d(1), 0)] == 1 and got[(d(1), 2)] == 1
     assert got[(d(8), 0)] == 1
     assert len(got) == 3
+
+
+def test_trend_exact_ols(spark):
+    # y = 200 + 300*x cents exactly -> slope 300, intercept 200
+    rows = [
+        (i, datetime(2024, 1, 1 + x), 1, "a", (2.0 + 3.0 * x))
+        for i, x in enumerate(range(10))
+    ]
+    df = _ev_typed(spark, rows)
+    (r,) = pe.trend(df).collect()
+    assert r.n == 10
+    assert r.slope_cents_per_day == pytest.approx(300.0, abs=1e-9)
+    # intercept is at x=0 (epoch day), far from 2024 -> recompute exactly
+    import math
+    xs = [int(datetime(2024, 1, 1 + x).timestamp() // 86400) for x in range(10)]
+    ys = [round((2.0 + 3.0 * x) * 100) for x in range(10)]
+    n = 10
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert r.slope_cents_per_day == pytest.approx(slope, abs=1e-9)
+    assert r.intercept_cents == pytest.approx(round(intercept, 6), abs=1e-6)

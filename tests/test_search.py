@@ -201,3 +201,34 @@ def test_vocab_coverage_oov(spark):
     assert (got[0].n_tokens, got[0].n_oov) == (6, 2)
     assert got[0].oov_rate == pytest.approx(2 / 6, abs=1e-9)
     assert (got[1].n_oov, got[2].n_oov) == (0, 2)
+
+
+def test_bfs_depths_matches_python(spark):
+    docs = spark.createDataFrame([(i, "x") for i in range(23)], "doc_id long, text string")
+    got = {r.doc_id: r.depth for r in psearch.bfs_depths(docs, source_mod=11).collect()}
+    n = 23
+    adj = {}
+    for s in range(n):
+        for a, b in psearch.PR_EDGE_COEFFS:
+            adj.setdefault(s, set()).add((s * a + b) % n)
+    # python BFS from sources {0, 11, 22}
+    depth = {s: 0 for s in range(n) if s % 11 == 0}
+    frontier = set(depth)
+    for d in range(1, psearch.BFS_MAX_DEPTH + 1):
+        frontier = {v for u in frontier for v in adj[u] if v not in depth}
+        for v in frontier:
+            depth[v] = d
+        if not frontier:
+            break
+    want = {v: depth.get(v, -1) for v in range(n)}
+    assert got == want
+    assert got[0] == 0 and max(got.values()) >= 1
+
+
+def test_hits_normalization_and_positivity(spark):
+    docs = spark.createDataFrame([(i, "x") for i in range(9)], "doc_id long, text string")
+    rows = psearch.hits(docs).collect()
+    assert len(rows) == 9
+    assert sum(r.hub for r in rows) == pytest.approx(1.0, abs=1e-6)
+    assert sum(r.auth for r in rows) == pytest.approx(1.0, abs=1e-6)
+    assert all(r.hub >= 0 and r.auth >= 0 for r in rows)
