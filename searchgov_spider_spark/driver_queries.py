@@ -874,6 +874,86 @@ Q_LOCAL_VOLUME_SQL = """
 """
 
 
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: segment-level stats over rich customers
+    (acctbal above the positive-balance mean) with NO RECENT orders
+    (none since 2000-06) — scalar-subquery average broadcast as a 1-row
+    aggregate + left_anti join (the NOT EXISTS rewrite Catalyst wants).
+    Integer-cents sums."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    no_orders = rich.join(
+        orders.filter(F.col("o_orderdate") >= "2000-06-01").select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(cents).alias("total_bal_c"),
+        )
+    )
+
+
+Q_SALES_OPPORTUNITY_SQL = """
+    WITH avg_pos AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_c
+    FROM customer CROSS JOIN avg_pos
+    WHERE c_acctbal > avg_bal
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderdate >= '2000-06-01'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: keep the LATEST event per (user_id,
+    event_type) by (ts, event_id) — the keep-newest dedup every
+    changelog consumer runs. One shuffle + WindowGroupLimit top-1."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+Q_DEDUP_LATEST_SQL = """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, ts, value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout key over lineitem's two hottest filter
     columns — the multi-dimensional clustering key an OPTIMIZE ZORDER
@@ -2008,6 +2088,8 @@ def queries():
         "top_customers": q_top_customers,
         "shipping_priority": q_shipping_priority,
         "local_volume": q_local_volume,
+        "sales_opportunity": q_sales_opportunity,
+        "dedup_latest": q_dedup_latest,
         "zorder_key": q_zorder_key,
         "incremental_counts": q_incremental_counts,
         # corpus pipelines
@@ -2108,6 +2190,8 @@ def oracle_sql():
         "top_customers": Q_TOP_CUSTOMERS_SQL,
         "shipping_priority": Q_SHIPPING_PRIORITY_SQL,
         "local_volume": Q_LOCAL_VOLUME_SQL,
+        "sales_opportunity": Q_SALES_OPPORTUNITY_SQL,
+        "dedup_latest": Q_DEDUP_LATEST_SQL,
         "zorder_key": _q_zorder_sql(),
         "incremental_counts": pevents.incremental_counts_sql(),
         "exact_dedup": pdedup.exact_dup_groups_sql(),
