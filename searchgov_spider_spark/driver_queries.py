@@ -1245,6 +1245,13 @@ def q_typo_pairs(spark, sf_dir):
     return _longify(pclean.typo_pairs(_inject_typos(load(spark, sf_dir, "documents"))))
 
 
+def q_overlap_join(spark, sf_dir):
+    """PPJoin-style exact set-similarity self-join (token overlap >= 30)
+    via prefix filtering — rare-token prefixes generate candidates,
+    array_intersect verifies; never all-pairs."""
+    return _longify(pdedup.overlap_join(load(spark, sf_dir, "documents"), min_overlap=30))
+
+
 def q_triangle_count(spark, sf_dir):
     """Global triangle count via ordered wedge-close (two single-key
     joins over u<v canonical edges)."""
@@ -2138,6 +2145,7 @@ def queries():
         "knn_classify": q_knn_classify,
         "vocab_coverage": q_vocab_coverage,
         "typo_pairs": q_typo_pairs,
+        "overlap_join": q_overlap_join,
         "triangle_count": q_triangle_count,
         "profile_table": q_profile_table,
         "upsert": q_upsert,
@@ -2238,6 +2246,7 @@ def oracle_sql():
         "knn_classify": psim.knn_classify_sql(n_queries=10, k=5),
         "vocab_coverage": pstats.vocab_coverage_sql(),
         "typo_pairs": pclean.typo_pairs_sql(table=_INJECT_TYPOS_SQL),
+        "overlap_join": pdedup.overlap_join_sql(min_overlap=30),
         "triangle_count": psearch.triangle_count_sql(),
         "profile_table": _profile_events_sql(),
         "upsert": _upsert_oracle_sql(),

@@ -612,3 +612,95 @@ def dup_clusters_sql(pairs_cte: str, nodes_cte: str) -> str:
         SELECT src AS doc_id, min(dst) AS cluster
         FROM reach GROUP BY src ORDER BY doc_id
     """
+
+
+def overlap_join(docs: DataFrame, min_overlap: int = 30, text_col: str = "text") -> DataFrame:
+    """Exact set-similarity self-join: document pairs sharing at least
+    ``min_overlap`` distinct tokens, found via PREFIX FILTERING (the
+    ssjoin/PPJoin family) — never the quadratic all-pairs join.
+
+    Theorem: order every token set by one global total order (token
+    frequency asc, token asc); if |A ∩ B| >= T then the first
+    |A| - T + 1 tokens of A and the first |B| - T + 1 of B must share a
+    token. So candidates come from an equi-join on PREFIX tokens only
+    (rare tokens first ⇒ tiny join fanout at corpus scale), then
+    ``array_intersect`` verifies the exact overlap.
+
+    Output: (doc_a, doc_b, overlap) with doc_a < doc_b.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), F.lower),
+                lambda x: x != "",
+            )
+        ).alias("t"),
+    )
+    sized = toks.withColumn("s", F.size("t")).filter(F.col("s") >= min_overlap)
+    freq = (
+        sized.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    ex = sized.select("doc_id", "s", F.explode("t").alias("token")).join(
+        F.broadcast(freq), "token"
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("c"), F.asc("token"))
+    prefix = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("s") - min_overlap + 1)
+        .select("doc_id", "token")
+    )
+    cands = (
+        prefix.select(F.col("token"), F.col("doc_id").alias("doc_a"))
+        .join(prefix.select(F.col("token"), F.col("doc_id").alias("doc_b")), "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        cands.join(sized.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")), "doc_a")
+        .join(sized.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")), "doc_b")
+        .withColumn("overlap", F.size(F.array_intersect("ta", "tb")).cast("long"))
+        .filter(F.col("overlap") >= min_overlap)
+        .select("doc_a", "doc_b", "overlap")
+    )
+
+
+def overlap_join_sql(min_overlap: int = 30, table: str = "documents") -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> lower(w)),
+                   w -> w <> '')) AS t
+          FROM {table}
+        ), sized AS (
+          SELECT doc_id, t, len(t) AS s FROM toks WHERE len(t) >= {min_overlap}
+        ), freq AS (
+          SELECT u.token, count(*) AS c
+          FROM sized, unnest(t) AS u(token) GROUP BY u.token
+        ), ex AS (
+          SELECT sized.doc_id, sized.s, u.token, freq.c
+          FROM sized, unnest(t) AS u(token) JOIN freq ON freq.token = u.token
+        ), prefix AS (
+          SELECT doc_id, token FROM (
+            SELECT doc_id, s, token,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c ASC, token ASC) AS rn
+            FROM ex
+          ) WHERE rn <= s - {min_overlap} + 1
+        ), cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM prefix a JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.t, sb.t))::BIGINT AS overlap
+        FROM cands c
+        JOIN sized sa ON sa.doc_id = c.doc_a
+        JOIN sized sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.t, sb.t)) >= {min_overlap}
+        ORDER BY doc_a, doc_b
+    """

@@ -477,3 +477,30 @@ def test_profile_table_one_scan(spark):
     assert got["id"].n == 4 and got["id"].n_null == 0 and got["id"].n_distinct == 4
     assert got["s"].n_null == 1 and got["s"].n_distinct == 2
     assert got["v"].n_null == 2 and got["v"].n_distinct == 2
+
+
+def test_overlap_join_prefix_filter_complete(spark):
+    from itertools import combinations
+
+    from searchgov_spider_spark.pipelines.dedup import overlap_join
+
+    # docs over a 12-word vocab with graded overlaps
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (0, " ".join(vocab[0:8])),    # w0..w7
+        (1, " ".join(vocab[2:10])),   # w2..w9  -> overlap with 0 = 6
+        (2, " ".join(vocab[4:12])),   # w4..w11 -> overlap with 1 = 6, with 0 = 4
+        (3, " ".join(vocab[0:8])),    # duplicate of 0 -> overlap 8
+        (4, "unique tokens only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.overlap for r in overlap_join(df, min_overlap=6).collect()}
+    # brute force oracle
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {
+        (a, b): len(sets[a] & sets[b])
+        for a, b in combinations(range(5), 2)
+        if len(sets[a] & sets[b]) >= 6
+    }
+    assert got == want
+    assert got[(0, 3)] == 8 and got[(0, 1)] == 6
