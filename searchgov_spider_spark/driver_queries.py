@@ -1252,6 +1252,13 @@ def q_overlap_join(spark, sf_dir):
     return _longify(pdedup.overlap_join(load(spark, sf_dir, "documents"), min_overlap=30))
 
 
+def q_containment(spark, sf_dir):
+    """Set containment join (LCJoin family): per-doc count of documents
+    whose token sets contain it — rarest-token inverted-list probing,
+    exact verify."""
+    return _longify(pdedup.containment_counts(load(spark, sf_dir, "documents")))
+
+
 def q_triangle_count(spark, sf_dir):
     """Global triangle count via ordered wedge-close (two single-key
     joins over u<v canonical edges)."""
@@ -2146,6 +2153,7 @@ def queries():
         "vocab_coverage": q_vocab_coverage,
         "typo_pairs": q_typo_pairs,
         "overlap_join": q_overlap_join,
+        "containment": q_containment,
         "triangle_count": q_triangle_count,
         "profile_table": q_profile_table,
         "upsert": q_upsert,
@@ -2247,6 +2255,7 @@ def oracle_sql():
         "vocab_coverage": pstats.vocab_coverage_sql(),
         "typo_pairs": pclean.typo_pairs_sql(table=_INJECT_TYPOS_SQL),
         "overlap_join": pdedup.overlap_join_sql(min_overlap=30),
+        "containment": pdedup.containment_counts_sql(),
         "triangle_count": psearch.triangle_count_sql(),
         "profile_table": _profile_events_sql(),
         "upsert": _upsert_oracle_sql(),

@@ -704,3 +704,92 @@ def overlap_join_sql(min_overlap: int = 30, table: str = "documents") -> str:
         WHERE len(list_intersect(sa.t, sb.t)) >= {min_overlap}
         ORDER BY doc_a, doc_b
     """
+
+
+def containment_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Set CONTAINMENT join (LCJoin family, cf. PAPERS.md "LCJoin: Set
+    Containment Join via List Crosscutting", ICDE 2019): for each
+    document, how many OTHER documents' token sets contain all of its
+    tokens — boilerplate/subsumption detection.
+
+    Scale shape: every probe document meets only the inverted list of
+    its RAREST token (one window to pick it, one equi-join on the token)
+    — any container must hold that token too, so the blocking is
+    complete and the candidate fanout is the rarest list's length, not
+    the corpus. ``array_intersect`` size == |A| verifies exactly.
+
+    Output: (doc_id, set_size, n_containers).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), F.lower),
+                lambda x: x != "",
+            )
+        ).alias("t"),
+    ).withColumn("s", F.size("t"))
+    ex = toks.select("doc_id", F.explode("t").alias("token"))
+    freq = ex.groupBy("token").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("c"), F.asc("token"))
+    rare = (
+        ex.join(F.broadcast(freq), "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("doc_a"), "token")
+    )
+    cands = rare.join(
+        ex.select(F.col("token"), F.col("doc_id").alias("doc_b")), "token"
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    verified = (
+        cands.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"), F.col("s").alias("sb")
+            ),
+            "doc_b",
+        )
+        # size filter first: a container is at least as large as the probe
+        .filter(
+            (F.col("sb") >= F.col("sa"))
+            & (F.size(F.array_intersect("ta", "tb")) == F.col("sa"))
+        )
+        .groupBy("doc_a")
+        .agg(F.count("*").alias("n_containers"))
+    )
+    return (
+        toks.join(verified, toks.doc_id == verified.doc_a, "left")
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("set_size"),
+            F.coalesce("n_containers", F.lit(0)).cast("long").alias("n_containers"),
+        )
+    )
+
+
+def containment_counts_sql(table: str = "documents") -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> lower(w)),
+                   w -> w <> '')) AS t
+          FROM {table}
+        ), sized AS (SELECT doc_id, t, len(t) AS s FROM toks),
+        counted AS (
+          SELECT a.doc_id,
+                 (SELECT count(*) FROM sized b
+                  WHERE b.doc_id <> a.doc_id
+                    AND len(list_intersect(a.t, b.t)) = a.s) AS n_containers
+          FROM sized a
+        )
+        SELECT sized.doc_id, sized.s::BIGINT AS set_size,
+               coalesce(counted.n_containers, 0)::BIGINT AS n_containers
+        FROM sized JOIN counted USING (doc_id)
+        ORDER BY doc_id
+    """

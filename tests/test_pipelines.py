@@ -504,3 +504,24 @@ def test_overlap_join_prefix_filter_complete(spark):
     }
     assert got == want
     assert got[(0, 3)] == 8 and got[(0, 1)] == 6
+
+
+def test_containment_counts_matches_bruteforce(spark):
+    from searchgov_spider_spark.pipelines.dedup import containment_counts
+
+    rows = [
+        (0, "a b"),            # contained in 1, 2, 4
+        (1, "a b c"),          # contained in 2
+        (2, "a b c d"),
+        (3, "x y z"),
+        (4, "b a"),            # same set as 0 -> contained in 0, 1, 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.set_size, r.n_containers) for r in containment_counts(df).collect()}
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {
+        i: (len(s), sum(1 for j, s2 in sets.items() if j != i and s <= s2))
+        for i, s in sets.items()
+    }
+    assert got == want
+    assert got[0] == (2, 3) and got[3] == (3, 0)
