@@ -1109,6 +1109,18 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_degree_stats(spark, sf_dir):
+    """Per-node out/in degree + dangling flag of the link graph — the
+    frontier-health profile (two hash-aggs, two left joins)."""
+    return _longify(psearch.degree_stats(load(spark, sf_dir, "documents")))
+
+
+def q_length_histogram(spark, sf_dir):
+    """Power-of-two doc-length histogram per source (one hash-agg,
+    integer-exact log2 bucketing)."""
+    return _longify(pstats.length_histogram(load(spark, sf_dir, "documents")))
+
+
 def q_bfs_depths(spark, sf_dir):
     """BFS hop distances from the source set over the synthetic graph:
     frontier-only expansion per level (the crawl wave loop as a graph
@@ -2158,6 +2170,8 @@ def queries():
         "profile_table": q_profile_table,
         "upsert": q_upsert,
         "scd2": q_scd2,
+        "degree_stats": q_degree_stats,
+        "length_histogram": q_length_histogram,
         "bfs_depths": q_bfs_depths,
         "hits": q_hits,
         "trend": q_trend,
@@ -2260,6 +2274,8 @@ def oracle_sql():
         "profile_table": _profile_events_sql(),
         "upsert": _upsert_oracle_sql(),
         "scd2": _scd2_oracle_sql(),
+        "degree_stats": psearch.degree_stats_sql(),
+        "length_histogram": pstats.length_histogram_sql(),
         "bfs_depths": psearch.bfs_depths_sql(),
         "hits": psearch.hits_sql(),
         "trend": pevents.trend_sql(),

@@ -743,3 +743,48 @@ def hits_sql(table: str = "documents", n_iter: int = HITS_ITERS) -> str:
         ORDER BY doc_id
         """
     )
+
+
+def degree_stats(docs: DataFrame) -> DataFrame:
+    """Per-node out/in degrees of the synthetic link graph plus a
+    dangling flag — the frontier-health profile a crawl scheduler reads
+    (hub pages = high out, sinks = zero out). Two hash-aggs + one join.
+    """
+    e = synthetic_edges(docs)
+    out_d = e.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    in_d = e.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.count("*").alias("indeg")
+    )
+    nodes = docs.select("doc_id")
+    return (
+        nodes.join(out_d, "doc_id", "left")
+        .join(in_d, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            (F.coalesce("outdeg", F.lit(0)) == 0).alias("dangling"),
+        )
+    )
+
+
+def degree_stats_sql(table: str = "documents") -> str:
+    edge_selects = " UNION ALL ".join(
+        f"SELECT node AS src, (node * {a} + {bb}) % (SELECT n_int FROM nn) AS dst FROM nodes"
+        for a, bb in PR_EDGE_COEFFS
+    )
+    return f"""
+        WITH nodes AS (SELECT doc_id AS node FROM {table}),
+        nn AS (SELECT count(*)::BIGINT AS n_int FROM nodes),
+        edges AS ({edge_selects}),
+        o AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+        i AS (SELECT dst AS node, count(*) AS indeg FROM edges GROUP BY dst)
+        SELECT n.node AS doc_id,
+               coalesce(o.outdeg, 0)::BIGINT AS outdeg,
+               coalesce(i.indeg, 0)::BIGINT AS indeg,
+               coalesce(o.outdeg, 0) = 0 AS dangling
+        FROM nodes n LEFT JOIN o USING (node) LEFT JOIN i USING (node)
+        ORDER BY doc_id
+    """

@@ -445,3 +445,32 @@ def vocab_coverage_sql(vocab_size: int = VOCAB_SIZE, table: str = "documents") -
         FROM toks LEFT JOIN vocab v USING (token)
         GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two document-length histogram per source: bucket =
+    floor(log2(n_chars)) (empty docs land in bucket -1) — the corpus
+    shape report every training-data run starts with. One hash-agg;
+    the log2 bucket is integer-exact on both engines (floor of a double
+    log only flips at exact powers of two, where log2 is exact)."""
+    n = F.length(F.col(text_col))
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(n.cast("double")))
+    ).cast("long")
+    return (
+        docs.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def length_histogram_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT source,
+               (CASE WHEN length(text) <= 0 THEN -1
+                     ELSE floor(log2(length(text)::DOUBLE)) END)::BIGINT AS bucket,
+               count(*)::BIGINT AS n_docs
+        FROM {table}
+        GROUP BY source, bucket
+        ORDER BY source, bucket
+    """

@@ -232,3 +232,30 @@ def test_hits_normalization_and_positivity(spark):
     assert sum(r.hub for r in rows) == pytest.approx(1.0, abs=1e-6)
     assert sum(r.auth for r in rows) == pytest.approx(1.0, abs=1e-6)
     assert all(r.hub >= 0 and r.auth >= 0 for r in rows)
+
+
+def test_degree_stats_matches_python(spark):
+    docs = spark.createDataFrame([(i, "x") for i in range(13)], "doc_id long, text string")
+    got = {r.doc_id: (r.outdeg, r.indeg, r.dangling) for r in psearch.degree_stats(docs).collect()}
+    n = 13
+    outd = {v: 0 for v in range(n)}
+    ind = {v: 0 for v in range(n)}
+    for s in range(n):
+        for a, b in psearch.PR_EDGE_COEFFS:
+            outd[s] += 1
+            ind[(s * a + b) % n] += 1
+    for v in range(n):
+        assert got[v] == (outd[v], ind[v], outd[v] == 0), v
+    # the synthetic generator gives every node 3 out-edges, none dangling
+    assert all(o == 3 and not d for (o, _, d) in got.values())
+
+
+def test_length_histogram_buckets(spark):
+    from searchgov_spider_spark.pipelines.textstats import length_histogram
+
+    rows = [(0, "", "s"), (1, "a", "s"), (2, "ab", "s"), (3, "abc", "s"),
+            (4, "abcd", "s"), (5, "x" * 1024, "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.bucket: r.n_docs for r in length_histogram(df).collect()}
+    # len 0 -> -1; 1 -> 0; 2,3 -> 1; 4 -> 2; 1024 -> 10
+    assert got == {-1: 1, 0: 1, 1: 2, 2: 1, 10: 1}
