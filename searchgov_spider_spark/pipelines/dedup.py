@@ -716,7 +716,12 @@ def containment_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     its RAREST token (one window to pick it, one equi-join on the token)
     — any container must hold that token too, so the blocking is
     complete and the candidate fanout is the rarest list's length, not
-    the corpus. ``array_intersect`` size == |A| verifies exactly.
+    the corpus. Candidates then pass cheap necessary filters (size,
+    62-bit token-mask subset) before the exact ``array_intersect``
+    verify. Total cost is sum over probes of |invlist(rarest token)| —
+    near-linear on Zipfian vocabularies; a degenerate tiny-vocabulary
+    corpus (every rarest list ~O(corpus), like the synthetic test table)
+    is this operator's worst case and is bounded by the mask prefilter.
 
     Output: (doc_id, set_size, n_containers).
     """
@@ -731,6 +736,19 @@ def containment_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("t"),
     ).withColumn("s", F.size("t"))
+    # 62-bit token Bloom mask: (mask_a & mask_b) == mask_a is NECESSARY
+    # for containment, so the long-op test prunes failing candidates
+    # before the exact array walk (powers of two are exact doubles, so
+    # pow(2, h%62)::long is a portable single-bit value)
+    mask = F.aggregate(
+        F.transform(
+            F.col("t"),
+            lambda x: F.pow(F.lit(2.0), F.pmod(F.crc32(x.cast("binary")), F.lit(62))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
+    toks = toks.withColumn("m", mask)
     ex = toks.select("doc_id", F.explode("t").alias("token"))
     freq = ex.groupBy("token").agg(F.count("*").alias("c"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("c"), F.asc("token"))
@@ -745,18 +763,24 @@ def containment_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).filter(F.col("doc_a") != F.col("doc_b"))
     verified = (
         cands.join(
-            toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"), F.col("s").alias("sa")),
+            toks.select(
+                F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"),
+                F.col("s").alias("sa"), F.col("m").alias("ma"),
+            ),
             "doc_a",
         )
         .join(
             toks.select(
-                F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"), F.col("s").alias("sb")
+                F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"),
+                F.col("s").alias("sb"), F.col("m").alias("mb"),
             ),
             "doc_b",
         )
-        # size filter first: a container is at least as large as the probe
+        # cheap necessary conditions first (size, bitmask subset), exact
+        # array walk only for survivors
         .filter(
             (F.col("sb") >= F.col("sa"))
+            & (F.col("ma").bitwiseAND(F.col("mb")) == F.col("ma"))
             & (F.size(F.array_intersect("ta", "tb")) == F.col("sa"))
         )
         .groupBy("doc_a")
