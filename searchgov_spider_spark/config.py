@@ -8,7 +8,7 @@ Behavior parity sources (reference, read-only):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # Media/archive/office extensions never fetched and classified as media spans
 # (reference: helpers/domain_spider.py:10-27 FILTER_EXTENSIONS).

@@ -23,7 +23,6 @@ bounded-depth graph traversal (same pattern as the crawl wave loop).
 
 from __future__ import annotations
 
-import re
 import xml.etree.ElementTree as ET
 
 import pandas as pd

@@ -10,7 +10,7 @@ differs between engines, while counts are representation-independent.
 
 from __future__ import annotations
 
-from functools import reduce
+
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

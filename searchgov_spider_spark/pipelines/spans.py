@@ -20,7 +20,7 @@ operators are exercised — and oracle-checked — on the driver's flat
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import tokens_col, tokens_sql

@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, DISCOVERY_STRIDE, CrawlConfig, UNWANTED_HTTP_CODES
-from ..functions.content_type import is_valid_content_type_col
 from ..functions.urls import canonicalize_udf, url_hash_col, url_host_col, url_sha256_col
 from ..operators.cuckoo import build_cuckoo
 from ..operators.dedup import build_bloom, build_delta_bloom, dedupe_against_seen, dedupe_intra_wave
