@@ -1109,6 +1109,18 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_source_entropy(spark, sf_dir):
+    """Shannon entropy of each source's token distribution + normalized
+    form — corpus diversity for mixture tuning (two hash-aggs)."""
+    return _longify(pstats.source_entropy(load(spark, sf_dir, "documents")))
+
+
+def q_mad_stats(spark, sf_dir):
+    """Exact median + median-absolute-deviation per event type in
+    integer cents — two selection passes, zero float arithmetic."""
+    return _longify(pevents.mad_stats(load(spark, sf_dir, "events")))
+
+
 def q_degree_stats(spark, sf_dir):
     """Per-node out/in degree + dangling flag of the link graph — the
     frontier-health profile (two hash-aggs, two left joins)."""
@@ -2172,6 +2184,8 @@ def queries():
         "scd2": q_scd2,
         "degree_stats": q_degree_stats,
         "length_histogram": q_length_histogram,
+        "source_entropy": q_source_entropy,
+        "mad_stats": q_mad_stats,
         "bfs_depths": q_bfs_depths,
         "hits": q_hits,
         "trend": q_trend,
@@ -2276,6 +2290,8 @@ def oracle_sql():
         "scd2": _scd2_oracle_sql(),
         "degree_stats": psearch.degree_stats_sql(),
         "length_histogram": pstats.length_histogram_sql(),
+        "source_entropy": pstats.source_entropy_sql(),
+        "mad_stats": pevents.mad_stats_sql(),
         "bfs_depths": psearch.bfs_depths_sql(),
         "hits": psearch.hits_sql(),
         "trend": pevents.trend_sql(),

@@ -543,3 +543,68 @@ def trend_sql(table: str = "events") -> str:
                  AS intercept_cents
         FROM s ORDER BY event_type
     """
+
+
+def mad_stats(events: DataFrame) -> DataFrame:
+    """Robust dispersion per event type: nearest-rank median of value
+    (in exact integer cents) and the median absolute deviation around it
+    — two selection passes, zero float arithmetic, bit-exact across
+    engines. The window sorts run per type on integer keys; at corpus
+    scale this is the exact-robust-stats shape (approx path:
+    percentile_approx on |y - approx median|).
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select("event_type", "event_id", cents.alias("y"))
+    w1 = Window.partitionBy("event_type").orderBy(F.asc("y"), F.asc("event_id"))
+    ranked = base.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.lit(0.5) * F.col("n"))
+    ).select("event_type", F.col("y").alias("med"))
+    dev = base.join(med, "event_type").select(
+        "event_type", "event_id", F.abs(F.col("y") - F.col("med")).alias("d"), "med"
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.asc("d"), F.asc("event_id"))
+    ranked2 = dev.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    return ranked2.filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n"))).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("med").alias("median_c"),
+        F.col("d").alias("mad_c"),
+    )
+
+
+def mad_stats_sql(table: str = "events") -> str:
+    return f"""
+        WITH base AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM {table}
+        ), r1 AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY y ASC, event_id ASC
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM base
+        ), med AS (
+          SELECT event_type, y AS med FROM r1 WHERE rn = ceil(0.5 * n)
+        ), dev AS (
+          SELECT base.event_type, base.event_id,
+                 abs(base.y - med.med) AS d, med.med
+          FROM base JOIN med USING (event_type)
+        ), r2 AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY d ASC, event_id ASC
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM dev
+        )
+        SELECT event_type, n::BIGINT AS n, med AS median_c, d AS mad_c
+        FROM r2 WHERE rn = ceil(0.5 * n)
+        ORDER BY event_type
+    """

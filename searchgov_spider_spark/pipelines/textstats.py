@@ -474,3 +474,65 @@ def length_histogram_sql(table: str = "documents") -> str:
         GROUP BY source, bucket
         ORDER BY source, bucket
     """
+
+
+def source_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy (nats) of each source's token distribution plus
+    its normalized form (divided by ln of the vocab size) — the corpus
+    diversity metric mixture tuning reads. Two hash-aggs; p*ln(p) runs
+    on identical operands in both engines and rounds to 9 decimals.
+    """
+    toks = docs.select(
+        "source",
+        F.explode(F.transform(tokens_col(text_col), F.lower)).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("source", "token").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(
+        F.sum("c").alias("tot"), F.count("*").alias("v")
+    )
+    ent = (
+        counts.join(totals, "source")
+        .select(
+            "source",
+            "v",
+            (
+                -(F.col("c") / F.col("tot"))
+                * F.log(F.col("c") / F.col("tot"))
+            ).alias("term"),
+        )
+        .groupBy("source", "v")
+        .agg(F.round(F.sum("term"), 9).alias("entropy"))
+    )
+    return ent.select(
+        "source",
+        F.col("v").cast("long").alias("vocab"),
+        "entropy",
+        F.round(
+            F.when(F.col("v") > 1, F.col("entropy") / F.log(F.col("v").cast("double")))
+            .otherwise(F.lit(0.0)),
+            9,
+        ).alias("norm_entropy"),
+    )
+
+
+def source_entropy_sql(table: str = "documents") -> str:
+    return f"""
+        WITH toks AS (
+          SELECT source, lower(w) AS token
+          FROM {table}, unnest({tokens_sql('text')}) AS u(w)
+          WHERE w <> ''
+        ), counts AS (
+          SELECT source, token, count(*) AS c FROM toks GROUP BY source, token
+        ), totals AS (
+          SELECT source, sum(c) AS tot, count(*) AS v FROM counts GROUP BY source
+        ), ent AS (
+          SELECT counts.source, v,
+                 round(sum(-(c / tot) * ln(c / tot)), 9) AS entropy
+          FROM counts JOIN totals USING (source)
+          GROUP BY counts.source, v
+        )
+        SELECT source, v::BIGINT AS vocab, entropy,
+               round(CASE WHEN v > 1 THEN entropy / ln(v::DOUBLE) ELSE 0.0 END, 9)
+                 AS norm_entropy
+        FROM ent ORDER BY source
+    """

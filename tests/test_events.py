@@ -195,3 +195,12 @@ def test_trend_exact_ols(spark):
     intercept = (sy - slope * sx) / n
     assert r.slope_cents_per_day == pytest.approx(slope, abs=1e-9)
     assert r.intercept_cents == pytest.approx(round(intercept, 6), abs=1e-6)
+
+
+def test_mad_stats_exact(spark):
+    t = datetime(2024, 1, 1)
+    # values 1..9 -> median 5.00 (500c); deviations [0..4]*100 doubled ->
+    # sorted d: 0,100,100,200,200,300,300,400,400 -> rank ceil(4.5)=5 -> 200
+    rows = [(i, t, 1, "a", float(i + 1)) for i in range(9)]
+    (r,) = pe.mad_stats(_ev_typed(spark, rows)).collect()
+    assert (r.event_type, r.n, r.median_c, r.mad_c) == ("a", 9, 500, 200)

@@ -259,3 +259,22 @@ def test_length_histogram_buckets(spark):
     got = {r.bucket: r.n_docs for r in length_histogram(df).collect()}
     # len 0 -> -1; 1 -> 0; 2,3 -> 1; 4 -> 2; 1024 -> 10
     assert got == {-1: 1, 0: 1, 1: 2, 2: 1, 10: 1}
+
+
+def test_source_entropy_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from searchgov_spider_spark.pipelines.textstats import source_entropy
+
+    rows = [
+        (0, "a a a a", "uniformish"),       # single token -> H = 0
+        (1, "a b c d", "diverse"),          # uniform over 4 -> H = ln 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in source_entropy(df).collect()}
+    assert got["uniformish"].entropy == 0.0
+    assert got["uniformish"].norm_entropy == 0.0
+    assert got["diverse"].vocab == 4
+    assert got["diverse"].entropy == pytest.approx(math.log(4), abs=1e-9)
+    assert got["diverse"].norm_entropy == pytest.approx(1.0, abs=1e-9)
