@@ -1109,6 +1109,18 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_fill_gaps(spark, sf_dir):
+    """Calendar densification: daily per-type counts over the full day
+    span with zero-filled gaps (sequence spine x type dim, left join)."""
+    return _longify(pevents.fill_gaps(load(spark, sf_dir, "events")))
+
+
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: the per-user pivot matrix back to long form via the
+    native DataFrame.unpivot operator (round-trips pivot_events)."""
+    return _longify(pevents.unpivot_events(load(spark, sf_dir, "events")))
+
+
 def q_source_entropy(spark, sf_dir):
     """Shannon entropy of each source's token distribution + normalized
     form — corpus diversity for mixture tuning (two hash-aggs)."""
@@ -2186,6 +2198,8 @@ def queries():
         "length_histogram": q_length_histogram,
         "source_entropy": q_source_entropy,
         "mad_stats": q_mad_stats,
+        "fill_gaps": q_fill_gaps,
+        "unpivot": q_unpivot,
         "bfs_depths": q_bfs_depths,
         "hits": q_hits,
         "trend": q_trend,
@@ -2292,6 +2306,8 @@ def oracle_sql():
         "length_histogram": pstats.length_histogram_sql(),
         "source_entropy": pstats.source_entropy_sql(),
         "mad_stats": pevents.mad_stats_sql(),
+        "fill_gaps": pevents.fill_gaps_sql(),
+        "unpivot": pevents.unpivot_events_sql(),
         "bfs_depths": psearch.bfs_depths_sql(),
         "hits": psearch.hits_sql(),
         "trend": pevents.trend_sql(),

@@ -608,3 +608,86 @@ def mad_stats_sql(table: str = "events") -> str:
         FROM r2 WHERE rn = ceil(0.5 * n)
         ORDER BY event_type
     """
+
+
+def fill_gaps(events: DataFrame) -> DataFrame:
+    """Daily counts per event type DENSIFIED over the full [min_day,
+    max_day] calendar — missing days appear with n = 0 (the gap-filling
+    every time-series consumer needs before resampling).
+
+    Plan: one agg for the global day span (broadcast 1-row), a
+    ``sequence``-exploded calendar spine cross-joined with the distinct
+    type dimension, then a left join of the real daily counts — spine
+    cardinality is days x types (tiny next to events), so the only real
+    shuffle is the daily-count hash-agg.
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    daily = events.select(day.alias("day"), "event_type").groupBy(
+        "day", "event_type"
+    ).agg(F.count("*").alias("n"))
+    span = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    full = spine.crossJoin(types)
+    return (
+        full.join(daily, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+def fill_gaps_sql(table: str = "events") -> str:
+    return f"""
+        WITH daily AS (
+          SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type, count(*) AS n
+          FROM {table} GROUP BY 1, 2
+        ), span AS (
+          SELECT date_trunc('day', min(ts))::TIMESTAMP AS d0,
+                 date_trunc('day', max(ts))::TIMESTAMP AS d1
+          FROM {table}
+        ), spine AS (
+          SELECT u.day::TIMESTAMP AS day
+          FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(day)
+        ), types AS (SELECT DISTINCT event_type FROM {table})
+        SELECT s.day, t.event_type, coalesce(d.n, 0)::BIGINT AS n
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+        ORDER BY s.day, t.event_type
+    """
+
+
+def unpivot_events(events: DataFrame) -> DataFrame:
+    """UNPIVOT (melt): the per-user pivot matrix back to long
+    (user_id, event_type, n) keeping only nonzero cells — the native
+    ``DataFrame.unpivot`` operator (Spark 3.4+), round-tripping
+    ``pivot_events``.
+    """
+    wide = pivot_events(events)
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    return long.filter(F.col("n") > 0).select(
+        "user_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+def unpivot_events_sql(table: str = "events") -> str:
+    types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return f"""
+        SELECT user_id, event_type, count(*)::BIGINT AS n
+        FROM {table}
+        WHERE event_type IN ({types})
+        GROUP BY user_id, event_type
+        HAVING count(*) > 0
+        ORDER BY user_id, event_type
+    """

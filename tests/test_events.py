@@ -204,3 +204,21 @@ def test_mad_stats_exact(spark):
     rows = [(i, t, 1, "a", float(i + 1)) for i in range(9)]
     (r,) = pe.mad_stats(_ev_typed(spark, rows)).collect()
     assert (r.event_type, r.n, r.median_c, r.mad_c) == ("a", 9, 500, 200)
+
+
+def test_fill_gaps_zero_days(spark):
+    d = lambda day: datetime(2024, 1, day)
+    rows = [(0, d(1), 1, "a", 0.0), (1, d(4), 1, "a", 0.0), (2, d(2), 1, "b", 0.0)]
+    got = {(r.day, r.event_type): r.n for r in pe.fill_gaps(_ev_typed(spark, rows)).collect()}
+    # 4-day span x 2 types = 8 rows, gaps zero-filled
+    assert len(got) == 8
+    assert got[(d(1), "a")] == 1 and got[(d(2), "a")] == 0
+    assert got[(d(3), "b")] == 0 and got[(d(2), "b")] == 1
+
+
+def test_unpivot_roundtrip(spark):
+    t = datetime(2024, 1, 1)
+    rows = [(0, t, 1, "click", 0.0), (1, t, 1, "click", 0.0), (2, t, 2, "view", 0.0)]
+    got = {(r.user_id, r.event_type): r.n
+           for r in pe.unpivot_events(_ev_typed(spark, rows)).collect()}
+    assert got == {(1, "click"): 2, (2, "view"): 1}
