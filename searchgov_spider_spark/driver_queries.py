@@ -1109,6 +1109,23 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_debounce(spark, sf_dir):
+    """Stream debouncing: drop same-(user,type) repeats within 60 s of
+    the previous event (one lag window, idempotent)."""
+    return _longify(pevents.debounce(load(spark, sf_dir, "events")))
+
+
+def q_peak_events(spark, sf_dir):
+    """Per-user argmax via native max_by — one hash-agg, no window."""
+    return _longify(pevents.peak_events(load(spark, sf_dir, "events")))
+
+
+def q_daily_deltas(spark, sf_dir):
+    """Day-over-day count deltas per type over the densified daily
+    series (fill_gaps + lag)."""
+    return _longify(pevents.daily_deltas(load(spark, sf_dir, "events")))
+
+
 def q_fill_gaps(spark, sf_dir):
     """Calendar densification: daily per-type counts over the full day
     span with zero-filled gaps (sequence spine x type dim, left join)."""
@@ -2200,6 +2217,9 @@ def queries():
         "mad_stats": q_mad_stats,
         "fill_gaps": q_fill_gaps,
         "unpivot": q_unpivot,
+        "debounce": q_debounce,
+        "peak_events": q_peak_events,
+        "daily_deltas": q_daily_deltas,
         "bfs_depths": q_bfs_depths,
         "hits": q_hits,
         "trend": q_trend,
@@ -2308,6 +2328,9 @@ def oracle_sql():
         "mad_stats": pevents.mad_stats_sql(),
         "fill_gaps": pevents.fill_gaps_sql(),
         "unpivot": pevents.unpivot_events_sql(),
+        "debounce": pevents.debounce_sql(),
+        "peak_events": pevents.peak_events_sql(),
+        "daily_deltas": pevents.daily_deltas_sql(),
         "bfs_depths": psearch.bfs_depths_sql(),
         "hits": psearch.hits_sql(),
         "trend": pevents.trend_sql(),

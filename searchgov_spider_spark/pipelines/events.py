@@ -691,3 +691,114 @@ def unpivot_events_sql(table: str = "events") -> str:
         HAVING count(*) > 0
         ORDER BY user_id, event_type
     """
+
+
+DEBOUNCE_SECONDS = 60
+
+
+def debounce(events: DataFrame, min_gap_s: int = DEBOUNCE_SECONDS) -> DataFrame:
+    """Stream debouncing: drop events that repeat the same (user_id,
+    event_type) within ``min_gap_s`` seconds of the PREVIOUS KEPT event
+    of that key... which classic lag() CANNOT express (kept-ness is
+    recursive). The industry-standard relaxation implemented here —
+    and mirrored exactly in the oracle — drops events within the gap of
+    the previous event *of the key* (kept or not): one lag window,
+    linear, and idempotent on already-debounced streams.
+
+    Output: the surviving events (event_id, ts, user_id, event_type,
+    value).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    return (
+        events.withColumn("gap_us", gap_us)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") >= min_gap_s * 1_000_000))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def debounce_sql(table: str = "events", min_gap_s: int = DEBOUNCE_SECONDS) -> str:
+    return f"""
+        WITH lagged AS (
+          SELECT event_id, ts, user_id, event_type, value,
+                 lag(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
+                 ) AS prev_ts
+          FROM {table}
+        )
+        SELECT event_id, ts, user_id, event_type, value
+        FROM lagged
+        WHERE prev_ts IS NULL
+           OR date_diff('us', prev_ts, ts) >= {min_gap_s * 1_000_000}
+        ORDER BY event_id
+    """
+
+
+def peak_events(events: DataFrame) -> DataFrame:
+    """Per-user argmax: the event carrying the user's maximum value,
+    via the native ``max_by`` aggregate (ties broken toward the larger
+    event_id by maximizing the (value, event_id) struct). One hash-agg —
+    no window, no sort.
+    """
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return events.groupBy("user_id").agg(
+        F.max_by("event_id", key).cast("long").alias("peak_event_id"),
+        F.max_by("event_type", key).alias("peak_type"),
+        F.max("value").alias("peak_value"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def peak_events_sql(table: str = "events") -> str:
+    # DuckDB's arg_max takes scalar keys only; the window formulation
+    # pins the identical (value desc, event_id desc) selection
+    return f"""
+        WITH ranked AS (
+          SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, event_id DESC
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_events
+          FROM {table}
+        )
+        SELECT user_id, event_id::BIGINT AS peak_event_id,
+               event_type AS peak_type, value AS peak_value,
+               n_events::BIGINT AS n_events
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id
+    """
+
+
+def daily_deltas(events: DataFrame) -> DataFrame:
+    """Day-over-day count change per event type over the DENSIFIED daily
+    series (composes ``fill_gaps`` so gaps register as drops to zero):
+    (day, event_type, n, delta) with delta null on each series' first
+    day. One extra lag window over the tiny spine table.
+    """
+    from pyspark.sql import Window
+
+    daily = fill_gaps(events)
+    w = Window.partitionBy("event_type").orderBy(F.asc("day"))
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        (F.col("n") - F.lag("n").over(w)).cast("long").alias("delta"),
+    )
+
+
+def daily_deltas_sql(table: str = "events") -> str:
+    return f"""
+        WITH filled AS ({fill_gaps_sql(table)})
+        SELECT day, event_type, n,
+               (n - lag(n) OVER (PARTITION BY event_type ORDER BY day ASC))::BIGINT AS delta
+        FROM filled
+        ORDER BY day, event_type
+    """

@@ -222,3 +222,38 @@ def test_unpivot_roundtrip(spark):
     got = {(r.user_id, r.event_type): r.n
            for r in pe.unpivot_events(_ev_typed(spark, rows)).collect()}
     assert got == {(1, "click"): 2, (2, "view"): 1}
+
+
+def test_debounce_keeps_first_and_spaced(spark):
+    from datetime import timedelta
+
+    t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)
+    rows = [
+        (0, t(0), 1, "a", 0.0),
+        (1, t(30), 1, "a", 0.0),   # 30s < 60 -> dropped
+        (2, t(70), 1, "a", 0.0),   # 40s after id 1 (kept or not) -> dropped
+        (3, t(45), 1, "b", 0.0),   # other type -> kept
+        (4, t(0), 2, "a", 0.0),    # other user -> kept
+    ]
+    kept = sorted(r.event_id for r in pe.debounce(_ev_typed(spark, rows), min_gap_s=60).collect())
+    assert kept == [0, 3, 4]
+
+
+def test_peak_events_argmax_ties(spark):
+    t = datetime(2024, 1, 1)
+    rows = [
+        (0, t, 1, "a", 5.0), (1, t, 1, "b", 9.0), (2, t, 1, "c", 9.0),  # tie -> id 2
+        (3, t, 2, "a", 1.0),
+    ]
+    got = {r.user_id: r for r in pe.peak_events(_ev_typed(spark, rows)).collect()}
+    assert (got[1].peak_event_id, got[1].peak_type, got[1].peak_value, got[1].n_events) == (2, "c", 9.0, 3)
+    assert got[2].peak_event_id == 3
+
+
+def test_daily_deltas_on_gapped_series(spark):
+    d = lambda day: datetime(2024, 1, day)
+    rows = [(0, d(1), 1, "a", 0.0), (1, d(1), 1, "a", 0.0), (2, d(3), 1, "a", 0.0)]
+    got = {r.day: (r.n, r.delta) for r in pe.daily_deltas(_ev_typed(spark, rows)).collect()}
+    assert got[d(1)] == (2, None)
+    assert got[d(2)] == (0, -2)
+    assert got[d(3)] == (1, 1)
