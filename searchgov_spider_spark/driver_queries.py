@@ -1109,6 +1109,12 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_rank_functions(spark, sf_dir):
+    """rank / dense_rank / percent_rank / cume_dist over value per type
+    in one collapsed Window node — all tie-stable, ratios of integers."""
+    return _longify(pevents.rank_functions(load(spark, sf_dir, "events")))
+
+
 def q_debounce(spark, sf_dir):
     """Stream debouncing: drop same-(user,type) repeats within 60 s of
     the previous event (one lag window, idempotent)."""
@@ -2217,6 +2223,7 @@ def queries():
         "mad_stats": q_mad_stats,
         "fill_gaps": q_fill_gaps,
         "unpivot": q_unpivot,
+        "rank_functions": q_rank_functions,
         "debounce": q_debounce,
         "peak_events": q_peak_events,
         "daily_deltas": q_daily_deltas,
@@ -2328,6 +2335,7 @@ def oracle_sql():
         "mad_stats": pevents.mad_stats_sql(),
         "fill_gaps": pevents.fill_gaps_sql(),
         "unpivot": pevents.unpivot_events_sql(),
+        "rank_functions": pevents.rank_functions_sql(),
         "debounce": pevents.debounce_sql(),
         "peak_events": pevents.peak_events_sql(),
         "daily_deltas": pevents.daily_deltas_sql(),

@@ -802,3 +802,38 @@ def daily_deltas_sql(table: str = "events") -> str:
         FROM filled
         ORDER BY day, event_type
     """
+
+
+def rank_functions(events: DataFrame) -> DataFrame:
+    """The full ranking-window family over value per event type — rank,
+    dense_rank, percent_rank, cume_dist — in ONE window sort (Catalyst
+    collapses same-spec window functions into a single Window node).
+    All four are tie-stable (rows with equal value get equal outputs),
+    and percent_rank/cume_dist are ratios of integers, so cross-engine
+    equality is exact.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"))
+    return events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+def rank_functions_sql(table: str = "events") -> str:
+    return f"""
+        SELECT event_id, event_type, value,
+               (rank() OVER w)::BIGINT AS rnk,
+               (dense_rank() OVER w)::BIGINT AS drnk,
+               percent_rank() OVER w AS prank,
+               cume_dist() OVER w AS cdist
+        FROM {table}
+        WINDOW w AS (PARTITION BY event_type ORDER BY value ASC)
+        ORDER BY event_id
+    """

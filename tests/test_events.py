@@ -257,3 +257,15 @@ def test_daily_deltas_on_gapped_series(spark):
     assert got[d(1)] == (2, None)
     assert got[d(2)] == (0, -2)
     assert got[d(3)] == (1, 1)
+
+
+def test_rank_functions_ties(spark):
+    t = datetime(2024, 1, 1)
+    rows = [(0, t, 1, "a", 1.0), (1, t, 1, "a", 2.0), (2, t, 1, "a", 2.0), (3, t, 1, "a", 3.0)]
+    got = {r.event_id: r for r in pe.rank_functions(_ev_typed(spark, rows)).collect()}
+    # ties at 2.0: rank 2,2 then 4; dense 2,2 then 3
+    assert (got[1].rnk, got[2].rnk, got[3].rnk) == (2, 2, 4)
+    assert (got[1].drnk, got[2].drnk, got[3].drnk) == (2, 2, 3)
+    assert got[0].prank == 0.0 and got[3].prank == 1.0
+    assert got[1].cdist == got[2].cdist == 0.75
+    assert got[3].cdist == 1.0
