@@ -1109,6 +1109,12 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_chi2(spark, sf_dir):
+    """Pearson chi-square independence of event_type x user-hash bucket:
+    exact-integer contingency counts, identical-operand statistic."""
+    return _longify(pevents.chi2_independence(load(spark, sf_dir, "events")))
+
+
 def q_rank_functions(spark, sf_dir):
     """rank / dense_rank / percent_rank / cume_dist over value per type
     in one collapsed Window node — all tie-stable, ratios of integers."""
@@ -2224,6 +2230,7 @@ def queries():
         "fill_gaps": q_fill_gaps,
         "unpivot": q_unpivot,
         "rank_functions": q_rank_functions,
+        "chi2": q_chi2,
         "debounce": q_debounce,
         "peak_events": q_peak_events,
         "daily_deltas": q_daily_deltas,
@@ -2336,6 +2343,7 @@ def oracle_sql():
         "fill_gaps": pevents.fill_gaps_sql(),
         "unpivot": pevents.unpivot_events_sql(),
         "rank_functions": pevents.rank_functions_sql(),
+        "chi2": pevents.chi2_independence_sql(),
         "debounce": pevents.debounce_sql(),
         "peak_events": pevents.peak_events_sql(),
         "daily_deltas": pevents.daily_deltas_sql(),

@@ -837,3 +837,77 @@ def rank_functions_sql(table: str = "events") -> str:
         WINDOW w AS (PARTITION BY event_type ORDER BY value ASC)
         ORDER BY event_id
     """
+
+
+CHI2_BUCKETS = 4
+
+
+def chi2_independence(events: DataFrame, buckets: int = CHI2_BUCKETS) -> DataFrame:
+    """Pearson chi-square test of independence between event_type and a
+    user-hash bucket (user_id % buckets): the feature-association check
+    run before trusting a categorical split. Observed counts are exact
+    integers; expected = row_total * col_total / n and the statistic
+    sum((O-E)^2 / E) use identical double operands in both engines
+    (rounded to 9 for the cross-engine hash).
+
+    Output: one row (n, n_cells, dof, chi2). Plan: one contingency
+    hash-agg, two tiny marginal re-aggs joined back, one final reduce.
+    """
+    cell = events.select(
+        (F.col("user_id") % buckets).alias("b"), "event_type"
+    ).groupBy("b", "event_type").agg(F.count("*").alias("o"))
+    row_t = cell.groupBy("b").agg(F.sum("o").alias("rt"))
+    col_t = cell.groupBy("event_type").agg(F.sum("o").alias("ct"))
+    n = cell.agg(F.sum("o").alias("n"))
+    terms = (
+        cell.join(row_t, "b")
+        .join(col_t, "event_type")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            (
+                (F.col("o") - F.col("rt") * F.col("ct") / F.col("n"))
+                * (F.col("o") - F.col("rt") * F.col("ct") / F.col("n"))
+                / (F.col("rt") * F.col("ct") / F.col("n"))
+            ).alias("term"),
+        )
+    )
+    dims = cell.agg(
+        F.count_distinct("b").alias("r"), F.count_distinct("event_type").alias("c")
+    )
+    return (
+        terms.groupBy("n")
+        .agg(F.count("*").cast("long").alias("n_cells"), F.round(F.sum("term"), 9).alias("chi2"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "n_cells",
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+            "chi2",
+        )
+    )
+
+
+def chi2_independence_sql(table: str = "events", buckets: int = CHI2_BUCKETS) -> str:
+    return f"""
+        WITH cell AS (
+          SELECT user_id % {buckets} AS b, event_type, count(*) AS o
+          FROM {table} GROUP BY 1, 2
+        ), row_t AS (SELECT b, sum(o) AS rt FROM cell GROUP BY b),
+        col_t AS (SELECT event_type, sum(o) AS ct FROM cell GROUP BY event_type),
+        n AS (SELECT sum(o) AS n FROM cell),
+        dims AS (
+          SELECT count(DISTINCT b) AS r, count(DISTINCT event_type) AS c FROM cell
+        )
+        SELECT n.n::BIGINT AS n,
+               count(*)::BIGINT AS n_cells,
+               ((SELECT (r - 1) * (c - 1) FROM dims))::BIGINT AS dof,
+               round(sum(
+                 (o - rt * ct / n.n) * (o - rt * ct / n.n) / (rt * ct / n.n)
+               ), 9) AS chi2
+        FROM cell
+        JOIN row_t USING (b)
+        JOIN col_t USING (event_type)
+        CROSS JOIN n
+        GROUP BY n.n
+    """

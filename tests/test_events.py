@@ -269,3 +269,30 @@ def test_rank_functions_ties(spark):
     assert got[0].prank == 0.0 and got[3].prank == 1.0
     assert got[1].cdist == got[2].cdist == 0.75
     assert got[3].cdist == 1.0
+
+
+def test_chi2_independence_matches_scipy_free_python(spark):
+    t = datetime(2024, 1, 1)
+    # build a 2-bucket x 2-type table with known association
+    rows = []
+    i = 0
+    for b, et, n in ((0, "a", 30), (0, "b", 10), (1, "a", 10), (1, "b", 30)):
+        for _ in range(n):
+            rows.append((i * 2 + b, t, i * 2 + b, et, 0.0))  # user_id parity = bucket
+            i += 1
+    df = _ev_typed(spark, rows)
+    (r,) = pe.chi2_independence(df, buckets=2).collect()
+    assert r.n == 80 and r.n_cells == 4 and r.dof == 1
+    # python replica
+    obs = {(0, "a"): 0, (0, "b"): 0, (1, "a"): 0, (1, "b"): 0}
+    for (eid, _, uid, et, _) in rows:
+        obs[(uid % 2, et)] += 1
+    nrow = {b: obs[(b, "a")] + obs[(b, "b")] for b in (0, 1)}
+    ncol = {c: obs[(0, c)] + obs[(1, c)] for c in ("a", "b")}
+    n = 80
+    chi2 = sum(
+        (o - nrow[b] * ncol[c] / n) ** 2 / (nrow[b] * ncol[c] / n)
+        for (b, c), o in obs.items()
+    )
+    assert r.chi2 == pytest.approx(round(chi2, 9), abs=1e-9)
+    assert r.chi2 > 3.84  # significant at p < .05, dof 1 (by construction)
