@@ -1109,6 +1109,12 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_hour_corr(spark, sf_dir):
+    """Pearson correlation (hour-of-day vs value) per type from exact
+    integer sufficient statistics — the verifiable twin of corr()."""
+    return _longify(pevents.value_hour_corr(load(spark, sf_dir, "events")))
+
+
 def q_chi2(spark, sf_dir):
     """Pearson chi-square independence of event_type x user-hash bucket:
     exact-integer contingency counts, identical-operand statistic."""
@@ -2231,6 +2237,7 @@ def queries():
         "unpivot": q_unpivot,
         "rank_functions": q_rank_functions,
         "chi2": q_chi2,
+        "hour_corr": q_hour_corr,
         "debounce": q_debounce,
         "peak_events": q_peak_events,
         "daily_deltas": q_daily_deltas,
@@ -2344,6 +2351,7 @@ def oracle_sql():
         "unpivot": pevents.unpivot_events_sql(),
         "rank_functions": pevents.rank_functions_sql(),
         "chi2": pevents.chi2_independence_sql(),
+        "hour_corr": pevents.value_hour_corr_sql(),
         "debounce": pevents.debounce_sql(),
         "peak_events": pevents.peak_events_sql(),
         "daily_deltas": pevents.daily_deltas_sql(),

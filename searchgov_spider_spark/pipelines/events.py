@@ -911,3 +911,54 @@ def chi2_independence_sql(table: str = "events", buckets: int = CHI2_BUCKETS) ->
         CROSS JOIN n
         GROUP BY n.n
     """
+
+
+def value_hour_corr(events: DataFrame) -> DataFrame:
+    """Pearson correlation between hour-of-day and value per event type,
+    from EXACT integer sufficient statistics (hour 0-23 x cents):
+    r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)).
+    Integer sums are bit-identical across engines; the closed form then
+    applies identical double operands in identical order. One hash-agg +
+    a projection (the ``corr`` builtin is the float-accumulating analog;
+    this is its verifiable twin).
+    """
+    x = F.hour(F.col("ts").cast("timestamp")).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    s = events.select("event_type", x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (s["n"] * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((s["n"] * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (s["n"] * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("event_type", "n", F.round(num / den, 9).alias("corr_hour_value"))
+
+
+def value_hour_corr_sql(table: str = "events") -> str:
+    return f"""
+        WITH s AS (
+          SELECT event_type,
+                 count(*)::BIGINT AS n,
+                 sum(extract(hour FROM ts)::BIGINT)::BIGINT AS sx,
+                 sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sy,
+                 sum(extract(hour FROM ts)::BIGINT
+                     * CAST(round(value * 100) AS BIGINT))::BIGINT AS sxy,
+                 sum(extract(hour FROM ts)::BIGINT
+                     * extract(hour FROM ts)::BIGINT)::BIGINT AS sxx,
+                 sum(CAST(round(value * 100) AS BIGINT)
+                     * CAST(round(value * 100) AS BIGINT))::BIGINT AS syy
+          FROM {table} GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((n * sxy - sx * sy)::DOUBLE
+                     / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE)), 9) AS corr_hour_value
+        FROM s ORDER BY event_type
+    """

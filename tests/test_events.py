@@ -296,3 +296,19 @@ def test_chi2_independence_matches_scipy_free_python(spark):
     )
     assert r.chi2 == pytest.approx(round(chi2, 9), abs=1e-9)
     assert r.chi2 > 3.84  # significant at p < .05, dof 1 (by construction)
+
+
+def test_hour_corr_exact(spark):
+    # perfect positive correlation: value == hour -> r == 1
+    rows = [(i, datetime(2024, 1, 1, h), 1, "a", float(h)) for i, h in enumerate(range(24))]
+    # no correlation by symmetry: value alternates independent of hour
+    rows += [(100 + i, datetime(2024, 1, 2, h), 1, "b", float(i % 2))
+             for i, h in enumerate(range(0, 24, 2))]
+    df = _ev_typed(spark, rows)
+    got = {r.event_type: r.corr_hour_value for r in pe.value_hour_corr(df).collect()}
+    assert got["a"] == pytest.approx(1.0, abs=1e-9)
+    import statistics
+    xs = list(range(0, 24, 2))
+    ys = [i % 2 for i in range(len(xs))]
+    want = statistics.correlation([float(x) for x in xs], [float(y * 100) for y in ys])
+    assert got["b"] == pytest.approx(round(want, 9), abs=1e-6)
