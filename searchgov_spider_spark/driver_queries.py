@@ -1109,6 +1109,13 @@ def q_pii_scrub(spark, sf_dir):
     return _longify(pclean.pii_scrub(_inject_pii(load(spark, sf_dir, "documents"))))
 
 
+def q_props_keys(spark, sf_dir):
+    """Schema-free JSON profiling: from_json to MapType + explode —
+    per-key counts and numeric ranges (the fixed-path twin is
+    props_rollup)."""
+    return _longify(pevents.props_keys(load(spark, sf_dir, "events")))
+
+
 def q_hour_corr(spark, sf_dir):
     """Pearson correlation (hour-of-day vs value) per type from exact
     integer sufficient statistics — the verifiable twin of corr()."""
@@ -2238,6 +2245,7 @@ def queries():
         "rank_functions": q_rank_functions,
         "chi2": q_chi2,
         "hour_corr": q_hour_corr,
+        "props_keys": q_props_keys,
         "debounce": q_debounce,
         "peak_events": q_peak_events,
         "daily_deltas": q_daily_deltas,
@@ -2352,6 +2360,7 @@ def oracle_sql():
         "rank_functions": pevents.rank_functions_sql(),
         "chi2": pevents.chi2_independence_sql(),
         "hour_corr": pevents.value_hour_corr_sql(),
+        "props_keys": pevents.props_keys_sql(),
         "debounce": pevents.debounce_sql(),
         "peak_events": pevents.peak_events_sql(),
         "daily_deltas": pevents.daily_deltas_sql(),

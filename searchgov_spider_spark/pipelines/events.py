@@ -962,3 +962,36 @@ def value_hour_corr_sql(table: str = "events") -> str:
                         * sqrt((n * syy - sy * sy)::DOUBLE)), 9) AS corr_hour_value
         FROM s ORDER BY event_type
     """
+
+
+def props_keys(events: DataFrame) -> DataFrame:
+    """Generic JSON-object profiling (no fixed paths): parse props into
+    a MapType and explode its entries — per key: occurrence count,
+    distinct values, min/max numeric value. This is the schema-free
+    JSON path (``from_json`` to map + ``explode``); ``props_rollup`` is
+    the fixed-path twin.
+    """
+    kv = events.select(
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias("key", "val")
+    )
+    v = F.col("val").cast("long")
+    return kv.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_distinct("val").cast("long").alias("n_distinct"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def props_keys_sql(table: str = "events") -> str:
+    return f"""
+        WITH kv AS (
+          SELECT u.key, json_extract_string(props, '$.' || u.key) AS val
+          FROM {table}, unnest(json_keys(props)) AS u(key)
+        )
+        SELECT key, count(*)::BIGINT AS n,
+               count(DISTINCT val)::BIGINT AS n_distinct,
+               min(CAST(val AS BIGINT)) AS min_v,
+               max(CAST(val AS BIGINT)) AS max_v
+        FROM kv GROUP BY key ORDER BY key
+    """

@@ -312,3 +312,19 @@ def test_hour_corr_exact(spark):
     ys = [i % 2 for i in range(len(xs))]
     want = statistics.correlation([float(x) for x in xs], [float(y * 100) for y in ys])
     assert got["b"] == pytest.approx(round(want, 9), abs=1e-6)
+
+
+def test_props_keys_multikey(spark):
+    t = datetime(2024, 1, 1)
+    rows = [
+        (0, t, 1, "a", 0.0, '{"k": 5, "j": 2}'),
+        (1, t, 1, "a", 0.0, '{"k": 7}'),
+        (2, t, 2, "a", 0.0, '{"j": 9}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.key: r for r in pe.props_keys(df).collect()}
+    assert (got["k"].n, got["k"].n_distinct, got["k"].min_v, got["k"].max_v) == (2, 2, 5, 7)
+    assert (got["j"].n, got["j"].min_v, got["j"].max_v) == (2, 2, 9)
