@@ -161,11 +161,15 @@ def repetition_stats(
 ) -> DataFrame:
     """Per-document repetition features (Gopher §A1.1 repetition rules):
 
-    - top_bigram_frac: occurrences of the doc's most frequent token bigram
-      over total bigrams (1.0 shape-analog of "fraction of chars in the
-      most common 2-gram").
-    - dup_seg_frac: fraction of non-overlapping width-token segments that
-      are repeats of an earlier segment within the same document.
+    - top_bigram_ppm: occurrences of the doc's most frequent token bigram
+      over total bigrams, in integer parts-per-million (shape-analog of
+      "fraction of chars in the most common 2-gram").
+    - dup_seg_ppm: fraction (ppm) of non-overlapping width-token segments
+      that are repeats of an earlier segment within the same document.
+
+    Fractions are BIGINT ppm via integer division — `x * 1000000 DIV n` —
+    never rounded doubles, so the value hash is bit-identical across
+    engines and builds (round(float, 6) at a 6th-decimal tie is not).
 
     Shape: explode -> hash-agg keyed by (doc_id, gram) with map-side
     combine -> per-doc agg -> joins back on doc_id. No O(L^2) per-row
@@ -199,11 +203,13 @@ def repetition_stats(
     return out.select(
         "doc_id",
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-        F.coalesce(F.round(F.col("top_c") / F.col("n_bigrams"), 6), F.lit(0.0)).alias(
-            "top_bigram_frac"
-        ),
+        F.coalesce(
+            F.expr("top_c * 1000000 DIV n_bigrams"), F.lit(0)
+        ).cast("long").alias("top_bigram_ppm"),
         F.col("n_segs").cast("long").alias("n_segs"),
-        F.round(1 - F.col("n_distinct_segs") / F.col("n_segs"), 6).alias("dup_seg_frac"),
+        F.expr("(n_segs - n_distinct_segs) * 1000000 DIV n_segs")
+        .cast("long")
+        .alias("dup_seg_ppm"),
     )
 
 
@@ -225,9 +231,9 @@ def repetition_stats_sql(table: str = "documents", width: int = SEGMENT_WIDTH) -
         )
         SELECT d.doc_id,
                coalesce(bs.n_bigrams, 0) AS n_bigrams,
-               coalesce(round(bs.top_c / bs.n_bigrams, 6), 0.0) AS top_bigram_frac,
+               coalesce(bs.top_c * 1000000 // bs.n_bigrams, 0) AS top_bigram_ppm,
                ss.n_segs AS n_segs,
-               round(1 - ss.n_distinct_segs / ss.n_segs, 6) AS dup_seg_frac
+               (ss.n_segs - ss.n_distinct_segs) * 1000000 // ss.n_segs AS dup_seg_ppm
         FROM {table} d
         LEFT JOIN bs ON d.doc_id = bs.doc_id
         LEFT JOIN ss ON d.doc_id = ss.doc_id

@@ -45,6 +45,14 @@ def pack_chunks(
     `capacity`-token slices of it; a document straddles
     last_chunk - first_chunk chunk boundaries. Extra partition columns
     let a caller pack e.g. each train/val/test split independently.
+
+    Determinism contract: `doc_id` MUST be unique within each
+    (*extra_partition_cols, shard) stream — it is the total order key of
+    the prefix-sum window, and a duplicate would make `start_off`
+    engine-dependent (ties in ORDER BY are free to permute). Every call
+    site feeds the `documents` table or a dedup stage's output, both of
+    which carry unique doc_ids; callers packing other tables must dedup
+    first (pipelines/dedup.exact_dedup) or pre-concat duplicate rows.
     """
     extra = list(extra_partition_cols)
     n_tokens = F.size(tokens_col(F.col(text_col)))
@@ -60,17 +68,27 @@ def pack_chunks(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return base.select(
+    # Chunk ids via integer division on longs (`DIV`), never floor of a
+    # float quotient — identical bit-for-bit in every engine/build.
+    placed = base.select(
         "doc_id",
         *extra,
         "shard",
         "n_tokens",
         start.alias("start_off"),
         (start + F.col("n_tokens")).alias("end_off"),
-        F.floor(start / capacity).alias("first_chunk"),
-        F.floor((start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / capacity).alias(
-            "last_chunk"
-        ),
+    )
+    return placed.select(
+        "doc_id",
+        *extra,
+        "shard",
+        "n_tokens",
+        "start_off",
+        "end_off",
+        F.expr(f"start_off DIV {capacity}").alias("first_chunk"),
+        F.expr(
+            f"(start_off + greatest(n_tokens, 1) - 1) DIV {capacity}"
+        ).alias("last_chunk"),
     )
 
 
@@ -97,8 +115,8 @@ def pack_chunks_sql(
         )
         SELECT doc_id, {ex}shard, n_tokens, start_off,
                start_off + n_tokens AS end_off,
-               CAST(floor(start_off / {capacity}) AS BIGINT) AS first_chunk,
-               CAST(floor((start_off + greatest(n_tokens, 1) - 1) / {capacity}) AS BIGINT) AS last_chunk
+               start_off // {capacity} AS first_chunk,
+               (start_off + greatest(n_tokens, 1) - 1) // {capacity} AS last_chunk
         FROM pc_s
         ORDER BY doc_id
     """
@@ -106,23 +124,30 @@ def pack_chunks_sql(
 
 def chunk_stats(packed: DataFrame, capacity: int = CAPACITY) -> DataFrame:
     """Per-shard packing summary from `pack_chunks` output:
-    (shard, n_docs, n_tokens, n_chunks, fill_frac) where fill_frac is
-    the last chunk's utilization-inclusive overall fill ratio."""
+    (shard, n_docs, n_tokens, n_chunks, fill_ppm) where fill_ppm is the
+    overall fill ratio (last chunk's slack included) in integer parts-
+    per-million: `n_tokens * 1000000 DIV (n_chunks * capacity)`. Pure
+    integer arithmetic throughout — ceil-div for n_chunks, DIV for the
+    ratio — so the hashed output carries no doubles (safe up to
+    ~9.2e12 tokens/shard before the *1e6 long would overflow; shards at
+    100 TB stay far below that because n_shards >= parallelism)."""
     return (
         packed.groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-            F.ceil(F.sum("n_tokens") / capacity).cast("long").alias("n_chunks"),
+            F.expr(f"(sum(n_tokens) + {capacity - 1}) DIV {capacity}").alias(
+                "n_chunks"
+            ),
         )
         .select(
             "shard",
             "n_docs",
             "n_tokens",
             "n_chunks",
-            F.round(
-                F.col("n_tokens") / (F.col("n_chunks") * F.lit(capacity)), 6
-            ).alias("fill_frac"),
+            F.expr(f"n_tokens * 1000000 DIV (n_chunks * {capacity})").alias(
+                "fill_ppm"
+            ),
         )
     )
 
@@ -139,11 +164,11 @@ def chunk_stats_sql(
           FROM {table}
         ), g AS (
           SELECT shard, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
-                 CAST(ceil(sum(n_tokens) / {float(capacity)}) AS BIGINT) AS n_chunks
+                 (sum(n_tokens) + {capacity - 1}) // {capacity} AS n_chunks
           FROM t GROUP BY shard
         )
         SELECT shard, n_docs, n_tokens, n_chunks,
-               round(n_tokens / (n_chunks * {capacity}), 6) AS fill_frac
+               n_tokens * 1000000 // (n_chunks * {capacity}) AS fill_ppm
         FROM g
         ORDER BY shard
     """

@@ -38,15 +38,15 @@ def test_gopher_stats_rules(docs):
 def test_repetition_stats_values(docs):
     r = {x["doc_id"]: x for x in pc.repetition_stats(docs).collect()}
     # doc 3: 30 tokens repeating with period 10 -> all 3 segments identical
-    assert r[3]["n_segs"] == 3 and r[3]["dup_seg_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r[3]["n_segs"] == 3 and r[3]["dup_seg_ppm"] == 2 * 1_000_000 // 3
     # its bigrams: 29 total, "kappa alpha" appears 2x, the rest of the cycle 3x
     assert r[3]["n_bigrams"] == 29
-    assert r[3]["top_bigram_frac"] == pytest.approx(3 / 29, abs=1e-6)
+    assert r[3]["top_bigram_ppm"] == 3 * 1_000_000 // 29
     # doc 0 has distinct segments
-    assert r[0]["dup_seg_frac"] == 0.0
+    assert r[0]["dup_seg_ppm"] == 0
     # 1-token doc: zero bigrams, one segment, no NaNs
-    assert r[6]["n_bigrams"] == 0 and r[6]["top_bigram_frac"] == 0.0
-    assert r[6]["n_segs"] == 1 and r[6]["dup_seg_frac"] == 0.0
+    assert r[6]["n_bigrams"] == 0 and r[6]["top_bigram_ppm"] == 0
+    assert r[6]["n_segs"] == 1 and r[6]["dup_seg_ppm"] == 0
 
 
 def test_segment_dedup_removes_cross_doc_boilerplate(docs):

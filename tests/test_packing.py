@@ -51,7 +51,7 @@ def test_chunk_stats_fill(docs):
     row = pp.chunk_stats(packed, capacity=16).collect()[0]
     assert row["n_docs"] == 4 and row["n_tokens"] == 148
     assert row["n_chunks"] == 10  # ceil(148/16)
-    assert row["fill_frac"] == pytest.approx(148 / 160, abs=1e-6)
+    assert row["fill_ppm"] == 148 * 1_000_000 // 160  # integer ppm, exact
 
 
 def test_pii_scrub_redacts_and_counts(spark):
