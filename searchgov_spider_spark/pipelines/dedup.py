@@ -382,6 +382,15 @@ def simhash_near_dups_sql(table: str = "documents", max_hamming: int = 3) -> str
 # Blocked n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+# Default hot-block cap for the blocked O(n^2) pair generators: bounds
+# any single block's work to cap^2/2 ≈ 8.4M comparisons. ON by default —
+# a 10^7-doc hot block (one common shingle/LSH bucket at corpus scale)
+# would otherwise be a 10^14-pair self-join no cluster survives. The
+# DuckDB twins mirror the same lowest-id truncation, so the oracle gate
+# stays exact whether or not the cap binds.
+DEFAULT_MAX_BLOCK = 4096
+
+
 def _cap_blocks(
     rows: DataFrame, cap: int | None, id_col: str, op_name: str
 ) -> DataFrame:
@@ -420,12 +429,13 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     ngram: int = 3,
     threshold: float = 0.2,
-    max_block_size: int | None = None,
+    max_block_size: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs within blocks (doc_a < doc_b).
 
     ``max_block_size`` bounds the per-block quadratic work (see
-    ``_cap_blocks``); None preserves exactness for bounded inputs."""
+    ``_cap_blocks``); ON by default — pass None only for inputs with a
+    proven block-size bound. The SQL twin applies the same cap."""
     sh = docs.select(
         F.col("doc_id"), F.col(block_col).alias("block"), shingles_col(tokens_col(text_col), ngram).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -446,14 +456,20 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_sql(
-    table: str = "documents", block_col: str = "source", ngram: int = 3, threshold: float = 0.2
+    table: str = "documents", block_col: str = "source", ngram: int = 3,
+    threshold: float = 0.2, max_block_size: int | None = DEFAULT_MAX_BLOCK,
 ) -> str:
+    cap = (
+        f"QUALIFY row_number() OVER (PARTITION BY block ORDER BY doc_id) <= {max_block_size}"
+        if max_block_size is not None
+        else ""
+    )
     return f"""
         WITH toks AS (
           SELECT doc_id, {block_col} AS block, {tokens_sql('text')} AS toks FROM {table}
         ), sh AS (
           SELECT doc_id, block, {shingles_sql('toks', ngram)} AS sh FROM toks
-        ), sh2 AS (SELECT * FROM sh WHERE len(sh) > 0)
+        ), sh2 AS (SELECT * FROM sh WHERE len(sh) > 0 {cap})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(len(list_intersect(a.sh, b.sh))
                      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
@@ -470,13 +486,14 @@ def ngram_jaccard_pairs_sql(
 
 def embedding_near_dups(
     emb: DataFrame, block_col: str = "label", threshold: float = 0.95,
-    max_block_size: int | None = None,
+    max_block_size: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Pairs with cosine >= threshold inside blocks. Sequential-fold dot
     products (F.aggregate) so the oracle's doubles match bit-for-bit.
 
     ``max_block_size`` bounds the per-block quadratic work (see
-    ``_cap_blocks``); None preserves exactness for bounded inputs."""
+    ``_cap_blocks``); ON by default — pass None only for inputs with a
+    proven block-size bound. The SQL twin applies the same cap."""
     from .similarity import cosine_col
 
     e = emb.select(
@@ -497,14 +514,21 @@ def embedding_near_dups(
 
 
 def embedding_near_dups_sql(
-    table: str = "embeddings", block_col: str = "label", threshold: float = 0.95
+    table: str = "embeddings", block_col: str = "label", threshold: float = 0.95,
+    max_block_size: int | None = DEFAULT_MAX_BLOCK,
 ) -> str:
     from .similarity import cosine_sql
 
     cos = cosine_sql("a.v", "b.v")
+    cap = (
+        f"QUALIFY row_number() OVER (PARTITION BY block ORDER BY vec_id) <= {max_block_size}"
+        if max_block_size is not None
+        else ""
+    )
     return f"""
         WITH e AS (
           SELECT vec_id, {block_col} AS block, embedding::DOUBLE[] AS v FROM {table}
+          {cap}
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos_sim
         FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
@@ -554,22 +578,20 @@ def dup_clusters(
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
     )
-    prev_sum = None
-    for _ in range(max_iters):
+    def _propagate(cur: DataFrame) -> DataFrame:
         neighbor_min = (
-            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            edges.join(cur.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("cluster").alias("n_cluster"))
             .withColumnRenamed("src", "doc_id")
         )
-        hooked = labels.join(neighbor_min, "doc_id", "left").select(
+        jumped = cur.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
             F.least(F.col("cluster"), F.coalesce("n_cluster", "cluster")).alias("cluster"),
         )
         # two pointer jumps (path quartering): cluster <- cluster's
         # cluster, twice — a length-D chain converges in O(log D) rounds
         # and each extra jump is one more cheap join, not another action
-        jumped = hooked
         for _ in range(2):
             parent = jumped.select(
                 F.col("doc_id").alias("cluster"), F.col("cluster").alias("cc")
@@ -578,11 +600,21 @@ def dup_clusters(
                 "doc_id",
                 F.least("cluster", F.coalesce("cc", "cluster")).alias("cluster"),
             )
-        # lazy checkpoint + aggregate probe: min-labels only ever
-        # DECREASE, so sum(cluster) strictly decreases iff any label
-        # changed — one full-scan action per round both detects
-        # convergence and materializes every checkpoint partition
-        new_labels = jumped.localCheckpoint(eager=False)
+        return jumped
+
+    # One lazy checkpoint + sum-probe per propagation round: min-labels
+    # only ever DECREASE, so sum(cluster) strictly decreases iff any
+    # label changed — one full-scan action per round both detects
+    # convergence and materializes every checkpoint partition. (Probing
+    # every 2nd round was measured SLOWER here: the un-checkpointed
+    # double-round plan is 6 nested joins deep and Catalyst compile time
+    # dominates the saved action at gate scale.)
+    prev_sum = None
+    rounds_done = 0
+    while rounds_done < max_iters:
+        cur = _propagate(labels)
+        rounds_done += 1
+        new_labels = cur.localCheckpoint(eager=False)
         new_sum = new_labels.agg(F.sum("cluster")).first()[0]
         labels = new_labels
         if new_sum is None or new_sum == prev_sum:

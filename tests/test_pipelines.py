@@ -345,6 +345,41 @@ class TestBlockCaps:
         b = sorted(map(tuple, pdedup.ngram_jaccard_pairs(docs_df, threshold=0.1, max_block_size=10**6).collect()))
         assert a == b
 
+    def test_sql_twin_mirrors_binding_cap(self, spark, tmp_path):
+        """When the cap BINDS, the DuckDB twin truncates the same
+        lowest-id block members, so Spark and oracle stay hash-equal."""
+        import duckdb
+        import pyspark.sql.functions as F
+
+        docs = spark.range(12).select(
+            F.col("id").alias("doc_id"),
+            F.lit("hot").alias("source"),
+            F.concat(
+                F.lit("alpha beta gamma delta epsilon zeta tok"),
+                (F.col("id") % 3).cast("string"),
+            ).alias("text"),
+        )
+        pq = str(tmp_path / "docs.parquet")
+        docs.toPandas().to_parquet(pq)
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in pdedup.ngram_jaccard_pairs(
+                docs, threshold=0.0, max_block_size=5
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+        want = sorted(
+            map(
+                tuple,
+                con.sql(
+                    pdedup.ngram_jaccard_pairs_sql(threshold=0.0, max_block_size=5)
+                ).fetchall(),
+            )
+        )
+        assert got == want
+        assert all(a < 5 and b < 5 for a, b, _ in got)
+
 
 class TestDupClusters:
     def test_components_resolved(self, spark):
