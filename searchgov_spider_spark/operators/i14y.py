@@ -69,6 +69,11 @@ def assemble_i14y(
     and optionally ``content_language`` (response header language).
     Adds the reference's document fields; input passthrough columns are
     retained (callers project what they need).
+
+    NOTE: field names are FLAT (title/description/content +
+    language_valid), not the reference's language-suffixed
+    ``{field}_{lang}`` keys — see ``i14y_payload_udf`` below, which
+    reconstructs the exact reference key names at upload time.
     """
     if "content_language" not in docs.columns:
         docs = docs.withColumn("content_language", F.lit(None).cast("string"))
@@ -187,3 +192,82 @@ def assemble_i14y(
     if drop_contentless_html:
         out = out.filter(is_pdf | main.isNotNull())
     return out
+
+
+# --- upload-time serialization -------------------------------------------
+#
+# SCHEMA TRANSPOSITION, explicit: the reference emits language-suffixed
+# field NAMES — f"title{_lang}" / f"description{_lang}" / f"content{_lang}"
+# when the language is in ALLOWED_LANGUAGE_CODE, plain names otherwise
+# (convert_html_i14y.py:47-48,76-78; convert_pdf_i14y.py:121-133).
+# Dynamic column names are hostile to a relational engine (the schema
+# would vary per row), so ``assemble_i14y`` flattens to FIXED
+# title/description/content columns plus a ``language_valid`` flag, and
+# this serializer reconstructs the reference's exact ``{field}_{lang}``
+# keys at upload time. A downstream i14y POST must go through
+# ``i14y_payload_udf`` (or replicate its key logic), never ship the flat
+# column names raw.
+
+_I14Y_STATIC_NULLS = {
+    "click_count": None,
+    "created": None,
+    "promote": None,
+    "searchgov_custom1": None,
+    "searchgov_custom2": None,
+    "searchgov_custom3": None,
+}
+
+
+def _payload_from_row(row: dict) -> str:
+    import json
+
+    suffix = f"_{row['language']}" if row.get("language_valid") else ""
+    payload = {
+        "audience": row.get("audience"),
+        "changed": row.get("changed"),
+        "content_type": row.get("i14y_content_type"),
+        "created_at": row.get("created_at"),
+        "_id": row.get("id"),
+        "id": row.get("id"),
+        "thumbnail_url": row.get("thumbnail_url"),
+        "language": row.get("language"),
+        "mime_type": row.get("mime_type"),
+        "path": row.get("path"),
+        "tags": row.get("tags"),
+        "updated_at": row.get("updated_at"),
+        "updated": row.get("updated"),
+        f"title{suffix}": row.get("title"),
+        f"description{suffix}": row.get("description"),
+        f"content{suffix}": row.get("content"),
+        "basename": row.get("basename"),
+        "extension": row.get("extension"),
+        "url_path": row.get("url_path"),
+        "domain_name": row.get("domain_name"),
+        **_I14Y_STATIC_NULLS,
+    }
+    return json.dumps(payload, sort_keys=True)
+
+
+@F.pandas_udf(T.StringType())
+def i14y_payload_udf(doc: pd.DataFrame) -> pd.Series:
+    """Arrow-batched serializer: one JSON payload per assembled document
+    with the reference's language-suffixed key names reconstructed from
+    (language, language_valid). Input: a struct of assemble_i14y output
+    columns (missing fields serialize as null)."""
+    records = doc.to_dict("records")
+    return pd.Series([_payload_from_row(r) for r in records])
+
+
+def i14y_payloads(assembled: DataFrame) -> DataFrame:
+    """(id, payload) upload rows from ``assemble_i14y`` output —
+    feed to sources/sinks.py endpoint batching."""
+    cols = [
+        "id", "path", "mime_type", "i14y_content_type", "language",
+        "language_valid", "title", "description", "content", "tags",
+        "audience", "thumbnail_url", "created_at", "changed", "updated",
+        "updated_at", "basename", "extension", "url_path", "domain_name",
+    ]
+    present = [c for c in cols if c in assembled.columns]
+    return assembled.select(
+        "id", i14y_payload_udf(F.struct(*present)).alias("payload")
+    )

@@ -34,11 +34,17 @@ def upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
 
 
 def upsert_sql(target_sql: str, updates_sql: str, key: str, order_by: str) -> str:
+    # NOT EXISTS, not NOT IN: a NULL key in u would make NOT IN evaluate
+    # UNKNOWN and silently drop every unmatched target row, whereas the
+    # Spark twin's left_anti join keeps them. NOT EXISTS with an equality
+    # correlate matches left_anti's null-safe keep-semantics exactly.
     return f"""
         WITH t AS ({target_sql}), u AS ({updates_sql})
         SELECT * FROM u
         UNION ALL
-        SELECT * FROM t WHERE {key} NOT IN (SELECT {key} FROM u)
+        SELECT * FROM t WHERE NOT EXISTS (
+          SELECT 1 FROM u WHERE u.{key} = t.{key}
+        )
         ORDER BY {order_by}
     """
 

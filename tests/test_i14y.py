@@ -150,3 +150,41 @@ def test_assembly_over_crawl_documents(spark):
         assert r["updated_at"] == NOW
     # every HTML doc got description+tags (meta or summarizer)
     assert all(r["description"] and r["tags"] for r in html)
+
+
+def test_payload_language_suffixed_keys(spark):
+    """Upload serializer reconstructs the reference's dynamic key names:
+    f"title{_lang}" etc. when language is allowed, plain keys otherwise
+    (convert_html_i14y.py:47-48,76-78)."""
+    import json
+
+    from searchgov_spider_spark.operators.i14y import i14y_payloads
+
+    valid = _doc_row(
+        "https://x.gov/guides/FallHiking.html", "text/html; charset=UTF-8", HTML_FULL_META
+    )
+    invalid = _doc_row(
+        "https://x.gov/xx",
+        "text/html",
+        b'<html lang="xx"><head><title>T</title></head><body><p>mystery words here</p></body></html>',
+    )
+    docs = spark.createDataFrame([valid, invalid], DOCS_SCHEMA)
+    assembled_df = assemble_i14y(docs, now_iso=NOW)
+    out = {r["id"]: json.loads(r["payload"]) for r in i14y_payloads(assembled_df).collect()}
+    rows = {r["path"]: r for r in assembled_df.collect()}
+
+    en = out[rows["https://x.gov/guides/FallHiking.html"]["id"]]
+    assert en["title_en"] == "Fall Hiking Guide"
+    assert en["description_en"] == "A guide to fall hikes"
+    assert en["content_en"] == "Autumn trails are lovely."
+    assert "title" not in en and "description" not in en and "content" not in en
+    assert en["language"] == "en" and en["mime_type"] == "text/html"
+    assert en["_id"] == en["id"] and len(en["id"]) == 64
+    assert en["content_type"] == "article"
+    for k in ("click_count", "created", "promote",
+              "searchgov_custom1", "searchgov_custom2", "searchgov_custom3"):
+        assert k in en and en[k] is None
+
+    xx = out[rows["https://x.gov/xx"]["id"]]
+    assert xx["title"] == "T" and xx["content"] == "mystery words here"
+    assert "title_xx" not in xx and "content_xx" not in xx
