@@ -279,6 +279,32 @@ def test_decode_http_response_new_encodings():
     )
 
 
+def test_detect_encoding_viscii_and_frequency_fallback():
+    """C2 full cascade: VISCII->cp1258 Vietnamese path + the
+    letter-frequency fallback for whole-script single-byte charsets
+    (the cchardet-free twin of helpers/encoding.py:10-34)."""
+    d = encoding.detect_encoding
+    # VISCII repurposes C0 controls as Vietnamese capitals; python has no
+    # viscii codec so the reference maps it to cp1258 (encoding.py:16-17)
+    assert d(b"Vi\x02t Nam v\xe5n h\xf3a \x14") == "cp1258"
+    # Vietnamese typed the cp1258 way (base letter + combining tone mark;
+    # precomposed NFC forms are outside cp1258's charmap)
+    vn = "Ti\u00ea\u0301ng Vi\u00ea\u0323t cu\u0309a ng\u01b0\u01a1\u0300i Vi\u00ea\u0323t Nam"
+    assert d(vn.encode("cp1258")) == "cp1258"
+    assert encoding.decode_http_response(vn.encode("cp1258")) == vn
+    # whole-script bodies resolve by frequency model, not cp1252 default
+    ru = "Москва — столица России, крупнейший город страны"
+    assert d(ru.encode("cp1251")) == "cp1251"
+    assert encoding.decode_http_response(ru.encode("cp1251")) == ru
+    assert d("привет мир как дела сегодня хорошо".encode("koi8-r")) == "koi8-r"
+    el = "Αθήνα και ελληνικά κείμενα στο διαδίκτυο"
+    assert d(el.encode("iso-8859-7")) == "iso-8859-7"
+    assert encoding.decode_http_response(el.encode("iso-8859-7")) == el
+    # sparse Latin accents must NOT trip the Vietnamese/frequency paths
+    assert d("café déjà vu — naïve façade".encode("cp1252")) == "cp1252"
+    assert d("perché lì città è già".encode("cp1252")) == "cp1252"
+
+
 def test_fuzzy_date_parsing():
     """C6 upgrade: dateutil-fuzzy analog — dates embedded in prose with
     ordinals, month names, and trailing times (i14y_helper.py:32-57)."""
