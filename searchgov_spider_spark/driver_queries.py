@@ -617,16 +617,32 @@ Q_ENDPOINT_BATCHES_PARTITIONED_SQL = """
 
 
 def q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: the word-frequency summarizer (i14y_helper.py:78-133) through
-    the real pandas-UDF kernel, restricted to single-sentence simple-token
-    docs (no sentence terminators) where the scoring loop degenerates to a
-    SQL-expressible form: summary = the sentence itself, keywords = top-10
-    non-stopword tokens by (count desc, first-occurrence asc). The full
-    multi-sentence quirk semantics stay pinned by pytest."""
+    """A2 FULL-STRENGTH: the word-frequency summarizer
+    (i14y_helper.py:78-133) through the real pandas-UDF kernel over
+    MULTI-SENTENCE documents (the corpus has no sentence terminators, so
+    three consecutive texts are joined with '. ' — deterministically, in
+    both engines). The oracle replicates the exact scan-time scoring
+    loop in SQL: the k-th qualifying (alnum, non-stopword) occurrence of
+    a word contributes k to its sentence's score — running frequency at
+    scan time, the reference's quirk included; summary = top-3 sentence
+    strings (score desc, first-score-event asc = dict insertion order,
+    duplicate sentence strings merged as the dict merges them);
+    keywords = top-10 words (count desc, first occurrence asc)."""
     from .functions.summarize import with_summary
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("text").rlike("^[a-z0-9 ]+$"))
-    return with_summary(docs, "text").select("doc_id", "summary", "keywords")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    m = (
+        d.alias("a")
+        .join(d.alias("b"), F.expr("b.doc_id = a.doc_id + 1"))
+        .join(d.alias("c"), F.expr("c.doc_id = a.doc_id + 2"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat(
+                F.concat_ws(". ", "a.text", "b.text", "c.text"), F.lit(".")
+            ).alias("text"),
+        )
+    )
+    return with_summary(m, "text").select("doc_id", "summary", "keywords")
 
 
 def _summarize_sql() -> str:
@@ -634,26 +650,65 @@ def _summarize_sql() -> str:
 
     stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_BY_LANG["en"]))
     return f"""
-        WITH d AS (
-          SELECT doc_id, text FROM documents WHERE regexp_matches(text, '^[a-z0-9 ]+$')
+        WITH m AS (
+          SELECT a.doc_id,
+                 a.text || '. ' || b.text || '. ' || c.text || '.' AS stext
+          FROM documents a
+          JOIN documents b ON b.doc_id = a.doc_id + 1
+          JOIN documents c ON c.doc_id = a.doc_id + 2
+        ), sl AS (
+          SELECT doc_id,
+                 str_split(regexp_replace(stext, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS ss
+          FROM m
+        ), sents AS (
+          SELECT doc_id, u.i AS sent_idx, u.s AS sentence
+          FROM (
+            SELECT doc_id,
+                   unnest([{{'s': ss[i], 'i': i}} for i in generate_series(1, len(ss))]) AS u
+            FROM sl
+          ) WHERE u.s <> ''
+        ), tl AS (
+          SELECT doc_id, sent_idx, sentence,
+                 regexp_extract_all(lower(sentence), '[a-z0-9]+') AS tw
+          FROM sents
         ), toks AS (
-          SELECT doc_id, text,
-                 unnest([{{'w': w[i], 'p': i}} for i in generate_series(1, len(w))]) AS t
-          FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM d)
-        ), counted AS (
-          SELECT doc_id, text, t.w AS word, t.p AS pos FROM toks
-          WHERE t.w NOT IN ({stop})
-        ), freq AS (
-          SELECT doc_id, any_value(text) AS text, word, count(*) AS cnt, min(pos) AS fp
-          FROM counted GROUP BY doc_id, word
-        ), ranked AS (
-          SELECT doc_id, text, word,
+          SELECT doc_id, sent_idx, sentence,
+                 unnest([{{'w': tw[j], 'j': j}} for j in generate_series(1, len(tw))]) AS t
+          FROM tl
+        ), qual AS (
+          SELECT doc_id, sent_idx, sentence, t.w AS word, t.j AS tok_idx
+          FROM toks WHERE t.w NOT IN ({stop})
+        ), pos AS (
+          SELECT doc_id, sentence, word,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx, tok_idx) AS gp,
+                 row_number() OVER (PARTITION BY doc_id, word ORDER BY sent_idx, tok_idx) AS k
+          FROM qual
+        ), sscore AS (
+          SELECT doc_id, sentence, sum(k) AS score, min(gp) AS fp
+          FROM pos GROUP BY doc_id, sentence
+        ), stop3 AS (
+          SELECT doc_id, sentence,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, fp ASC) AS rn
+          FROM sscore
+        ), summ AS (
+          SELECT doc_id, string_agg(sentence, ' ' ORDER BY rn) AS summary
+          FROM stop3 WHERE rn <= 3 GROUP BY doc_id
+        ), wf AS (
+          SELECT doc_id, word, count(*) AS cnt, min(gp) AS fp
+          FROM pos GROUP BY doc_id, word
+        ), wtop AS (
+          SELECT doc_id, word,
                  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, fp ASC) AS rn
-          FROM freq
+          FROM wf
+        ), kw AS (
+          SELECT doc_id, string_agg(word, ', ' ORDER BY rn) AS keywords
+          FROM wtop WHERE rn <= 10 GROUP BY doc_id
         )
-        SELECT doc_id, any_value(text) AS summary,
-               string_agg(word, ', ' ORDER BY rn) AS keywords
-        FROM ranked WHERE rn <= 10 GROUP BY doc_id ORDER BY doc_id
+        SELECT m.doc_id,
+               coalesce(s.summary, '') AS summary,
+               coalesce(k.keywords, '') AS keywords
+        FROM m LEFT JOIN summ s USING (doc_id) LEFT JOIN kw k USING (doc_id)
+        ORDER BY m.doc_id
     """
 
 
