@@ -51,7 +51,34 @@ def parse_args(argv=None):
     ap.add_argument("--max-waves", type=int, default=None)
     ap.add_argument("--resume", action="store_true", help="continue from latest committed wave")
     ap.add_argument("--output", help="optional parquet dir for the final documents table")
+    ap.add_argument(
+        "--schedule-cycle",
+        action="store_true",
+        help="multi-site scheduler mode (requires --sites): replay jobs a "
+        "previous boot left pending (Rerun:: protocol, scheduling.py), "
+        "then schedule + run every site once, one engine per site under "
+        "<state-dir>/<job_id>",
+    )
     return ap.parse_args(argv)
+
+
+def run_schedule_cycle(spark, args, fetcher, robots):
+    """Boot-time Rerun:: replay, then a full scheduling cycle."""
+    from searchgov_spider_spark.scheduling import CrawlScheduler, engine_runner
+    from searchgov_spider_spark.sources.crawl_sites import CrawlSites
+
+    sites = CrawlSites.from_file(args.sites)
+    base = engine_runner(spark, fetcher, robots=robots, max_waves=args.max_waves)
+
+    def runner(site, run_id):
+        base(site, run_id, state_dir=f"{args.state_dir}/{site.job_id}")
+
+    sched = CrawlScheduler(sites, args.state_dir, runner)
+    replayed = sched.trigger_pending_jobs()
+    sched.schedule_due()
+    completed = sched.run_pending()
+    print(json.dumps({"replayed": replayed, "completed": completed}))
+    return replayed, completed
 
 
 def main(argv=None):
@@ -62,6 +89,12 @@ def main(argv=None):
     from searchgov_spider_spark.sources.fetch import HttpFetcher, TablePageFetcher
 
     spark = get_spark("searchgov-crawl")
+    if args.schedule_cycle:
+        if not args.sites:
+            raise SystemExit("--schedule-cycle requires --sites")
+        fetcher = HttpFetcher() if args.http else TablePageFetcher(spark.read.parquet(args.pages))
+        robots = spark.read.parquet(args.robots) if args.robots else None
+        return run_schedule_cycle(spark, args, fetcher, robots)
     if args.sites:
         from searchgov_spider_spark.sources.crawl_sites import CrawlSites
 
