@@ -57,8 +57,21 @@ TABLES = (
 )
 
 
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Memoized lazy reader: the gate calls this ~150 times across the
+    query suite; re-listing files + re-reading parquet footers for the
+    same 10 tables is pure per-query overhead. Keyed on the session id
+    so a fresh SparkSession (tests, restarted driver) never sees a stale
+    plan handle."""
+    key = (id(spark), sf_dir, name)
+    df = _LOAD_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def _longify(df: DataFrame) -> DataFrame:

@@ -74,7 +74,18 @@ def _empty_bits(spec: BloomSpec) -> np.ndarray:
 
 def _add_to_bits(bits: np.ndarray, hashes: np.ndarray, spec: BloomSpec) -> None:
     pos = _positions(hashes, spec).ravel()
-    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    # Dense adds (the per-wave delta path, millions of positions) go
+    # through a bool scatter + packbits: ~6x faster than the unbuffered
+    # np.bitwise_or.at scatter, measured at wave scale — this is the
+    # dominant term of the bench's serial bloom_delta floor. Sparse adds
+    # (few keys into a large spec) keep the .at path: the bool array
+    # costs n_bits bytes of alloc+zero+pack regardless of len(pos).
+    if pos.size >= spec.n_bits // 512:
+        dense = np.zeros(spec.n_bits, dtype=bool)
+        dense[pos] = True
+        np.bitwise_or(bits, np.packbits(dense, bitorder="little"), out=bits)
+    else:
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
 
 
 def _contains(bits: np.ndarray, hashes: np.ndarray, spec: BloomSpec) -> np.ndarray:

@@ -541,12 +541,49 @@ def embedding_near_dups_sql(
 # Near-dup cluster resolution (connected components -> keep-representative)
 # ---------------------------------------------------------------------------
 
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Min-label connected components over a BOUNDED bidirectional edge
+    list, vectorized in numpy on the driver: Jacobi min-scatter along
+    edges + pointer jumping until fixpoint (labels only decrease, so the
+    loop terminates). Returns (doc_id, cluster) for edge-incident nodes;
+    cluster = minimum doc_id in the component."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = edges.select("src", "dst").toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    ids, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s, d = codes[: len(src)], codes[len(src):]
+    labels = np.arange(len(ids), dtype=np.int64)  # code order == id order
+    while True:
+        before = labels.copy()
+        # edge list already holds both directions, so one scatter covers
+        # src<-dst and dst<-src
+        np.minimum.at(labels, s, labels[d])
+        labels = np.minimum(labels, labels[labels])  # pointer jump
+        if np.array_equal(labels, before):
+            break
+    out = pd.DataFrame({"doc_id": ids, "cluster": ids[labels]})
+    return edges.sparkSession.createDataFrame(out, "doc_id long, cluster long")
+
+
 def dup_clusters(
-    pairs: DataFrame, nodes: DataFrame, max_iters: int = 20
+    pairs: DataFrame, nodes: DataFrame, max_iters: int = 20,
+    driver_edge_cap: int = 5_000_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: (doc_id, cluster) where
     cluster = the minimum doc_id reachable through the pair graph — the
     canonical keep-representative for dedup removal.
+
+    Fast path: the pair list came from a banded-LSH/SimHash candidate
+    filter, so it is bounded and tiny next to the corpus; when it fits
+    under ``driver_edge_cap`` edges (<=80 MB of int64 pairs at the
+    default — the same bounded-driver-transfer pattern as the IVF
+    codebook sample and the per-wave delta bloom), components resolve in
+    one Arrow collect + vectorized numpy min-label sweep instead of
+    O(diameter) Spark actions. Larger graphs take the distributed loop
+    below; both paths produce identical labels (tested).
 
     Spark shape: iterative min-label propagation. Each round joins the
     current labels across the (bidirectional) edge list and takes the
@@ -569,14 +606,29 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Iterate ONLY over edge-incident nodes: the pair table is tiny next
-    # to the corpus (it came from a banded-LSH candidate filter), so the
-    # propagation loop never touches the singleton majority — they join
-    # back as their own cluster at the end.
+    # Size the loop's partitioning to the EDGE count, not the session
+    # default: the pair graph came from a banded-LSH candidate filter, so
+    # it is tiny next to the corpus, and each propagation round would
+    # otherwise shuffle a few KB across spark.sql.shuffle.partitions
+    # tasks — per-round scheduling overhead dominating real work. ~2M
+    # edges per partition keeps a genuinely large pair graph parallel.
+    n_edges = edges.count()  # cheap: reads the materialized checkpoint
+    if n_edges <= driver_edge_cap:
+        labeled = _components_driver(edges)
+        return all_nodes.join(labeled, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+        )
+    n_parts = max(1, min(edges.rdd.getNumPartitions(), (n_edges // 2_000_000) + 1))
+    if n_parts < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(n_parts)
+    # Iterate ONLY over edge-incident nodes: the propagation loop never
+    # touches the singleton majority — they join back as their own
+    # cluster at the end.
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
+        .repartition(n_parts, "doc_id")
     )
     def _propagate(cur: DataFrame) -> DataFrame:
         neighbor_min = (

@@ -393,6 +393,29 @@ class TestDupClusters:
         # chain 0-1-2 -> 0; chain 4-5-6-7 -> 4; singleton 3 -> itself
         assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4, 7: 4}
 
+    def test_driver_and_distributed_paths_identical(self, spark):
+        """The bounded driver union-find fast path and the distributed
+        min-label loop resolve identical clusters (incl. a long chain
+        that needs several propagation rounds)."""
+        import pyspark.sql.functions as F
+
+        n = 64
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        # one long chain 0-1-...-40 plus a few separate stars
+        rows = [(i, i + 1) for i in range(40)] + [(50, 55), (50, 60), (45, 63)]
+        pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+        fast = {
+            (r["doc_id"], r["cluster"])
+            for r in pdedup.dup_clusters(pairs, nodes).collect()
+        }
+        dist = {
+            (r["doc_id"], r["cluster"])
+            for r in pdedup.dup_clusters(pairs, nodes, driver_edge_cap=0).collect()
+        }
+        assert fast == dist
+        assert ({c for d, c in fast if d <= 40} == {0}
+                and dict(fast)[55] == 50 and dict(fast)[63] == 45)
+
     def test_long_chain_converges(self, spark):
         import pyspark.sql.functions as F
 
