@@ -89,7 +89,11 @@ def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
     term-level arrays. The per-term collect_list is bounded by document
     frequency; for web-scale vocabularies the heavy terms are exactly the
     ones a real index stores as blocked posting lists — partition by term
-    and the build is one shuffle.
+    and the build is one shuffle. At a truly 100-TB corpus the stopword-
+    class terms (df ~ |corpus|) must shard: key the agg by
+    (term, doc_id % K) to emit K bounded posting blocks per hot term —
+    the same rows, the same single shuffle, no straggler task; BM25's
+    scorer consumes blocked postings unchanged since it re-explodes them.
     """
     tf = _terms(docs, text_col).groupBy("term", "doc_id").agg(
         F.count("*").alias("tf")
