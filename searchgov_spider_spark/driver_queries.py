@@ -727,17 +727,19 @@ def _summarize_sql() -> str:
 
 def q_batch_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: running-sum batch ids (100KB-flush analog) over orders, exact
-    integer cents so the cumsum is order-independent-exact."""
-    from pyspark.sql import Window
+    integer cents so the cumsum is order-independent-exact; the global
+    prefix sum runs two-phase range-partitioned (operators/prefix.py),
+    never through a one-partition window."""
+    from .operators.prefix import global_running_sum
 
     orders = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
     d = orders.select("o_orderkey", cents.alias("cents"))
-    return d.select(
+    summed = global_running_sum(d, ["o_orderkey"], F.col("cents"), out_col="_run")
+    return summed.select(
         "o_orderkey",
         "cents",
-        F.floor((F.sum("cents").over(w) - F.col("cents")) / F.lit(5_000_000)).alias("batch_id"),
+        F.floor((F.col("_run") - F.col("cents")) / F.lit(5_000_000)).alias("batch_id"),
     )
 
 

@@ -267,8 +267,10 @@ def weighted_sample(
     Determinism: u is a pure function of doc_id (same value in the SQL
     twin), keys are rounded to 9 decimals for ORDERING so ln ulps can't
     flip the boundary, and doc_id breaks exact ties. Plan: projection +
-    global top-k window over a 2-column frame (WindowGroupLimit — only k
-    rows survive each partition's sort at scale).
+    orderBy().limit(k) — Spark's distributed TakeOrderedAndProject (each
+    partition keeps its local top-k, the driver merges k-sized heaps) —
+    then the rank window runs over the ALREADY k-row result, so the
+    single-partition WindowExec is bounded by k, never by corpus size.
     """
     u = (
         portable_hash32_col(
@@ -280,10 +282,13 @@ def weighted_sample(
     from pyspark.sql import Window
 
     w = Window.partitionBy().orderBy(F.desc("key"), F.asc("doc_id"))
-    return (
+    topk = (
         docs.select("doc_id", F.col(weight_col).alias("weight"), key.alias("key"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "weight", "key", "rank")
     )
 

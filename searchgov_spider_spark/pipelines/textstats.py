@@ -335,10 +335,13 @@ def pmi_bigrams(
             ).alias("pmi"),
         )
     )
+    # distributed top-k (TakeOrderedAndProject) FIRST, so the rank
+    # window's single partition holds k rows, never the full bigram table
     w = Window.partitionBy().orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("w1", "w2", "n", "pmi", "rank")
     )
 
@@ -389,21 +392,20 @@ def vocab_coverage(
     OOV token fraction against that vocabulary — the coverage/size curve
     a tokenizer build sweeps.
 
-    Plan: one hash-agg for counts, a global top-k window over the
-    (small, already-aggregated) vocab candidates, the chosen vocab
+    Plan: one hash-agg for counts, then a distributed top-k
+    (orderBy().limit — TakeOrderedAndProject, each partition keeps a
+    vocab_size-sized heap; at a web-scale vocabulary the full token-count
+    table never funnels through one partition), the chosen vocab
     broadcast back onto the token stream as a left join, one per-doc agg.
     """
-    from pyspark.sql import Window
-
     toks = docs.select(
         "doc_id",
         F.explode(F.transform(tokens_col(text_col), F.lower)).alias("token"),
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count("*").alias("c"))
-    w = Window.partitionBy().orderBy(F.desc("c"), F.asc("token"))
     vocab = (
-        counts.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= vocab_size)
+        counts.orderBy(F.desc("c"), F.asc("token"))
+        .limit(vocab_size)
         .select("token", F.lit(1).alias("in_vocab"))
     )
     return (

@@ -51,20 +51,29 @@ def with_batch_ids(
     ``batch_id`` counts the bytes accumulated *before* each row (flush-
     after semantics, matching the reference's post-append check at
     pipelines.py:105-109). With ``partition_col`` the window runs per
-    partition key (scalable); without, a single global ordered window
-    (exact reference parity — use only for bounded sinks).
+    partition key; without, the exact global running sum goes through
+    the two-phase range-partitioned prefix sum (operators/prefix.py) —
+    the same sequential semantics as the reference's single csv writer,
+    computed without a one-partition window.
     """
-    order = F.col(url_col)
-    w = (
-        Window.partitionBy(partition_col).orderBy(order)
-        if partition_col
-        else Window.orderBy(order)
-    ).rowsBetween(Window.unboundedPreceding, 0)
     nbytes = F.octet_length(F.col(url_col))
-    running = F.sum(nbytes).over(w)
-    return urls.withColumn(
-        "batch_id", F.floor((running - nbytes) / F.lit(max_bytes)).cast("long")
-    )
+    if partition_col:
+        w = (
+            Window.partitionBy(partition_col)
+            .orderBy(F.col(url_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        running = F.sum(nbytes).over(w)
+        return urls.withColumn(
+            "batch_id", F.floor((running - nbytes) / F.lit(max_bytes)).cast("long")
+        )
+    from ..operators.prefix import global_running_sum
+
+    summed = global_running_sum(urls, [url_col], nbytes, out_col="_running")
+    return summed.withColumn(
+        "batch_id",
+        F.floor((F.col("_running") - nbytes) / F.lit(max_bytes)).cast("long"),
+    ).drop("_running")
 
 
 def assemble_endpoint_payloads(

@@ -156,6 +156,27 @@ class TestBatchAccounting:
             assert got[u] == cum // 10
             cum += len(u)
 
+    def test_global_running_sum_two_phase_exact(self, spark):
+        """The range-partitioned two-phase prefix sum (operators/prefix)
+        equals a plain Python cumsum over the total order, across many
+        input partitions."""
+        from pyspark.sql import functions as F
+
+        from searchgov_spider_spark.operators.prefix import global_running_sum
+
+        n = 5000
+        df = spark.range(n).repartition(16).select(
+            F.col("id").alias("k"), ((F.col("id") * 7) % 101 + 1).alias("v")
+        )
+        got = {
+            r["k"]: r["run"]
+            for r in global_running_sum(df, ["k"], F.col("v"), "run").collect()
+        }
+        cum = 0
+        for k in range(n):
+            cum += (k * 7) % 101 + 1
+            assert got[k] == cum
+
     def test_payload_assembly(self, spark):
         df = spark.createDataFrame([(f"https://x.gov/{i}",) for i in range(50)], "url string")
         out = sinks.assemble_endpoint_payloads(df, max_bytes=200).collect()
