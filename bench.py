@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from searchgov_spider_spark import driver_queries as dq  # noqa: E402
-from searchgov_spider_spark.functions.urls import canonicalize_udf, url_hash_col  # noqa: E402
+from searchgov_spider_spark.functions.urls import url_hash_col, with_canonical  # noqa: E402
 from searchgov_spider_spark.operators.dedup import build_bloom, build_delta_bloom, dedupe_against_seen  # noqa: E402
 from searchgov_spider_spark.operators.politeness import schedule_wave  # noqa: E402
 from searchgov_spider_spark.session import get_spark  # noqa: E402
@@ -88,8 +88,10 @@ def crawl_wave_bench(spark, n: int) -> tuple[float, int, dict]:
 
     t0 = time.monotonic()
     cand = (
-        synthetic_frontier(spark, n)
-        .withColumn("canon_url", canonicalize_udf("url"))
+        # rescan_cheap: the frontier is a generated range here (a column-
+        # pruned parquet scan in production) — the fast-path branch is
+        # pure whole-stage codegen, no Python worker at all
+        with_canonical(synthetic_frontier(spark, n), "url", "canon_url", rescan_cheap=True)
         .withColumn("url_hash", url_hash_col("canon_url"))
         .withColumn("domain", F.regexp_extract("canon_url", r"^https://([^/]+)", 1))
         .persist(StorageLevel.MEMORY_AND_DISK)

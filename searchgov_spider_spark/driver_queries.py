@@ -1615,6 +1615,19 @@ def q_top_keywords(spark, sf_dir):
     return _longify(pstats.top_keywords(load(spark, sf_dir, "documents"), k=10))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing: k-gram hash local minima (rightmost-tie), the
+    standard partial-overlap fingerprint — native array fns, no shuffle."""
+    return _longify(pstats.winnow_fingerprints(load(spark, sf_dir, "documents")))
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking: rolling-hash 2-gram boundaries, so chunk
+    hashes realign after local edits (dedup-stable complement of
+    pack_chunks) — per-row projection + explode, all-integer output."""
+    return _longify(ppack.cdc_chunks(load(spark, sf_dir, "documents")))
+
+
 def q_spans_flatten(spark, sf_dir):
     return _longify(pspans.flatten_spans(pspans.derive_spans(load(spark, sf_dir, "documents"))))
 
@@ -2396,6 +2409,8 @@ def queries():
         "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "fingerprints": q_fingerprints,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "cdc_chunks": q_cdc_chunks,
         "top_keywords": q_top_keywords,
         "span_stats": q_span_stats,
         "multimodal_meta": q_multimodal_meta,
@@ -2513,6 +2528,8 @@ def oracle_sql():
         "weighted_sample": psampling.weighted_sample_sql(),
         "lang_id": pstats.language_id_sql(),
         "fingerprints": pstats.fingerprints_sql(),
+        "winnow_fingerprints": pstats.winnow_fingerprints_sql(),
+        "cdc_chunks": ppack.cdc_chunks_sql(),
         "top_keywords": pstats.top_keywords_sql(k=10),
         "spans_flatten": pspans.flatten_spans_sql(),
         "span_stats": pspans.span_stats_sql(),

@@ -119,21 +119,32 @@ _DOT_SEGMENT_RE = r"/\.|//"
 
 
 def canonicalize_batch(urls: pd.Series) -> pd.Series:
-    """Vectorized canonicalization (one Arrow batch)."""
-    s = urls.str.strip()
+    """Vectorized canonicalization (one Arrow batch). NULL rows stay NULL
+    and cost nothing — ``with_canonical``'s single-pass mode feeds the UDF
+    a column that is NULL wherever the JVM fast path already answered."""
+    out = pd.Series(index=urls.index, dtype=object)
+    present = urls.notna()
+    if not present.any():
+        return out
+    s = urls[present].str.strip()
     parts = s.str.extract(_FAST_URL_RE)
     path = parts["path"]
-    fast = parts["scheme"].notna() & ~path.fillna("").str.contains(_DOT_SEGMENT_RE, regex=True)
-    out = pd.Series(index=urls.index, dtype=object)
+    # interior whitespace goes to the slow path: urlsplit (WHATWG) strips
+    # ASCII tab/newline from URLs, which the fast-path regex would keep
+    fast = (
+        parts["scheme"].notna()
+        & ~path.fillna("").str.contains(_DOT_SEGMENT_RE, regex=True)
+        & ~path.fillna("").str.contains(r"\s", regex=True)
+    )
     if fast.any():
-        out[fast] = (
+        out[fast[fast].index] = (
             parts.loc[fast, "scheme"].str.lower()
             + "://"
             + parts.loc[fast, "host"].str.lower()
             + path[fast].fillna("/")
         )
-    slow = ~fast & urls.notna()
-    if slow.any():
+    slow = s.index[~fast]
+    if len(slow):
         out[slow] = s[slow].map(canonicalize_url)
     return out
 
@@ -141,6 +152,72 @@ def canonicalize_batch(urls: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return canonicalize_batch(urls)
+
+
+# Java-regex mirror of _FAST_URL_RE for the JVM-native fast path. The
+# whitespace guard is applied separately: Java's `$` also matches before a
+# trailing newline, so fast-path classification additionally requires the
+# raw URL to contain no whitespace at all (such rows go to the UDF, which
+# strips and canonicalizes them identically).
+_FAST_URL_RE_JAVA = (
+    r"^([Hh][Tt][Tt][Pp][Ss]?)://"
+    r"([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)"
+    r"(/[^?#]*)?(?:#.*)?$"
+)
+
+
+def canonicalize_fast_col(url: Column | str) -> Column:
+    """JVM-native canonicalization of fast-pattern URLs; NULL otherwise.
+
+    Fast pattern = scheme://host[/path][#fragment] with no whitespace, no
+    port, no userinfo, no query, and a path free of dot-segments and '//'
+    runs — for which canonicalization is lowercasing scheme+host, dropping
+    the fragment, and '' path -> '/'. Exactly the pandas fast path of
+    ``canonicalize_batch``, but whole-stage-codegen'd: zero Python. Rows
+    that return NULL here MUST be routed through ``canonicalize_udf``.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    path = F.regexp_extract(c, _FAST_URL_RE_JAVA, 3)
+    ok = (
+        c.isNotNull()
+        & ~c.rlike(r"\s")
+        & c.rlike(_FAST_URL_RE_JAVA)
+        & ~path.rlike(r"/\.|//")
+    )
+    canon = F.concat(
+        F.lower(F.regexp_extract(c, _FAST_URL_RE_JAVA, 1)),
+        F.lit("://"),
+        F.lower(F.regexp_extract(c, _FAST_URL_RE_JAVA, 2)),
+        F.when(path == "", F.lit("/")).otherwise(path),
+    )
+    return F.when(ok, canon)
+
+
+def with_canonical(
+    df, url_col: str = "url", out_col: str = "canon_url", rescan_cheap: bool = False
+):
+    """Hybrid canonicalization: native JVM expression for fast-pattern rows,
+    Arrow UDF only for the rest. Semantics identical to
+    ``withColumn(out_col, canonicalize_udf(url_col))`` for every input.
+
+    rescan_cheap=True (frontier read from parquet / generated ranges):
+    split-union — the fast branch never touches Python at all; costs a
+    second column-pruned scan of the input.
+
+    rescan_cheap=False (mid-lineage inputs that are expensive to
+    recompute, e.g. the engine's extraction explode): single pass — the
+    UDF receives NULL for fast rows, so Python does no per-row work on
+    them; only the Arrow round-trip of a mostly-null column remains.
+    """
+    fast = canonicalize_fast_col(url_col)
+    if rescan_cheap:
+        fast_rows = df.withColumn(out_col, fast).filter(F.col(out_col).isNotNull())
+        slow_rows = df.filter(fast.isNull()).withColumn(
+            out_col, canonicalize_udf(url_col)
+        )
+        return fast_rows.unionByName(slow_rows)
+    slow_in = F.when(fast.isNull(), F.col(url_col))
+    return df.withColumn(out_col, F.coalesce(fast, canonicalize_udf(slow_in)))
 
 
 # ---------------------------------------------------------------------------

@@ -172,3 +172,114 @@ def chunk_stats_sql(
         FROM g
         ORDER BY shard
     """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries, Rabin/CDC family)
+# ---------------------------------------------------------------------------
+
+CDC_DIVISOR = 8  # expected chunk length in tokens (boundary prob = 1/divisor)
+
+
+def cdc_chunks(
+    docs: DataFrame, divisor: int = CDC_DIVISOR, text_col: str = "text"
+) -> DataFrame:
+    """Content-defined chunking over the token stream: the dedup-stable
+    complement of `pack_chunks`. Fixed-size chunking shifts every
+    boundary after a one-token insertion; CDC places a boundary after
+    token i whenever the hash of the 2-gram ending at i is divisible by
+    ``divisor``, so boundaries — and therefore chunk hashes — realign
+    immediately after any local edit. Chunk-hash equality across
+    documents then finds shared passages at chunk granularity (the
+    LSH-bucket join shape, pipelines/dedup.py).
+
+    Scale shape: per-row native array projection (no UDF, no shuffle)
+    + one explode. Expected chunk length is ``divisor`` tokens; chunk
+    hashes are the same order-sensitive rolling polynomial used by
+    `textstats.fingerprints`, mod 2^31-1, all-integer for exact oracle
+    comparison.
+
+    Output: (doc_id, chunk_id 1-based, start_pos 1-based token index,
+    n_tokens, chunk_hash).
+    """
+    from ..functions.hashing import portable_hash32_col
+    from .textstats import ROLL_MOD, ROLL_MULT
+
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    # Boundary AFTER token i (2 <= i < n) iff hash(tok[i-1] + ' ' + tok[i])
+    # is divisible; never after the last token (that chunk ends anyway).
+    bounds = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: (i < n)
+            & (
+                portable_hash32_col(F.concat_ws(" ", F.slice(toks, i - 1, 2)))
+                % divisor
+                == 0
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)).cast("array<int>"), F.transform(bounds, lambda b: (b + 1).cast("int")))
+    ends = F.concat(bounds, F.array(n.cast("int")))
+
+    def chunk_struct(c):
+        st = F.element_at(starts, c)
+        en = F.element_at(ends, c)
+        seg = F.slice(toks, st, en - st + 1)
+        roll = F.aggregate(
+            F.transform(seg, lambda t: portable_hash32_col(t)),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * ROLL_MULT + h) % ROLL_MOD,
+        )
+        return F.struct(
+            c.cast("int").alias("chunk_id"),
+            st.cast("int").alias("start_pos"),
+            (en - st + 1).cast("int").alias("n_tokens"),
+            roll.alias("chunk_hash"),
+        )
+
+    chunks = F.transform(F.sequence(F.lit(1), F.size(starts)), chunk_struct)
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_pos").alias("start_pos"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_hash").alias("chunk_hash"),
+    )
+
+
+def cdc_chunks_sql(divisor: int = CDC_DIVISOR, table: str = "documents") -> str:
+    from .textstats import ROLL_MOD, ROLL_MULT
+    from ..functions.hashing import portable_hash32_sql
+
+    h2 = portable_hash32_sql("array_to_string(list_slice(toks, i - 1, i), ' ')")
+    ht = portable_hash32_sql("t")
+    return f"""
+        WITH cd_t AS (
+          SELECT doc_id, toks, len(toks) AS n
+          FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {table})
+        ), cd_b AS (
+          SELECT doc_id, toks, n,
+                 list_filter(generate_series(2, n),
+                             i -> i < n AND ({h2}) % {divisor} = 0) AS bounds
+          FROM cd_t
+        ), cd_c AS (
+          SELECT doc_id, toks,
+                 list_concat([1], list_transform(bounds, b -> b + 1)) AS starts,
+                 list_concat(bounds, [n]) AS ends
+          FROM cd_b
+        )
+        SELECT doc_id,
+               u.c::BIGINT AS chunk_id,
+               starts[u.c]::BIGINT AS start_pos,
+               (ends[u.c] - starts[u.c] + 1)::BIGINT AS n_tokens,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(list_slice(toks, starts[u.c], ends[u.c]), t -> {ht})),
+                 (acc, h) -> (acc * {ROLL_MULT} + h) % {ROLL_MOD}
+               ) AS chunk_hash
+        FROM cd_c, unnest(generate_series(1, len(starts))) AS u(c)
+        ORDER BY doc_id, chunk_id
+    """

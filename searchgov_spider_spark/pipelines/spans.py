@@ -34,25 +34,27 @@ def derive_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     1-based token position p -> media span iff p % 7 == 3, else text span.
     offset = p - 1; media_ref = 'https://cdn.example.gov/<doc>/<p>.png'."""
     toks = tokens_col(text_col)
+    # Two-arg transform gives (element, 0-based index) directly — no
+    # sequence materialization and no per-position element_at probe.
     spans = F.transform(
-        F.sequence(F.lit(1), F.size(toks)),
-        lambda p: F.when(
-            p % MEDIA_EVERY == 3,
+        toks,
+        lambda t, i: F.when(
+            (i + 1) % MEDIA_EVERY == 3,
             F.struct(
                 F.lit("media").alias("kind"),
                 F.lit(None).cast("string").alias("text"),
                 F.concat(
                     F.lit("https://cdn.example.gov/"), F.col(id_col).cast("string"), F.lit("/"),
-                    p.cast("string"), F.lit(".png"),
+                    (i + 1).cast("string"), F.lit(".png"),
                 ).alias("media_ref"),
-                (p - 1).cast("int").alias("offset"),
+                i.cast("int").alias("offset"),
             ),
         ).otherwise(
             F.struct(
                 F.lit("text").alias("kind"),
-                F.element_at(toks, p).alias("text"),
+                t.alias("text"),
                 F.lit(None).cast("string").alias("media_ref"),
-                (p - 1).cast("int").alias("offset"),
+                i.cast("int").alias("offset"),
             )
         ),
     )

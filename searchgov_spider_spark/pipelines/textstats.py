@@ -538,3 +538,105 @@ def source_entropy_sql(table: str = "documents") -> str:
                  AS norm_entropy
         FROM ent ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # hashes per winnowing window
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints: the canonical document
+    fingerprint for partial-overlap / near-duplicate detection.
+
+    Per document: hash every token k-gram, slide a window of ``w``
+    consecutive gram hashes, select the minimum hash in each window
+    (ties -> RIGHTMOST occurrence, the robust-winnowing rule), emit the
+    distinct (position, hash) selections. Guarantee: any shared token
+    run of length >= k + w - 1 between two documents produces at least
+    one shared fingerprint, while only ~2/(w+1) of gram hashes are kept.
+
+    Scale shape: a pure per-row projection over native higher-order
+    array functions (no shuffle, no UDF) followed by one explode +
+    distinct — fingerprint extraction over 100 TB is embarrassingly
+    parallel; downstream matching joins on gram_hash like any LSH
+    bucket join (pipelines/dedup.py). Work per doc is O(n_grams * w)
+    with w a small constant.
+
+    Output: (doc_id, pos, gram_hash) — pos is the 1-based token
+    position where the selected k-gram starts; all integers, so the
+    DuckDB oracle compares exactly. Documents with fewer than k tokens
+    emit nothing; documents with fewer than w grams winnow a single
+    window over all their grams.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    m = n - k + 1  # number of k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: portable_hash32_col(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    wlen = F.least(F.lit(w), m)
+    wins = F.greatest(m - wlen + 1, F.lit(0))
+
+    def select_window(j):
+        sl = F.slice(grams, j, wlen)
+        mn = F.array_min(sl)
+        # Rightmost position of the min inside the window, formulated
+        # identically in both engines (max of matching indices).
+        rpos = F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), wlen),
+                lambda q: F.when(F.element_at(sl, q) == mn, q).otherwise(F.lit(0)),
+            )
+        )
+        return F.struct(
+            (j - 1 + rpos).cast("int").alias("pos"), mn.alias("gram_hash")
+        )
+
+    # F.sequence(1, 0) yields DESCENDING [1, 0] — guard the empty case.
+    sel = F.when(
+        (m >= 1) & (wins >= 1),
+        F.transform(F.sequence(F.lit(1), wins), select_window),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram_hash:bigint>>"))
+    return (
+        docs.select("doc_id", F.explode(sel).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gram_hash").alias("gram_hash"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints_sql(
+    k: int = WINNOW_K, w: int = WINNOW_W, table: str = "documents"
+) -> str:
+    h = portable_hash32_sql("array_to_string(list_slice(toks, i, i + %d), ' ')" % (k - 1))
+    return f"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(toks) - {k} + 1),
+                                i -> {h}) AS grams
+          FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {table})
+        ), win AS (
+          SELECT doc_id, grams,
+                 least({w}, len(grams)) AS wlen
+          FROM g WHERE len(grams) >= 1
+        ), sel AS (
+          SELECT doc_id, u.j AS j,
+                 list_slice(grams, u.j, u.j + wlen - 1) AS sl
+          FROM win, unnest(generate_series(1, len(grams) - wlen + 1)) AS u(j)
+        )
+        SELECT DISTINCT doc_id,
+               (j - 1 + list_max(list_transform(generate_series(1, len(sl)),
+                  q -> CASE WHEN sl[q] = list_min(sl) THEN q ELSE 0 END)))::BIGINT AS pos,
+               list_min(sl) AS gram_hash
+        FROM sel
+        ORDER BY doc_id, pos
+    """

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, DISCOVERY_STRIDE, CrawlConfig, UNWANTED_HTTP_CODES
-from ..functions.urls import canonicalize_udf, url_hash_col, url_host_col, url_sha256_col
+from ..functions.urls import url_hash_col, url_host_col, url_sha256_col, with_canonical
 from ..operators.cuckoo import build_cuckoo
 from ..operators.dedup import build_bloom, build_delta_bloom, dedupe_against_seen, dedupe_intra_wave
 from ..operators.extraction import extract_spans
@@ -177,7 +177,10 @@ class CrawlEngine:
             "job", "url", "depth", "discovery_idx", "priority", "prevent_follow",
             "needs_js",  # S4 routing: per-job handle_javascript flag
         )
-        withc = filtered.withColumn("canon_url", canonicalize_udf("url")).withColumn(
+        # hybrid canonicalization: fast-pattern URLs stay JVM-native;
+        # single-pass mode because `filtered`'s lineage (fetch + extraction
+        # explode) is expensive and the cache() sits downstream of here
+        withc = with_canonical(filtered, "url", "canon_url").withColumn(
             "url_hash", url_hash_col("canon_url")
         ).withColumn("domain", url_host_col("canon_url"))
         if self.robots is not None:

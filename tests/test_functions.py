@@ -318,3 +318,78 @@ def test_fuzzy_date_parsing():
     assert p("May 12, 2020 at 12pm") == "2020-05-12T12:00:00"
     assert p("no date here") is None
     assert p("2024-13-45") is None
+
+
+class TestCanonicalizeNative:
+    """canonicalize_fast_col (JVM fast path) + with_canonical must agree
+    exactly with the per-row reference implementation on every URL shape."""
+
+    CASES = [
+        "HTTPS://D12.gov/p/34#frag",
+        "https://a.gov",
+        "https://a.gov/",
+        "http://b.example.gov/x/y.html",
+        "http://A.GOV:80/x/../y?b=2&a=1#z",   # slow: port + query + dots
+        "https://a.gov//double//slash/",       # slow: // run
+        "https://a.gov/./dot/",                # slow: dot segment
+        "  https://pad.gov/x  ",               # slow: whitespace padding
+        "https://tab.gov/x\ty",                # slow: interior whitespace
+        "https://nl.gov/x\n",                  # slow: trailing newline
+        "no-scheme.gov/path",                  # slow: missing scheme
+        "https://user:pw@h.gov/x",             # slow: userinfo
+        "javascript:void(0)",                  # slow: not http(s)
+        "https://q.gov/x?a=1",                 # slow: query to sort
+        None,
+    ]
+
+    def test_with_canonical_both_modes(self, spark):
+        from searchgov_spider_spark.functions import urls as u
+
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.CASES)], "i long, url string"
+        )
+        want = {i: u.canonicalize_url(c) for i, c in enumerate(self.CASES)}
+        for cheap in (False, True):
+            got = {
+                r["i"]: r["canon_url"]
+                for r in u.with_canonical(df, rescan_cheap=cheap).collect()
+            }
+            assert got == want, f"rescan_cheap={cheap}"
+
+    def test_fast_col_null_iff_slow(self, spark):
+        """The native fast path must answer NULL for every case the pandas
+        fast path would not take verbatim (whitespace-padded ones included,
+        conservatively) and match canonicalize_url where it does answer."""
+        from searchgov_spider_spark.functions import urls as u
+
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.CASES)], "i long, url string"
+        )
+        rows = df.select(
+            "i", "url", u.canonicalize_fast_col("url").alias("fast")
+        ).collect()
+        n_fast = 0
+        for r in rows:
+            if r["fast"] is not None:
+                assert r["fast"] == u.canonicalize_url(r["url"]), r["url"]
+                n_fast += 1
+        assert n_fast == 4  # exactly the four clean fast-pattern cases
+
+    def test_property_fast_col_agreement(self, spark):
+        from searchgov_spider_spark.functions import urls as u
+
+        host = [f"h{i}.gov" for i in range(10)] + ["x--y.example.gov", "9a.gov"]
+        paths = ["", "/", "/a", "/a/b.html", "/p/34", "/%7Euser", "/a.b.c"]
+        frags = ["", "#f", "#frag/ment"]
+        schemes = ["http", "https", "HTTPS", "Http"]
+        cases = [
+            f"{s}://{h}{p}{f}"
+            for s in schemes
+            for h in host[:4]
+            for p in paths
+            for f in frags
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "url string")
+        rows = df.select("url", u.canonicalize_fast_col("url").alias("fast")).collect()
+        for r in rows:
+            assert r["fast"] == u.canonicalize_url(r["url"]), r["url"]

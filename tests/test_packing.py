@@ -70,3 +70,68 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[1]["clean_text"] == "ssn <SSN> phone <PHONE> also <PHONE>"
     assert out[2]["clean_text"] == rows[2][1]
     assert out[2]["n_emails"] == out[2]["n_ssns"] == out[2]["n_phones"] == 0
+
+
+class TestCdcChunks:
+    @staticmethod
+    def _py_cdc(text, divisor=8):
+        from searchgov_spider_spark.functions.hashing import portable_hash32
+        from searchgov_spider_spark.pipelines.textstats import ROLL_MOD, ROLL_MULT
+
+        toks = text.strip().split() if text.strip() else [""]
+        n = len(toks)
+        bounds = [
+            i
+            for i in range(2, n)  # boundary after token i, never after n
+            if portable_hash32(f"{toks[i - 2]} {toks[i - 1]}") % divisor == 0
+        ]
+        starts = [1] + [b + 1 for b in bounds]
+        ends = bounds + [n]
+        out = []
+        for c, (st, en) in enumerate(zip(starts, ends), start=1):
+            roll = 0
+            for t in toks[st - 1 : en]:
+                roll = (roll * ROLL_MULT + portable_hash32(t)) % ROLL_MOD
+            out.append((c, st, en - st + 1, roll))
+        return out
+
+    def test_matches_python(self, spark):
+        rows = [
+            (0, " ".join(f"tok{i % 13}" for i in range(40))),
+            (1, "one two"),
+            (2, " ".join(f"w{i}" for i in range(100))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in pp.cdc_chunks(df).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["start_pos"], r["n_tokens"], r["chunk_hash"])
+            )
+        for doc_id, text in rows:
+            assert sorted(got[doc_id]) == self._py_cdc(text), doc_id
+
+    def test_chunks_tile_document(self, spark):
+        df = spark.createDataFrame(
+            [(0, " ".join(f"w{i}" for i in range(64)))], "doc_id long, text string"
+        )
+        chunks = sorted(
+            pp.cdc_chunks(df).collect(), key=lambda r: r["chunk_id"]
+        )
+        pos = 1
+        for r in chunks:
+            assert r["start_pos"] == pos
+            pos += r["n_tokens"]
+        assert pos == 65
+
+    def test_edit_realigns_boundaries(self, spark):
+        """After a one-token prefix edit, chunk hashes downstream of the
+        first content boundary are identical (the CDC property; fixed-size
+        chunking would shift every boundary)."""
+        base = " ".join(f"w{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [(0, base), (1, "EDIT " + base)], "doc_id long, text string"
+        )
+        rows = pp.cdc_chunks(df).collect()
+        h0 = {r["chunk_hash"] for r in rows if r["doc_id"] == 0}
+        h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+        assert h0 & h1

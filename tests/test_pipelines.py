@@ -583,3 +583,57 @@ def test_containment_counts_matches_bruteforce(spark):
     }
     assert got == want
     assert got[0] == (2, 3) and got[3] == (3, 0)
+
+
+class TestWinnowing:
+    @staticmethod
+    def _py_winnow(text, k=3, w=4):
+        toks = _tokens(text)
+        grams = [
+            portable_hash32(" ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        if not grams:
+            return set()
+        wlen = min(w, len(grams))
+        out = set()
+        for j in range(len(grams) - wlen + 1):
+            window = grams[j : j + wlen]
+            mn = min(window)
+            # rightmost tie
+            rpos = max(q for q, h in enumerate(window, start=1) if h == mn)
+            out.add((j + rpos, mn))
+        return out
+
+    def test_matches_python(self, docs_df):
+        got = {}
+        for r in pstats.winnow_fingerprints(docs_df).collect():
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
+        for doc_id, text, _ in DOCS:
+            expected = self._py_winnow(text)
+            assert got.get(doc_id, set()) == expected, doc_id
+
+    def test_short_doc_single_window(self, spark):
+        # 4 tokens, k=3 -> 2 grams < w=4 -> one window over both grams
+        df = spark.createDataFrame([(0, "a b c d", "x")], "doc_id long, text string, source string")
+        rows = pstats.winnow_fingerprints(df).collect()
+        assert len(rows) == 1
+        assert rows[0]["gram_hash"] == min(
+            portable_hash32("a b c"), portable_hash32("b c d")
+        )
+
+    def test_below_k_tokens_empty(self, spark):
+        df = spark.createDataFrame([(0, "a b", "x")], "doc_id long, text string, source string")
+        assert pstats.winnow_fingerprints(df).count() == 0
+
+    def test_shared_run_guarantee(self, spark):
+        """Any shared run of >= k + w - 1 tokens shares a fingerprint hash."""
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 = k + w - 1
+        df = spark.createDataFrame(
+            [(0, "x1 x2 " + shared + " x3", "a"), (1, "y1 " + shared + " y2 y3", "b")],
+            "doc_id long, text string, source string",
+        )
+        rows = pstats.winnow_fingerprints(df).collect()
+        h0 = {r["gram_hash"] for r in rows if r["doc_id"] == 0}
+        h1 = {r["gram_hash"] for r in rows if r["doc_id"] == 1}
+        assert h0 & h1
