@@ -205,29 +205,46 @@ def cdc_chunks(
     from ..functions.hashing import portable_hash32_col
     from .textstats import ROLL_MOD, ROLL_MULT
 
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
+    # Stage toks -> bounds -> starts/ends as real columns: each is
+    # referenced many times by the next stage's lambdas, and inlining
+    # them would re-run split()/the md5 boundary scan once per chunk
+    # (the O(m^2) trap documented on winnow_fingerprints).
+    tokd = docs.select("doc_id", tokens_col(F.col(text_col)).alias("c_toks"))
+    n = F.size("c_toks")
     # Boundary AFTER token i (2 <= i < n) iff hash(tok[i-1] + ' ' + tok[i])
     # is divisible; never after the last token (that chunk ends anyway).
-    bounds = F.when(
-        n >= 2,
-        F.filter(
-            F.sequence(F.lit(2), n),
-            lambda i: (i < n)
-            & (
-                portable_hash32_col(F.concat_ws(" ", F.slice(toks, i - 1, 2)))
-                % divisor
-                == 0
+    bounded = tokd.select(
+        "doc_id",
+        "c_toks",
+        F.when(
+            n >= 2,
+            F.filter(
+                F.sequence(F.lit(2), n),
+                lambda i: (i < n)
+                & (
+                    portable_hash32_col(
+                        F.concat_ws(" ", F.slice(F.col("c_toks"), i - 1, 2))
+                    )
+                    % divisor
+                    == 0
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    starts = F.concat(F.array(F.lit(1)).cast("array<int>"), F.transform(bounds, lambda b: (b + 1).cast("int")))
-    ends = F.concat(bounds, F.array(n.cast("int")))
+        ).otherwise(F.array().cast("array<int>")).alias("bounds"),
+    )
+    staged = bounded.select(
+        "doc_id",
+        "c_toks",
+        F.concat(
+            F.array(F.lit(1)).cast("array<int>"),
+            F.transform("bounds", lambda b: (b + 1).cast("int")),
+        ).alias("starts"),
+        F.concat(F.col("bounds"), F.array(n.cast("int"))).alias("ends"),
+    )
 
     def chunk_struct(c):
-        st = F.element_at(starts, c)
-        en = F.element_at(ends, c)
-        seg = F.slice(toks, st, en - st + 1)
+        st = F.element_at(F.col("starts"), c)
+        en = F.element_at(F.col("ends"), c)
+        seg = F.slice(F.col("c_toks"), st, en - st + 1)
         roll = F.aggregate(
             F.transform(seg, lambda t: portable_hash32_col(t)),
             F.lit(0).cast("long"),
@@ -240,8 +257,8 @@ def cdc_chunks(
             roll.alias("chunk_hash"),
         )
 
-    chunks = F.transform(F.sequence(F.lit(1), F.size(starts)), chunk_struct)
-    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+    chunks = F.transform(F.sequence(F.lit(1), F.size("starts")), chunk_struct)
+    return staged.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id",
         F.col("c.chunk_id").alias("chunk_id"),
         F.col("c.start_pos").alias("start_pos"),

@@ -577,18 +577,33 @@ def winnow_fingerprints(
     emit nothing; documents with fewer than w grams winnow a single
     window over all their grams.
     """
+    # Stage the gram-hash array as a REAL column before windowing: the
+    # window lambda references it w-per-gram times, and CollapseProject
+    # correctly refuses to inline a multiply-referenced md5 pipeline —
+    # without this staging Catalyst re-evaluates all m gram hashes for
+    # every window (O(m^2 k) md5 calls per document; measured 236 s vs
+    # ~1 s at sf0.01).
     toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    m = n - k + 1  # number of k-grams
-    grams = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: portable_hash32_col(F.concat_ws(" ", F.slice(toks, i, k))),
+    staged = docs.select("doc_id", toks.alias("w_toks")).select(
+        "doc_id",
+        # F.sequence(1, 0) yields DESCENDING [1, 0] — guard docs shorter
+        # than k (slice(toks, 0, k) throws on the 0 index).
+        F.when(
+            F.size("w_toks") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("w_toks") - k + 1),
+                lambda i: portable_hash32_col(
+                    F.concat_ws(" ", F.slice(F.col("w_toks"), i, k))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("grams"),
     )
+    m = F.size("grams")
     wlen = F.least(F.lit(w), m)
-    wins = F.greatest(m - wlen + 1, F.lit(0))
+    wins = m - wlen + 1  # >= 1 whenever m >= 1
 
     def select_window(j):
-        sl = F.slice(grams, j, wlen)
+        sl = F.slice(F.col("grams"), j, wlen)
         mn = F.array_min(sl)
         # Rightmost position of the min inside the window, formulated
         # identically in both engines (max of matching indices).
@@ -604,11 +619,10 @@ def winnow_fingerprints(
 
     # F.sequence(1, 0) yields DESCENDING [1, 0] — guard the empty case.
     sel = F.when(
-        (m >= 1) & (wins >= 1),
-        F.transform(F.sequence(F.lit(1), wins), select_window),
+        m >= 1, F.transform(F.sequence(F.lit(1), wins), select_window)
     ).otherwise(F.array().cast("array<struct<pos:int,gram_hash:bigint>>"))
     return (
-        docs.select("doc_id", F.explode(sel).alias("s"))
+        staged.select("doc_id", F.explode(sel).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gram_hash").alias("gram_hash"))
         .distinct()
     )
