@@ -2285,6 +2285,90 @@ Q_I14Y_DOCS_SQL = f"""
 """
 
 
+# --- crawl health: spider traps + adaptive recrawl -------------------------
+
+_TRAP_FRONTIER_SQL_CTE = """
+    f AS (
+      SELECT 'd' || (user_id % 25)::VARCHAR || '.gov' AS domain,
+             'https://d' || (user_id % 25)::VARCHAR || '.gov/c/'
+               || (event_id % 10)::VARCHAR
+               || CASE WHEN event_id % 10 < 5
+                       THEN '?sid=' || event_id::VARCHAR ELSE '' END AS url
+      FROM events
+    )
+"""
+
+
+def _trap_frontier_from_events(events: DataFrame) -> DataFrame:
+    dom = F.concat(F.lit("d"), (F.col("user_id") % 25).cast("string"), F.lit(".gov"))
+    url = F.concat(
+        F.lit("https://"), dom, F.lit("/c/"), (F.col("event_id") % 10).cast("string"),
+        F.when(
+            F.col("event_id") % 10 < 5,
+            F.concat(F.lit("?sid="), F.col("event_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return events.select(dom.alias("domain"), url.alias("url"))
+
+
+def q_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap detection: path stems dominated by query permutations
+    (calendar/session traps). New vs the reference (its seed list is
+    curated); essential at 10^10-URL frontier scale."""
+    from .operators.traps import detect_traps
+
+    urls = _trap_frontier_from_events(load(spark, sf_dir, "events"))
+    return _longify(detect_traps(urls)).orderBy("domain", "path")
+
+
+_VISITS_SQL_CTE = """
+    v AS (
+      SELECT 'd' || ((user_id % 500) % 25)::VARCHAR || '.gov' AS domain,
+             (user_id % 500)::BIGINT AS url_id,
+             ts,
+             (event_id % 3 = 0) AS changed
+      FROM events
+    )
+"""
+
+
+def _visits_from_events(events: DataFrame) -> DataFrame:
+    url_id = (F.col("user_id") % 500).cast("long")
+    return events.select(
+        F.concat(F.lit("d"), (url_id % 25).cast("string"), F.lit(".gov")).alias("domain"),
+        url_id.alias("url_id"),
+        F.col("ts"),
+        (F.col("event_id") % 3 == 0).alias("changed"),
+    )
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina adaptive revisit policy in integer-exact form:
+    per-URL change-rate estimate + per-domain recrawl ranking."""
+    from .operators.traps import recrawl_schedule
+
+    visits = _visits_from_events(load(spark, sf_dir, "events"))
+    return _longify(recrawl_schedule(visits)).orderBy("domain", "url_id")
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade in milli-units via
+    floor division — engine-proof integer outputs."""
+    return _longify(pstats.readability(load(spark, sf_dir, "documents"))).orderBy("doc_id")
+
+
+def _trap_detection_sql() -> str:
+    from .operators.traps import detect_traps_sql
+
+    return detect_traps_sql(_TRAP_FRONTIER_SQL_CTE)
+
+
+def _recrawl_priority_sql() -> str:
+    from .operators.traps import recrawl_schedule_sql
+
+    return recrawl_schedule_sql(_VISITS_SQL_CTE)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2362,6 +2446,10 @@ def queries():
         "stream_dedup": q_stream_dedup,
         "stream_monitor": q_stream_monitor,
         # ==== 51+: variants and breadth, cheapest first ===============
+        # 51-53: round-3 new families (crawl health + readability)
+        "trap_detection": q_trap_detection,
+        "recrawl_priority": q_recrawl_priority,
+        "readability": q_readability,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -2465,6 +2553,9 @@ def oracle_sql():
         "cosine_topk": psim.cosine_topk_sql(n_queries=10, k=5),
         "lsh_ann": psim.lsh_ann_topk_sql(n_queries=10, k=5),
         "ivf_ann_exact": psim.cosine_topk_sql(n_queries=10, k=5),
+        "trap_detection": _trap_detection_sql(),
+        "recrawl_priority": _recrawl_priority_sql(),
+        "readability": pstats.readability_sql(),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

@@ -1,0 +1,189 @@
+"""Crawl-health operators: spider-trap detection and adaptive recrawl
+scheduling.
+
+Neither exists in the reference (it crawls a fixed, curated .gov seed
+list under a cron schedule — scheduling/schedulers.py re-runs whole
+sites), but both are table-stakes for a 10^10-URL frontier:
+
+* ``detect_traps`` finds path stems whose URL population is dominated by
+  query-string permutations (calendar pages, session ids, faceted
+  search) — the classic crawler-trap signature.  One hash aggregation
+  over (domain, path); no window, no skew concern beyond the groupBy
+  itself (path stems are far finer than domains).
+
+* ``recrawl_schedule`` is the Cho & Garcia-Molina revisit policy
+  ("Effective Page Refresh Policies for Web Crawlers", TODS 2003) in
+  integer-exact form: per URL, estimate the change rate from the visit
+  history (n_changes / n_visits over the observed span) and derive a
+  revisit interval proportional to 1/rate.  Ranking is per-domain (the
+  politeness unit), never global — a single hash agg plus one
+  domain-partitioned window, both scale-safe at 10^10 URLs because
+  domain cardinality bounds the window partitions and the per-URL agg
+  is map-side combinable.
+
+All outputs are BIGINT (ppm / seconds / ranks via integer division) so
+the driver's value-hash compare is engine-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import url_path_col, url_query_col
+
+TRAP_MIN_URLS = 20
+TRAP_QUERY_PCT = 80
+
+
+def detect_traps(
+    urls: DataFrame,
+    min_urls: int = TRAP_MIN_URLS,
+    query_pct: int = TRAP_QUERY_PCT,
+    domain_col: str = "domain",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per (domain, path): URL/query-permutation counts and a trap flag.
+
+    A path stem is flagged when it has at least ``min_urls`` distinct
+    URLs and query permutations account for >= ``query_pct``% of them.
+    Flagged stems feed the deny-path filter (operators/filters.py F4) so
+    later waves stop scheduling the trap.
+    """
+    per = urls.select(
+        F.col(domain_col).alias("domain"),
+        url_path_col(url_col).alias("path"),
+        url_query_col(url_col).alias("query"),
+        F.col(url_col).alias("url"),
+    )
+    agg = per.groupBy("domain", "path").agg(
+        F.countDistinct("url").cast("long").alias("n_urls"),
+        # countDistinct skips NULL queries, exactly like DuckDB's
+        # count(DISTINCT query)
+        F.countDistinct("query").cast("long").alias("n_queries"),
+    )
+    return agg.select(
+        "domain",
+        "path",
+        "n_urls",
+        "n_queries",
+        F.expr("n_queries * 100 DIV n_urls").alias("query_pct"),
+        (
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (F.expr("n_queries * 100 DIV n_urls") >= F.lit(query_pct))
+        ).alias("is_trap"),
+    )
+
+
+def detect_traps_sql(
+    frontier_cte: str,
+    min_urls: int = TRAP_MIN_URLS,
+    query_pct: int = TRAP_QUERY_PCT,
+) -> str:
+    """DuckDB twin over a CTE named ``f`` with (domain, url) columns.
+
+    Path/query parsing mirrors Spark's try_parse_url on well-formed
+    URLs: path = after host up to '?', query = after the first '?'
+    (NULL when absent).
+    """
+    return f"""
+        WITH {frontier_cte},
+        per AS (
+          SELECT domain,
+                 coalesce(regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1), '') AS path,
+                 CASE WHEN strpos(url, '?') > 0
+                      THEN substr(url, strpos(url, '?') + 1)
+                 END AS query,
+                 url
+          FROM f
+        ),
+        agg AS (
+          SELECT domain, path,
+                 count(DISTINCT url)::BIGINT AS n_urls,
+                 count(DISTINCT query)::BIGINT AS n_queries
+          FROM per GROUP BY domain, path
+        )
+        SELECT domain, path, n_urls, n_queries,
+               n_queries * 100 // n_urls AS query_pct,
+               (n_urls >= {min_urls} AND n_queries * 100 // n_urls >= {query_pct}) AS is_trap
+        FROM agg
+        ORDER BY domain, path
+    """
+
+
+def recrawl_schedule(
+    visits: DataFrame,
+    domain_col: str = "domain",
+    url_col: str = "url_id",
+    ts_col: str = "ts",
+    changed_col: str = "changed",
+) -> DataFrame:
+    """Adaptive revisit scheduling from a visit history.
+
+    Input rows are fetch observations ``(url_id, domain, ts, changed)``.
+    Per URL the operator emits
+
+    * ``n_visits`` / ``n_changes`` — observation counts,
+    * ``change_ppm`` — the change-rate estimate ``n_changes * 10^6 DIV
+      n_visits`` (the integer-exact analog of X/n in the Poisson
+      estimator),
+    * ``revisit_sec`` — observed span DIV max(n_changes, 1): the
+      expected seconds between changes, i.e. ~1/lambda; URLs never seen
+      to change get the full span (crawl least often),
+    * ``fetch_rank`` — 1-based rank *within the domain* by descending
+      change rate (ties: url_id), the order the politeness budget
+      admits recrawls.
+
+    The window partitions by domain — the same key the scheduler
+    shuffles on — so no global ordering ever materializes.
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    agg = (
+        visits.groupBy(F.col(domain_col).alias("domain"), F.col(url_col).alias("url_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_visits"),
+            F.sum(F.col(changed_col).cast("long")).cast("long").alias("n_changes"),
+            F.min(ts_us).alias("_min_us"),
+            F.max(ts_us).alias("_max_us"),
+        )
+        .withColumn("span_sec", F.expr("(_max_us - _min_us) DIV 1000000"))
+        .withColumn("change_ppm", F.expr("n_changes * 1000000 DIV n_visits"))
+        .withColumn(
+            "revisit_sec",
+            F.expr("span_sec DIV greatest(n_changes, CAST(1 AS BIGINT))"),
+        )
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("change_ppm"), F.asc("url_id"))
+    return agg.select(
+        "domain",
+        "url_id",
+        "n_visits",
+        "n_changes",
+        "span_sec",
+        "change_ppm",
+        "revisit_sec",
+    ).withColumn("fetch_rank", F.row_number().over(w).cast("long"))
+
+
+def recrawl_schedule_sql(visits_cte: str) -> str:
+    """DuckDB twin over a CTE named ``v`` with
+    (domain, url_id, ts, changed) columns."""
+    return f"""
+        WITH {visits_cte},
+        agg AS (
+          SELECT domain, url_id,
+                 count(*)::BIGINT AS n_visits,
+                 sum(changed::BIGINT)::BIGINT AS n_changes,
+                 (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS span_sec
+          FROM v GROUP BY domain, url_id
+        )
+        SELECT domain, url_id, n_visits, n_changes, span_sec,
+               n_changes * 1000000 // n_visits AS change_ppm,
+               span_sec // greatest(n_changes, 1) AS revisit_sec,
+               (row_number() OVER (
+                  PARTITION BY domain
+                  ORDER BY n_changes * 1000000 // n_visits DESC, url_id
+               ))::BIGINT AS fetch_rank
+        FROM agg
+        ORDER BY domain, url_id
+    """

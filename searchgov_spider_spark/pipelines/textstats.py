@@ -654,3 +654,68 @@ def winnow_fingerprints_sql(
         FROM sel
         ORDER BY doc_id, pos
     """
+
+
+# --- readability (Flesch / Flesch-Kincaid, integer-exact) -------------------
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Flesch reading ease + Flesch-Kincaid grade, integer-exact.
+
+    Counts: words = whitespace tokens; sentences = runs of [.!?]
+    (floored at 1 — crawl text is often terminator-free); syllables =
+    vowel-group runs [aeiouy]+ of the lowercased text (the standard
+    cheap proxy). Scores are emitted in milli-units via the SAME
+    floor-division formula on both engines:
+
+        fre_milli = 206835 - 1015*W DIV S - 84600*Y DIV W
+        fkg_milli = 390*W DIV S + 11800*Y DIV W - 15590
+
+    (milli-scaled Flesch 1948 / Kincaid 1975 coefficients; floor
+    division replaces the real-valued ratio so the driver hash is
+    engine-proof — the ordering of docs by score is preserved to
+    within 1 milli-unit.)
+
+    Scale shape: one pure projection — three regexp counts per row, no
+    shuffle, stays in whole-stage codegen.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.greatest(
+        F.size(F.filter(tokens_col(text_col), lambda x: x != "")), F.lit(1)
+    ).cast("long")
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syllables = F.regexp_count(t, F.lit("[aeiouy]+")).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+            syllables.alias("n_syllables"),
+        )
+        .withColumn(
+            "fre_milli",
+            F.expr("206835 - 1015 * n_words DIV n_sentences - 84600 * n_syllables DIV n_words"),
+        )
+        .withColumn(
+            "fkg_milli",
+            F.expr("390 * n_words DIV n_sentences + 11800 * n_syllables DIV n_words - 15590"),
+        )
+    )
+
+
+def readability_sql(table: str = "documents") -> str:
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 greatest(len(list_filter({tokens_sql('text')}, x -> x <> '')), 1)::BIGINT AS n_words,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+          FROM {table}
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               206835 - 1015 * n_words // n_sentences - 84600 * n_syllables // n_words AS fre_milli,
+               390 * n_words // n_sentences + 11800 * n_syllables // n_words - 15590 AS fkg_milli
+        FROM c
+        ORDER BY doc_id
+    """

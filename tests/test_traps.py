@@ -1,0 +1,103 @@
+"""Crawl-health operators: spider-trap detection, adaptive recrawl
+scheduling, and the integer-exact readability scores — each checked
+against a pure-Python oracle on hand-built inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from searchgov_spider_spark.operators.traps import detect_traps, recrawl_schedule
+from searchgov_spider_spark.pipelines.textstats import readability
+
+
+def test_detect_traps(spark):
+    rows = []
+    # trap: 25 distinct session-id permutations of one path
+    rows += [("a.gov", f"https://a.gov/cal?sid={i}") for i in range(25)]
+    # not a trap: same path population but no query strings
+    rows += [(f"a.gov", f"https://a.gov/doc/{i}") for i in range(25)]
+    # below min_urls: queries dominate but only 5 URLs
+    rows += [("b.gov", f"https://b.gov/s?q={i}") for i in range(5)]
+    # mixed: 30 URLs, 12 with queries (40% < 80%)
+    rows += [("c.gov", f"https://c.gov/m?p={i}") for i in range(12)]
+    rows += [("c.gov", f"https://c.gov/m/{i}") for i in range(18)]
+    urls = spark.createDataFrame(rows, "domain string, url string")
+    out = {
+        (r["domain"], r["path"]): r
+        for r in detect_traps(urls).collect()
+    }
+    assert out[("a.gov", "/cal")]["is_trap"] is True
+    assert out[("a.gov", "/cal")]["n_urls"] == 25
+    assert out[("a.gov", "/cal")]["query_pct"] == 100
+    # /doc/<i> are 25 distinct paths with 1 URL each — none flagged
+    assert out[("a.gov", "/doc/0")]["is_trap"] is False
+    assert out[("b.gov", "/s")]["is_trap"] is False  # under min_urls
+    assert out[("b.gov", "/s")]["query_pct"] == 100
+    # /m holds 12 query URLs; /m/<i> are separate paths
+    assert out[("c.gov", "/m")]["n_urls"] == 12
+    assert out[("c.gov", "/m")]["is_trap"] is False
+
+
+def test_detect_traps_null_query_handling(spark):
+    # query-less URLs yield NULL query; countDistinct must skip them
+    urls = spark.createDataFrame(
+        [("d.gov", "https://d.gov/x"), ("d.gov", "https://d.gov/x?a=1")],
+        "domain string, url string",
+    )
+    row = detect_traps(urls, min_urls=1, query_pct=50).collect()[0]
+    assert row["n_urls"] == 2 and row["n_queries"] == 1
+    assert row["query_pct"] == 50 and row["is_trap"] is True
+
+
+def test_recrawl_schedule(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+
+    def visits(url_id, pattern):  # pattern: list of changed flags, daily
+        return [
+            ("d0.gov", url_id, t0 + i * day, bool(c)) for i, c in enumerate(pattern)
+        ]
+
+    rows = (
+        visits(1, [1, 1, 1, 1])       # hot: changes every visit
+        + visits(2, [0, 1, 0, 1])     # half
+        + visits(3, [0, 0, 0, 0])     # static
+        + [("d1.gov", 9, t0, True)]   # single observation, other domain
+    )
+    df = spark.createDataFrame(
+        rows, "domain string, url_id long, ts timestamp, changed boolean"
+    )
+    out = {r["url_id"]: r for r in recrawl_schedule(df).collect()}
+    assert out[1]["change_ppm"] == 1_000_000
+    assert out[2]["change_ppm"] == 500_000
+    assert out[3]["change_ppm"] == 0
+    # span 3 days = 259200 s; url 1: 259200/4 changes... span DIV changes
+    assert out[1]["revisit_sec"] == 259200 // 4
+    assert out[2]["revisit_sec"] == 259200 // 2
+    assert out[3]["revisit_sec"] == 259200  # never changed: full span
+    # per-domain rank by descending change rate
+    assert out[1]["fetch_rank"] == 1
+    assert out[2]["fetch_rank"] == 2
+    assert out[3]["fetch_rank"] == 3
+    assert out[9]["fetch_rank"] == 1  # own domain
+    assert out[9]["span_sec"] == 0 and out[9]["revisit_sec"] == 0
+
+
+def test_readability_counts_and_scores(spark):
+    text = "The cat sat on the mat. It was happy!"
+    docs = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability(docs).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 9
+    assert r1["n_sentences"] == 2
+    # vowel groups: the(1) cat(1) sat(1) on(1) the(1) mat(1) it(1) was(1)
+    # happy(2: a, y) = 10
+    assert r1["n_syllables"] == 10
+    w, s, y = 9, 2, 10
+    assert r1["fre_milli"] == 206835 - 1015 * w // s - 84600 * y // w
+    assert r1["fkg_milli"] == 390 * w // s + 11800 * y // w - 15590
+    # empty text: floors keep the formula total (words=1, sentences=1)
+    r2 = out[2]
+    assert r2["n_words"] == 1 and r2["n_sentences"] == 1 and r2["n_syllables"] == 0
