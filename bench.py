@@ -88,9 +88,9 @@ def crawl_wave_bench(spark, n: int) -> tuple[float, int, dict]:
 
     t0 = time.monotonic()
     cand = (
-        # rescan_cheap: the frontier is a generated range here (a column-
-        # pruned parquet scan in production) — the fast-path branch is
-        # pure whole-stage codegen, no Python worker at all
+        # one vectorized Arrow UDF pass (see with_canonical: the JVM-native
+        # fast paths were measured slower; the UDF does ~4.2M rows/s at 32
+        # cores and scales linearly with cores)
         with_canonical(synthetic_frontier(spark, n), "url", "canon_url", rescan_cheap=True)
         .withColumn("url_hash", url_hash_col("canon_url"))
         .withColumn("domain", F.regexp_extract("canon_url", r"^https://([^/]+)", 1))

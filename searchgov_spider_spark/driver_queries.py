@@ -2357,6 +2357,116 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(pstats.readability(load(spark, sf_dir, "documents"))).orderBy("doc_id")
 
 
+_TEMPLATE_FRONTIER_SQL_CTE = """
+    f AS (
+      SELECT 'd' || (user_id % 25)::VARCHAR || '.gov' AS domain,
+             'https://d' || (user_id % 25)::VARCHAR || '.gov' ||
+             CASE event_id % 3
+               WHEN 0 THEN '/article/' || event_id::VARCHAR
+               WHEN 1 THEN '/doc/' || substr(md5(event_id::VARCHAR), 1, 12) || '/view'
+               ELSE '/about'
+             END AS url
+      FROM events
+    )
+"""
+
+
+def _template_frontier_from_events(events: DataFrame) -> DataFrame:
+    dom = F.concat(F.lit("d"), (F.col("user_id") % 25).cast("string"), F.lit(".gov"))
+    tail = (
+        F.when(F.col("event_id") % 3 == 0, F.concat(F.lit("/article/"), F.col("event_id").cast("string")))
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit("/doc/"), F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), F.lit("/view")),
+        )
+        .otherwise(F.lit("/about"))
+    )
+    return events.select(
+        dom.alias("domain"), F.concat(F.lit("https://"), dom, tail).alias("url")
+    )
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining: digit/hex-run generalization + per-template
+    population counts — the signal behind trap denial and crawl-priority
+    decisions over URL families."""
+    from .operators.traps import url_templates
+
+    urls = _template_frontier_from_events(load(spark, sf_dir, "events"))
+    return _longify(url_templates(urls)).orderBy("domain", "template")
+
+
+_SITEMAP_CHANGEFREQS = ("always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+
+
+def q_sitemap_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-aware sitemap fetch ordering: synthesize urlset XML
+    bodies (lastmod/changefreq/priority, each sometimes absent), run the
+    REAL XML-parsing pandas UDF, rank per sitemap by (priority desc,
+    changefreq urgency, lastmod desc, loc). The oracle reconstructs the
+    metadata analytically — a green row pins the parse kernel AND the
+    ordering."""
+    from .operators.sitemap import schedule_sitemap_urls
+
+    ev = load(spark, sf_dir, "events")
+    k = (F.col("user_id") % 10).cast("string")
+    sm = F.concat(F.lit("https://s"), k, F.lit(".gov/sitemap.xml"))
+    loc = F.concat(F.lit("https://s"), k, F.lit(".gov/p/"), F.col("event_id").cast("string"))
+    lastmod = F.when(
+        F.col("event_id") % 5 != 0,
+        F.concat(F.lit("2024-01-"), F.lpad(((F.col("event_id") % 28) + 1).cast("string"), 2, "0")),
+    )
+    changefreq = F.when(
+        F.col("event_id") % 4 != 0,
+        F.element_at(F.array(*[F.lit(c) for c in _SITEMAP_CHANGEFREQS]), ((F.col("event_id") % 7) + 1).cast("int")),
+    )
+    priority = F.when(
+        F.col("event_id") % 6 != 0,
+        F.concat(F.lit("0."), (F.col("event_id") % 10).cast("string")),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc>"),
+        F.coalesce(F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>")), F.lit("")),
+        F.coalesce(F.concat(F.lit("<changefreq>"), changefreq, F.lit("</changefreq>")), F.lit("")),
+        F.coalesce(F.concat(F.lit("<priority>"), priority, F.lit("</priority>")), F.lit("")),
+        F.lit("</url>"),
+    )
+    sitemaps = (
+        ev.select(sm.alias("sitemap_url"), entry.alias("_e"))
+        .groupBy("sitemap_url")
+        .agg(F.concat(F.lit("<urlset>"), F.array_join(F.collect_list("_e"), ""), F.lit("</urlset>")).alias("body"))
+    )
+    return _longify(schedule_sitemap_urls(sitemaps)).orderBy("sitemap_url", "url")
+
+
+_SITEMAP_PRIORITY_SQL = """
+    WITH r AS (
+      SELECT 'https://s' || (user_id % 10)::VARCHAR || '.gov/sitemap.xml' AS sitemap_url,
+             'https://s' || (user_id % 10)::VARCHAR || '.gov/p/' || event_id::VARCHAR AS url,
+             CASE WHEN event_id % 5 <> 0
+                  THEN '2024-01-' || lpad(((event_id % 28) + 1)::VARCHAR, 2, '0') END AS lastmod,
+             CASE WHEN event_id % 4 <> 0
+                  THEN (['always','hourly','daily','weekly','monthly','yearly','never'])[(event_id % 7) + 1]
+             END AS changefreq,
+             (CASE WHEN event_id % 6 <> 0 THEN (event_id % 10) * 100 ELSE 500 END)::BIGINT AS priority_milli
+      FROM events
+    ), r2 AS (
+      SELECT *,
+             (CASE changefreq WHEN 'always' THEN 0 WHEN 'hourly' THEN 1 WHEN 'daily' THEN 2
+                   WHEN 'weekly' THEN 3 WHEN 'monthly' THEN 4 WHEN 'yearly' THEN 5
+                   WHEN 'never' THEN 6 ELSE 7 END)::BIGINT AS freq_rank
+      FROM r
+    )
+    SELECT sitemap_url, url, lastmod, changefreq, priority_milli, freq_rank,
+           (row_number() OVER (
+              PARTITION BY sitemap_url
+              ORDER BY priority_milli DESC, freq_rank ASC, lastmod DESC NULLS LAST, url
+           ))::BIGINT AS fetch_rank
+    FROM r2
+    ORDER BY sitemap_url, url
+"""
+
+
 def _trap_detection_sql() -> str:
     from .operators.traps import detect_traps_sql
 
@@ -2367,6 +2477,53 @@ def _recrawl_priority_sql() -> str:
     from .operators.traps import recrawl_schedule_sql
 
     return recrawl_schedule_sql(_VISITS_SQL_CTE)
+
+
+def _url_templates_sql() -> str:
+    from .operators.traps import url_templates_sql
+
+    return url_templates_sql(_TEMPLATE_FRONTIER_SQL_CTE)
+
+
+_FETCH_LOG_SQL_CTE = """
+    fl AS (
+      SELECT 'd' || (user_id % 25)::VARCHAR || '.gov' AS domain,
+             CASE WHEN (user_id % 25) < 3 AND event_id % 2 = 0 THEN 503
+                  WHEN event_id % 17 = 0 THEN 500
+                  WHEN event_id % 11 = 0 THEN 404
+                  ELSE 200 END AS http_status
+      FROM events
+    )
+"""
+
+
+def _fetch_log_from_events(events: DataFrame) -> DataFrame:
+    dom_idx = F.col("user_id") % 25
+    status = (
+        F.when((dom_idx < 3) & (F.col("event_id") % 2 == 0), F.lit(503))
+        .when(F.col("event_id") % 17 == 0, F.lit(500))
+        .when(F.col("event_id") % 11 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    return events.select(
+        F.concat(F.lit("d"), dom_idx.cast("string"), F.lit(".gov")).alias("domain"),
+        status.alias("http_status"),
+    )
+
+
+def q_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain 5xx-rate circuit breaker: three hot domains trip the
+    ~50% synthetic error rate, the rest stay under the 30% budget."""
+    from .operators.politeness import domain_circuit_breaker
+
+    log_df = _fetch_log_from_events(load(spark, sf_dir, "events"))
+    return _longify(domain_circuit_breaker(log_df)).orderBy("domain")
+
+
+def _circuit_breaker_sql() -> str:
+    from .operators.politeness import domain_circuit_breaker_sql
+
+    return domain_circuit_breaker_sql(_FETCH_LOG_SQL_CTE)
 
 
 # ===========================================================================
@@ -2450,6 +2607,9 @@ def queries():
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
         "readability": q_readability,
+        "url_templates": q_url_templates,
+        "sitemap_priority": q_sitemap_priority,
+        "circuit_breaker": q_circuit_breaker,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -2556,6 +2716,9 @@ def oracle_sql():
         "trap_detection": _trap_detection_sql(),
         "recrawl_priority": _recrawl_priority_sql(),
         "readability": pstats.readability_sql(),
+        "url_templates": _url_templates_sql(),
+        "sitemap_priority": _SITEMAP_PRIORITY_SQL,
+        "circuit_breaker": _circuit_breaker_sql(),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

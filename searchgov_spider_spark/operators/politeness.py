@@ -100,3 +100,67 @@ def top_k_per_group(
         .filter(F.col("_r2") <= k)
         .drop("_salt", "_r1", "_r2")
     )
+
+
+# --- per-domain error circuit breaker ---------------------------------------
+
+BREAKER_MIN_FETCHES = 10
+BREAKER_ERR_PPM = 300_000  # suspend at >= 30% server errors
+
+
+def domain_circuit_breaker(
+    fetch_log: DataFrame,
+    min_fetches: int = BREAKER_MIN_FETCHES,
+    err_ppm: int = BREAKER_ERR_PPM,
+    domain_col: str = "domain",
+    status_col: str = "http_status",
+) -> DataFrame:
+    """Suspend domains whose wave error rate breaches the budget.
+
+    Per domain: fetch count, 5xx count, error rate in ppm (integer
+    division — engine-proof), and ``suspended`` once at least
+    ``min_fetches`` were attempted and the rate is >= ``err_ppm``.
+    Suspended domains are removed from the next wave's frontier (the
+    scheduler left_anti-joins this table), protecting both the crawl
+    budget and the struggling origin — the reference's fixed 1 req/s
+    politeness (settings.py DOWNLOAD_DELAY) has no failure-adaptive
+    path. One map-side-combinable hash agg; domain cardinality bounds
+    the output.
+    """
+    is_err = (F.col(status_col) >= 500).cast("long")
+    agg = fetch_log.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum(is_err).cast("long").alias("n_5xx"),
+    )
+    return agg.select(
+        "domain",
+        "n_fetches",
+        "n_5xx",
+        F.expr("n_5xx * 1000000 DIV n_fetches").alias("err_ppm"),
+        (
+            (F.col("n_fetches") >= F.lit(min_fetches))
+            & (F.expr("n_5xx * 1000000 DIV n_fetches") >= F.lit(err_ppm))
+        ).alias("suspended"),
+    )
+
+
+def domain_circuit_breaker_sql(
+    fetch_cte: str,
+    min_fetches: int = BREAKER_MIN_FETCHES,
+    err_ppm: int = BREAKER_ERR_PPM,
+) -> str:
+    """DuckDB twin over a CTE named ``fl`` with (domain, http_status)."""
+    return f"""
+        WITH {fetch_cte},
+        agg AS (
+          SELECT domain,
+                 count(*)::BIGINT AS n_fetches,
+                 sum(CASE WHEN http_status >= 500 THEN 1 ELSE 0 END)::BIGINT AS n_5xx
+          FROM fl GROUP BY domain
+        )
+        SELECT domain, n_fetches, n_5xx,
+               n_5xx * 1000000 // n_fetches AS err_ppm,
+               (n_fetches >= {min_fetches} AND n_5xx * 1000000 // n_fetches >= {err_ppm}) AS suspended
+        FROM agg
+        ORDER BY domain
+    """

@@ -230,3 +230,113 @@ def sitemap_report(current: DataFrame, previous: DataFrame) -> DataFrame:
     return total.join(new, "sitemap_url", "left").select(
         "sitemap_url", F.coalesce("new_urls", F.lit(0)).alias("new_urls"), "total_urls"
     )
+
+
+# --- urlset metadata: lastmod / changefreq / priority -----------------------
+
+# sitemaps.org changefreq values, most->least urgent; unknown sorts last
+CHANGEFREQ_RANK = {
+    "always": 0, "hourly": 1, "daily": 2, "weekly": 3,
+    "monthly": 4, "yearly": 5, "never": 6,
+}
+DEFAULT_PRIORITY_MILLI = 500  # sitemaps.org default priority 0.5
+
+_META_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("loc", T.StringType()),
+            T.StructField("lastmod", T.StringType()),
+            T.StructField("changefreq", T.StringType()),
+            T.StructField("priority_milli", T.IntegerType()),
+        ]
+    )
+)
+
+
+def parse_urlset_meta(body: bytes | str | None) -> list[tuple]:
+    """Pure-Python urlset parse carrying the optional per-URL metadata
+    (lastmod, changefreq, priority). Priority becomes integer milli-units
+    via Decimal so '0.8' -> 800 exactly. Unit-test oracle for the UDF."""
+    from decimal import Decimal, InvalidOperation
+
+    if body is None:
+        return []
+    raw = body if isinstance(body, bytes) else body.encode()
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError:
+        return []
+    if not root.tag.endswith("urlset"):
+        return []
+    ns = root.tag.split("}")[0] + "}" if "}" in root.tag else ""
+    out = []
+    for u in root.findall(f"{ns}url"):
+        loc = u.find(f"{ns}loc")
+        if loc is None or not loc.text:
+            continue
+        lastmod = u.find(f"{ns}lastmod")
+        changefreq = u.find(f"{ns}changefreq")
+        priority = u.find(f"{ns}priority")
+        p_milli = DEFAULT_PRIORITY_MILLI
+        if priority is not None and priority.text:
+            try:
+                p_milli = int(Decimal(priority.text.strip()) * 1000)
+            except (InvalidOperation, ValueError):
+                p_milli = DEFAULT_PRIORITY_MILLI
+        out.append(
+            (
+                loc.text.strip(),
+                lastmod.text.strip() if lastmod is not None and lastmod.text else None,
+                changefreq.text.strip().lower() if changefreq is not None and changefreq.text else None,
+                p_milli,
+            )
+        )
+    return out
+
+
+@F.pandas_udf(_META_SCHEMA)
+def parse_urlset_meta_udf(bodies: pd.Series) -> pd.Series:
+    return pd.Series([parse_urlset_meta(b) for b in bodies])
+
+
+def schedule_sitemap_urls(sitemaps: DataFrame) -> DataFrame:
+    """Priority-aware fetch ordering from urlset metadata.
+
+    Input: (sitemap_url, body). Output: one row per page URL with its
+    metadata and a 1-based ``fetch_rank`` *within its sitemap* by
+    (priority desc, changefreq urgency, lastmod desc — ISO dates sort
+    lexicographically, nulls last, loc tie-break). The window partitions
+    on sitemap_url — the natural fetch unit — so no global sort ever
+    materializes; ranking work is bounded by the largest single urlset
+    (50k URLs by the sitemaps.org spec).
+    """
+    from pyspark.sql import Window
+
+    freq_rank = F.coalesce(
+        *[
+            F.when(F.col("changefreq") == k, F.lit(v))
+            for k, v in CHANGEFREQ_RANK.items()
+        ],
+        F.lit(7),
+    )
+    rows = (
+        sitemaps.select(
+            "sitemap_url", parse_urlset_meta_udf(F.col("body")).alias("_m")
+        )
+        .select("sitemap_url", F.explode("_m").alias("u"))
+        .select(
+            "sitemap_url",
+            F.col("u.loc").alias("url"),
+            F.col("u.lastmod").alias("lastmod"),
+            F.col("u.changefreq").alias("changefreq"),
+            F.col("u.priority_milli").cast("long").alias("priority_milli"),
+        )
+        .withColumn("freq_rank", freq_rank.cast("long"))
+    )
+    w = Window.partitionBy("sitemap_url").orderBy(
+        F.desc("priority_milli"),
+        F.asc("freq_rank"),
+        F.desc_nulls_last("lastmod"),
+        F.asc("url"),
+    )
+    return rows.withColumn("fetch_rank", F.row_number().over(w).cast("long"))

@@ -187,3 +187,56 @@ def recrawl_schedule_sql(visits_cte: str) -> str:
         FROM agg
         ORDER BY domain, url_id
     """
+
+
+# --- URL template mining ----------------------------------------------------
+
+TEMPLATE_HEX = r"[0-9a-f]{8,}"
+TEMPLATE_NUM = r"[0-9]+"
+
+
+def url_templates(urls: DataFrame, domain_col: str = "domain", url_col: str = "url") -> DataFrame:
+    """Generalize URLs into structural templates and count the population
+    of each: long hex runs (ids, hashes) -> ``{hex}``, digit runs ->
+    ``{n}``.  Template mining is how a crawler discovers that
+    ``/article/{n}`` has 10^7 members while ``/about`` has one — input to
+    both trap denial and crawl prioritization.
+
+    One projection + one hash aggregation; the template key is far finer
+    than domain, so the groupBy has no skew beyond the URL population
+    itself.
+    """
+    tpl = F.regexp_replace(
+        F.regexp_replace(F.col(url_col), TEMPLATE_HEX, "{hex}"),
+        TEMPLATE_NUM,
+        "{n}",
+    )
+    return (
+        urls.select(F.col(domain_col).alias("domain"), tpl.alias("template"), F.col(url_col).alias("url"))
+        .groupBy("domain", "template")
+        .agg(
+            F.countDistinct("url").cast("long").alias("n_urls"),
+            F.min("url").alias("sample_url"),
+        )
+    )
+
+
+def url_templates_sql(frontier_cte: str) -> str:
+    """DuckDB twin over a CTE named ``f`` with (domain, url) columns.
+    DuckDB regexp_replace needs the 'g' flag (Java replaces all by
+    default)."""
+    return f"""
+        WITH {frontier_cte},
+        t AS (
+          SELECT domain,
+                 regexp_replace(regexp_replace(url, '{TEMPLATE_HEX}', '{{hex}}', 'g'),
+                                '{TEMPLATE_NUM}', '{{n}}', 'g') AS template,
+                 url
+          FROM f
+        )
+        SELECT domain, template,
+               count(DISTINCT url)::BIGINT AS n_urls,
+               min(url) AS sample_url
+        FROM t GROUP BY domain, template
+        ORDER BY domain, template
+    """

@@ -321,7 +321,7 @@ def test_fuzzy_date_parsing():
 
 
 class TestCanonicalizeNative:
-    """canonicalize_fast_col (JVM fast path) + with_canonical must agree
+    """with_canonical (the Arrow-UDF hot path, both API modes) must agree
     exactly with the per-row reference implementation on every URL shape."""
 
     CASES = [
@@ -356,40 +356,3 @@ class TestCanonicalizeNative:
             }
             assert got == want, f"rescan_cheap={cheap}"
 
-    def test_fast_col_null_iff_slow(self, spark):
-        """The native fast path must answer NULL for every case the pandas
-        fast path would not take verbatim (whitespace-padded ones included,
-        conservatively) and match canonicalize_url where it does answer."""
-        from searchgov_spider_spark.functions import urls as u
-
-        df = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(self.CASES)], "i long, url string"
-        )
-        rows = df.select(
-            "i", "url", u.canonicalize_fast_col("url").alias("fast")
-        ).collect()
-        n_fast = 0
-        for r in rows:
-            if r["fast"] is not None:
-                assert r["fast"] == u.canonicalize_url(r["url"]), r["url"]
-                n_fast += 1
-        assert n_fast == 4  # exactly the four clean fast-pattern cases
-
-    def test_property_fast_col_agreement(self, spark):
-        from searchgov_spider_spark.functions import urls as u
-
-        host = [f"h{i}.gov" for i in range(10)] + ["x--y.example.gov", "9a.gov"]
-        paths = ["", "/", "/a", "/a/b.html", "/p/34", "/%7Euser", "/a.b.c"]
-        frags = ["", "#f", "#frag/ment"]
-        schemes = ["http", "https", "HTTPS", "Http"]
-        cases = [
-            f"{s}://{h}{p}{f}"
-            for s in schemes
-            for h in host[:4]
-            for p in paths
-            for f in frags
-        ]
-        df = spark.createDataFrame([(c,) for c in cases], "url string")
-        rows = df.select("url", u.canonicalize_fast_col("url").alias("fast")).collect()
-        for r in rows:
-            assert r["fast"] == u.canonicalize_url(r["url"]), r["url"]

@@ -306,3 +306,53 @@ class TestSitemapMonitorPlan:
         assert res.waves[0].emitted == 1
         # child link NOT followed: one wave only
         assert len(res.waves) == 1
+
+
+def test_parse_urlset_meta_kernel():
+    from searchgov_spider_spark.operators.sitemap import parse_urlset_meta
+
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://x.gov/a</loc><lastmod>2024-01-05</lastmod>"
+        "<changefreq>Daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://x.gov/b</loc></url>"
+        "<url><loc>https://x.gov/c</loc><priority>bogus</priority></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # no loc: skipped
+        "</urlset>"
+    )
+    rows = parse_urlset_meta(xml)
+    assert rows == [
+        ("https://x.gov/a", "2024-01-05", "daily", 800),
+        ("https://x.gov/b", None, None, 500),
+        ("https://x.gov/c", None, None, 500),
+    ]
+    assert parse_urlset_meta("<sitemapindex/>") == []
+    assert parse_urlset_meta("not xml") == []
+    assert parse_urlset_meta(None) == []
+
+
+def test_schedule_sitemap_urls(spark):
+    from searchgov_spider_spark.operators.sitemap import schedule_sitemap_urls
+
+    body = (
+        "<urlset>"
+        "<url><loc>https://x.gov/low</loc><priority>0.1</priority></url>"
+        "<url><loc>https://x.gov/hi</loc><priority>0.9</priority></url>"
+        "<url><loc>https://x.gov/mid-old</loc><lastmod>2023-01-01</lastmod></url>"
+        "<url><loc>https://x.gov/mid-new</loc><lastmod>2024-06-01</lastmod></url>"
+        "<url><loc>https://x.gov/mid-hourly</loc><changefreq>hourly</changefreq></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("https://x.gov/sitemap.xml", body)], "sitemap_url string, body string"
+    )
+    out = {r["url"]: r for r in schedule_sitemap_urls(df).collect()}
+    # priority 0.9 first; defaults (500) ordered by changefreq urgency then
+    # lastmod desc (nulls last); priority 0.1 last
+    assert out["https://x.gov/hi"]["fetch_rank"] == 1
+    assert out["https://x.gov/mid-hourly"]["fetch_rank"] == 2
+    assert out["https://x.gov/mid-new"]["fetch_rank"] == 3
+    assert out["https://x.gov/mid-old"]["fetch_rank"] == 4
+    assert out["https://x.gov/low"]["fetch_rank"] == 5
+    assert out["https://x.gov/hi"]["priority_milli"] == 900
+    assert out["https://x.gov/mid-hourly"]["freq_rank"] == 1

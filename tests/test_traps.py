@@ -101,3 +101,43 @@ def test_readability_counts_and_scores(spark):
     # empty text: floors keep the formula total (words=1, sentences=1)
     r2 = out[2]
     assert r2["n_words"] == 1 and r2["n_sentences"] == 1 and r2["n_syllables"] == 0
+
+
+def test_url_templates(spark):
+    urls = spark.createDataFrame(
+        [
+            ("a.gov", "https://a.gov/article/1"),
+            ("a.gov", "https://a.gov/article/2"),
+            ("a.gov", "https://a.gov/article/2"),  # dup URL: counted once
+            ("a.gov", "https://a.gov/doc/deadbeef1234/view"),
+            ("a.gov", "https://a.gov/doc/cafebabe5678/view"),
+            ("a.gov", "https://a.gov/about"),
+        ],
+        "domain string, url string",
+    )
+    from searchgov_spider_spark.operators.traps import url_templates
+
+    out = {r["template"]: r for r in url_templates(urls).collect()}
+    assert out["https://a.gov/article/{n}"]["n_urls"] == 2
+    assert out["https://a.gov/article/{n}"]["sample_url"] == "https://a.gov/article/1"
+    assert out["https://a.gov/doc/{hex}/view"]["n_urls"] == 2
+    assert out["https://a.gov/about"]["n_urls"] == 1
+
+
+def test_domain_circuit_breaker(spark):
+    from searchgov_spider_spark.operators.politeness import domain_circuit_breaker
+
+    rows = (
+        [("bad.gov", 503)] * 6 + [("bad.gov", 200)] * 6        # 50% >= 30%
+        + [("ok.gov", 500)] * 2 + [("ok.gov", 200)] * 10       # 16% < 30%
+        + [("tiny.gov", 503)] * 5                              # under min_fetches
+        + [("clean.gov", 404)] * 12                            # 4xx is not 5xx
+    )
+    log = spark.createDataFrame(rows, "domain string, http_status int")
+    out = {r["domain"]: r for r in domain_circuit_breaker(log).collect()}
+    assert out["bad.gov"]["suspended"] is True
+    assert out["bad.gov"]["err_ppm"] == 500_000
+    assert out["ok.gov"]["suspended"] is False
+    assert out["tiny.gov"]["suspended"] is False
+    assert out["tiny.gov"]["err_ppm"] == 1_000_000
+    assert out["clean.gov"]["n_5xx"] == 0 and out["clean.gov"]["suspended"] is False
