@@ -604,10 +604,14 @@ def bfs_depths(docs: DataFrame, source_mod: int = 101, max_depth: int = BFS_MAX_
     """
     edges = synthetic_edges(docs).localCheckpoint(eager=True)
     nodes = docs.select(F.col("doc_id").alias("node"))
-    depths = nodes.filter(F.col("node") % source_mod == 0).select(
+    level0 = nodes.filter(F.col("node") % source_mod == 0).select(
         "node", F.lit(0).cast("long").alias("depth")
     ).localCheckpoint(eager=True)
-    frontier = depths.select("node")
+    # `depths` stays a lazy union of per-level CHECKPOINTED frontiers:
+    # only the new level is materialized each round (2 jobs/level),
+    # instead of re-writing the whole visited set per level (O(V*D)).
+    depths = level0
+    frontier = level0.select("node")
     for d in range(1, max_depth + 1):
         nxt = (
             edges.join(frontier.withColumnRenamed("node", "src"), "src")
@@ -619,7 +623,7 @@ def bfs_depths(docs: DataFrame, source_mod: int = 101, max_depth: int = BFS_MAX_
         )
         if nxt.isEmpty():
             break
-        depths = depths.unionByName(nxt).localCheckpoint(eager=True)
+        depths = depths.unionByName(nxt)
         frontier = nxt.select("node")
     return nodes.join(depths, "node", "left").select(
         F.col("node").alias("doc_id"),
@@ -675,6 +679,14 @@ def hits(docs: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("hub")
     )
     auth = None
+    # Each half-step is referenced twice downstream (raw scores + their
+    # L1 normalizer) and feeds the next half-step, so an unmaterialized
+    # plan re-evaluates every prior step per reference — exponential in
+    # n_iter (measured 16 s for 2 iterations on 500 nodes). Eagerly
+    # truncate lineage once per HALF-STEP result: the raw-score frame is
+    # left lazy (its double evaluation — normalizer + join — is two
+    # broadcast stages inside the same job, cheaper than scheduling an
+    # extra materialization job).
     for _ in range(n_iter):
         a_raw = (
             edges.join(hub.withColumnRenamed("node", "src"), "src")
@@ -686,6 +698,7 @@ def hits(docs: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
             nodes.join(a_raw, "node", "left")
             .crossJoin(F.broadcast(a_tot))
             .select("node", (F.coalesce("a", F.lit(0.0)) / F.col("t")).alias("auth"))
+            .localCheckpoint(eager=True)
         )
         h_raw = (
             edges.join(auth.withColumnRenamed("node", "dst"), "dst")
@@ -697,6 +710,7 @@ def hits(docs: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
             nodes.join(h_raw, "node", "left")
             .crossJoin(F.broadcast(h_tot))
             .select("node", (F.coalesce("h", F.lit(0.0)) / F.col("t")).alias("hub"))
+            .localCheckpoint(eager=True)
         )
     return (
         hub.join(auth, "node")
