@@ -1629,7 +1629,10 @@ def q_cdc_chunks(spark, sf_dir):
 
 
 def q_spans_flatten(spark, sf_dir):
-    return _longify(pspans.flatten_spans(pspans.derive_spans(load(spark, sf_dir, "documents"))))
+    # fused derive+flatten (same rows as flatten_spans(derive_spans(..)),
+    # pinned by tests/test_pipelines.py); the unfused operators stay the
+    # API for real spans-array tables
+    return _longify(pspans.derive_flat_spans(load(spark, sf_dir, "documents")))
 
 
 def q_span_stats(spark, sf_dir):

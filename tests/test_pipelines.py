@@ -236,6 +236,13 @@ class TestSpans:
             offs = [r["offset"] for r in sorted(rows, key=lambda r: r["pos"])]
             assert offs == sorted(offs) == [r["pos"] for r in sorted(rows, key=lambda r: r["pos"])]
 
+    def test_fused_flatten_equals_unfused(self, docs_df):
+        unfused = sorted(
+            tuple(r) for r in pspans.flatten_spans(pspans.derive_spans(docs_df)).collect()
+        )
+        fused = sorted(tuple(r) for r in pspans.derive_flat_spans(docs_df).collect())
+        assert fused == unfused
+
     def test_span_stats(self, docs_df):
         stats = {r["doc_id"]: r for r in pspans.span_stats(pspans.derive_spans(docs_df)).collect()}
         toks0 = _tokens(DOCS[0][1])
