@@ -1109,6 +1109,19 @@ def q_lsh_ann(spark, sf_dir):
     return _longify(psim.lsh_ann_topk(load(spark, sf_dir, "embeddings"), n_queries=10, k=5))
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization (integer outputs only)."""
+    return _longify(
+        psim.quantize_embeddings(load(spark, sf_dir, "embeddings")).orderBy("vec_id")
+    )
+
+
+def q_dedup_ngram_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-n-gram span removal with
+    order-preserving reassembly (Lee et al. 2022 at token granularity)."""
+    return _longify(pclean.dedup_ngram_spans(load(spark, sf_dir, "documents")))
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF ANN (k-means codebook + probed inverted lists). The Lloyd
     training loop is not SQL-expressible -> rows-only check for the
@@ -2667,6 +2680,8 @@ def queries():
         "multimodal_meta": q_multimodal_meta,
         "repetition_profile": q_repetition_profile,
         "segment_dedup": q_segment_dedup,
+        "dedup_ngram_spans": q_dedup_ngram_spans,
+        "quantize_embeddings": q_quantize_embeddings,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "simhash_sig": q_simhash_sig,
@@ -2728,6 +2743,8 @@ def oracle_sql():
         "repetition_stats": pclean.repetition_stats_sql(),
         "repetition_profile": pclean.repetition_profile_sql(),
         "segment_dedup": pclean.segment_dedup_sql(),
+        "dedup_ngram_spans": pclean.dedup_ngram_spans_sql(),
+        "quantize_embeddings": psim.quantize_embeddings_sql(),
         "decontaminate": pclean.decontaminate_sql(),
         "pii_scrub": pclean.pii_scrub_sql(_INJECT_PII_SQL),
         "pack_chunks": ppack.pack_chunks_sql(),

@@ -416,6 +416,103 @@ def _ngrams_all(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+NGRAM_SPAN_N = 8
+
+
+def dedup_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = NGRAM_SPAN_N,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Exact duplicated-n-gram span removal at token granularity (the
+    ExactSubstr dedup of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", with token n-grams standing in for
+    the suffix-array substrings): every occurrence of an n-gram that
+    appears in more than ``max_docs`` distinct documents is excised —
+    all n covered token positions drop — and each document is
+    reassembled from its surviving tokens in original order.
+
+    Unlike ``segment_dedup`` (non-overlapping width-token segments,
+    whole-segment drop), this covers OVERLAPPING grams, so runs of
+    shared text are removed wall-to-wall regardless of alignment.
+
+    Shape: one overlapping-gram explode -> per-gram hash-agg (map-side
+    combine) -> dup grams joined back (only dup occurrences explode
+    into covered positions, n rows each) -> left join + per-doc
+    reassembly. No windows, no per-row Python; work is corpus-linear
+    plus n x (duplicated occurrences).
+
+    Returns (doc_id, clean_text, n_tokens, n_removed); a fully-covered
+    document survives with clean_text = ''.
+    """
+    toks = _toks(text_col)
+    base = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    grams = docs.select(
+        "doc_id", F.posexplode(_ngrams_all(toks, n)).alias("gpos", "gram")
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    flagged = base.join(covered, ["doc_id", "pos"], "left")
+    kept_struct = F.when(F.col("rm").isNull(), F.struct(F.col("pos"), F.col("tok")))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(kept_struct)), lambda s: s["tok"]),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("rm").isNotNull(), 1).otherwise(0)).cast("long").alias("n_removed"),
+        )
+        .select("doc_id", "clean_text", "n_tokens", "n_removed")
+    )
+
+
+def dedup_ngram_spans_sql(
+    table: str = "documents", n: int = NGRAM_SPAN_N, max_docs: int = 1
+) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM {table}
+        ), base AS (
+          SELECT doc_id, i - 1 AS pos, t[i] AS tok
+          FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+        ), grams AS (
+          SELECT doc_id, i - 1 AS gpos, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+          FROM toks, unnest(generate_series(1, len(t) - {n - 1})) AS g(i)
+        ), dup AS (
+          SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > {max_docs}
+        ), cov AS (
+          SELECT DISTINCT g.doc_id, g.gpos + u.k AS pos
+          FROM grams g JOIN dup USING (gram), unnest(generate_series(0, {n - 1})) AS u(k)
+        ), flagged AS (
+          SELECT b.doc_id, b.pos, b.tok, (c.pos IS NOT NULL) AS rm
+          FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id AND c.pos = b.pos
+        )
+        SELECT doc_id,
+               coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '') AS clean_text,
+               count(*)::BIGINT AS n_tokens,
+               (count(*) FILTER (WHERE rm))::BIGINT AS n_removed
+        FROM flagged
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
 def repetition_profile(
     docs: DataFrame,
     text_col: str = "text",

@@ -168,6 +168,49 @@ def cosine_topk_pandas(
     )
 
 
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the storage
+    path for billion-vector ANN indexes: 4x smaller than float32, 8x
+    smaller than the double working type): q_i = floor(x_i * 127 /
+    max|x| + 0.5), scale reported as integer parts-per-billion.
+
+    Engine-proof by construction: floor(y + 0.5) instead of round()
+    (round's half-tie handling differs across engines/builds — the
+    round-2 lesson), and the only emitted double-derived column is an
+    integer. Zero vectors quantize to zeros with scale_ppb = 0. Pure
+    projection — no shuffle, scales linearly.
+    """
+    v = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        max_abs > 0,
+        F.transform(v, lambda x: F.floor(x * 127.0 / max_abs + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    scale_ppb = (
+        F.when(max_abs > 0, F.floor(max_abs / 127.0 * 1e9 + 0.5)).otherwise(F.lit(0))
+    ).cast("long")
+    return emb.select(
+        F.col(id_col).alias("vec_id"), scale_ppb.alias("scale_ppb"), q.alias("q")
+    )
+
+
+def quantize_embeddings_sql(table: str = "embeddings") -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+        m AS (
+          SELECT vec_id, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma
+          FROM e
+        )
+        SELECT vec_id,
+               (CASE WHEN ma > 0 THEN floor(ma / 127.0 * 1e9 + 0.5) ELSE 0 END)::BIGINT AS scale_ppb,
+               CASE WHEN ma > 0
+                    THEN list_transform(v, x -> (floor(x * 127.0 / ma + 0.5))::INT)
+                    ELSE list_transform(v, x -> 0) END AS q
+        FROM m
+        ORDER BY vec_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplane) ANN
 # ---------------------------------------------------------------------------

@@ -145,3 +145,47 @@ def test_decontaminate_counts_distinct_hits_once(spark):
     )
     row = pc.decontaminate(corpus, bench, n=8).collect()[0]
     assert row["n_hits"] == 1 and row["contaminated"] is True
+
+
+def test_dedup_ngram_spans_removes_overlapping_shared_runs(spark):
+    # docs 1 and 2 share a 6-token run; with n=4 every 4-gram inside the
+    # run is cross-doc duplicated, so the whole run is excised from both
+    # regardless of its alignment within each doc.
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} tail1 tail2"),
+            (2, f"{shared} closing words here"),
+            (3, "a totally different document with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {x["doc_id"]: x for x in pc.dedup_ngram_spans(df, n=4).collect()}
+    assert out[1]["clean_text"] == "intro one two tail1 tail2"
+    assert out[1]["n_removed"] == 6
+    assert out[2]["clean_text"] == "closing words here"
+    assert out[2]["n_removed"] == 6
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "a totally different document with no overlap at all"
+
+
+def test_dedup_ngram_spans_can_empty_and_ignores_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two three four"), (3, "one two")],
+        "doc_id long, text string",
+    )
+    out = {x["doc_id"]: x for x in pc.dedup_ngram_spans(df, n=4).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 4
+    # doc 3 is shorter than n: it has no grams, nothing can be removed
+    assert out[3]["clean_text"] == "one two" and out[3]["n_removed"] == 0
+
+
+def test_dedup_ngram_spans_intra_doc_repeat_not_removed(spark):
+    # the gram repeats WITHIN one doc only -> distinct-doc count is 1
+    df = spark.createDataFrame(
+        [(1, "x y z w x y z w"), (2, "unrelated text entirely here")],
+        "doc_id long, text string",
+    )
+    out = {x["doc_id"]: x for x in pc.dedup_ngram_spans(df, n=4).collect()}
+    assert out[1]["n_removed"] == 0

@@ -644,3 +644,32 @@ class TestWinnowing:
         h0 = {r["gram_hash"] for r in rows if r["doc_id"] == 0}
         h1 = {r["gram_hash"] for r in rows if r["doc_id"] == 1}
         assert h0 & h1
+
+
+class TestQuantize:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+        rows.append((20, [0.0] * 8))  # zero vector edge case
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    def test_int8_quantization_properties(self, emb_df):
+        rows = {r["vec_id"]: r for r in psim.quantize_embeddings(emb_df).collect()}
+        data = {r["vec_id"]: r["embedding"] for r in emb_df.collect()}
+        for vid, r in rows.items():
+            v = [float(x) for x in data[vid]]
+            ma = max(abs(x) for x in v)
+            assert len(r["q"]) == len(v)
+            assert all(-127 <= q <= 127 for q in r["q"])
+            if ma == 0:
+                assert r["scale_ppb"] == 0 and all(q == 0 for q in r["q"])
+                continue
+            import math
+            assert r["scale_ppb"] == int(math.floor(ma / 127.0 * 1e9 + 0.5))
+            # reconstruction error bounded by half a quantization step
+            scale = ma / 127.0
+            for x, q in zip(v, r["q"]):
+                assert abs(q * scale - x) <= scale / 2 + 1e-12
