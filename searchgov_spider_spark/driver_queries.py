@@ -2527,6 +2527,45 @@ def _fetch_log_from_events(events: DataFrame) -> DataFrame:
     )
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over a deterministic synthetic redirect
+    table: ids with id%10 in (1,2,3) hop to id+1 (chains of length <= 3
+    ending at id%10 == 4), and id%100 == 7 <-> id%100 == 17 form a
+    2-cycle that must hit the hop cap with capped = true."""
+    from .operators.redirects import resolve_redirects
+
+    ev = load(spark, sf_dir, "events")
+    ids = ev.select((F.col("event_id") % 1000).alias("id")).distinct()
+    as_url = lambda c: F.concat(F.lit("https://r.gov/u/"), c.cast("string"))  # noqa: E731
+    requests = ids.select(as_url(F.col("id")).alias("url"))
+    dst_id = (
+        F.when(F.col("id") % 100 == 7, F.col("id") + 10)
+        .when(F.col("id") % 100 == 17, F.col("id") - 10)
+        .otherwise(F.col("id") + 1)
+    )
+    redirects = ids.filter(
+        ((F.col("id") % 10).isin(1, 2, 3)) | ((F.col("id") % 100).isin(7, 17))
+    ).select(as_url(F.col("id")).alias("src"), as_url(dst_id).alias("dst"))
+    return _longify(resolve_redirects(requests, redirects)).orderBy("url")
+
+
+def _redirect_resolve_sql() -> str:
+    from .operators.redirects import resolve_redirects_sql
+
+    requests_cte = (
+        "requests AS (SELECT DISTINCT 'https://r.gov/u/' || (event_id % 1000)::VARCHAR AS url "
+        "FROM events)"
+    )
+    redirects_cte = """redirects AS (
+      SELECT 'https://r.gov/u/' || id::VARCHAR AS src,
+             'https://r.gov/u/' || (CASE WHEN id % 100 = 7 THEN id + 10
+                                         WHEN id % 100 = 17 THEN id - 10
+                                         ELSE id + 1 END)::VARCHAR AS dst
+      FROM (SELECT DISTINCT event_id % 1000 AS id FROM events)
+      WHERE (id % 10) IN (1, 2, 3) OR (id % 100) IN (7, 17))"""
+    return resolve_redirects_sql(requests_cte, redirects_cte)
+
+
 def q_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain 5xx-rate circuit breaker: three hot domains trip the
     ~50% synthetic error rate, the rest stay under the 30% budget."""
@@ -2626,6 +2665,7 @@ def queries():
         "url_templates": q_url_templates,
         "sitemap_priority": q_sitemap_priority,
         "circuit_breaker": q_circuit_breaker,
+        "redirect_resolve": q_redirect_resolve,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -2737,6 +2777,7 @@ def oracle_sql():
         "url_templates": _url_templates_sql(),
         "sitemap_priority": _SITEMAP_PRIORITY_SQL,
         "circuit_breaker": _circuit_breaker_sql(),
+        "redirect_resolve": _redirect_resolve_sql(),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

@@ -553,9 +553,13 @@ def triangle_count(docs: DataFrame) -> DataFrame:
     wedges toward higher-ordered neighbors).
     """
     e = synthetic_edges(docs).filter(F.col("src") != F.col("dst"))
-    und = e.select(
-        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct()
+    # materialize once: und feeds all three join legs, and an
+    # unmaterialized plan would re-run the scan + distinct per leg
+    und = (
+        e.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))

@@ -141,3 +141,34 @@ def test_domain_circuit_breaker(spark):
     assert out["tiny.gov"]["suspended"] is False
     assert out["tiny.gov"]["err_ppm"] == 1_000_000
     assert out["clean.gov"]["n_5xx"] == 0 and out["clean.gov"]["suspended"] is False
+
+
+class TestRedirects:
+    def test_chains_loops_and_direct(self, spark):
+        from searchgov_spider_spark.operators.redirects import resolve_redirects
+
+        requests = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("d",), ("x",), ("y",), ("solo",)], "url string"
+        )
+        redirects = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x")],
+            "src string, dst string",
+        )
+        out = {r["url"]: r for r in resolve_redirects(requests, redirects, max_hops=4).collect()}
+        assert out["a"]["final_url"] == "d" and out["a"]["n_hops"] == 3 and not out["a"]["capped"]
+        assert out["b"]["final_url"] == "d" and out["b"]["n_hops"] == 2
+        assert out["d"]["final_url"] == "d" and out["d"]["n_hops"] == 0 and not out["d"]["capped"]
+        assert out["solo"]["n_hops"] == 0 and not out["solo"]["capped"]
+        # 2-cycle: still redirecting at the cap
+        assert out["x"]["capped"] and out["x"]["n_hops"] == 4
+        assert out["y"]["capped"]
+
+    def test_cap_shorter_than_chain(self, spark):
+        from searchgov_spider_spark.operators.redirects import resolve_redirects
+
+        requests = spark.createDataFrame([("a",)], "url string")
+        redirects = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        out = resolve_redirects(requests, redirects, max_hops=2).collect()[0]
+        assert out["final_url"] == "c" and out["n_hops"] == 2 and out["capped"]
