@@ -776,6 +776,8 @@ Q_MONITOR_CODES_SQL = """
 # ===========================================================================
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog (pricing summary) in exact integer cents — single
+    scan + one hash-agg, the warehouse-throughput canary."""
     li = load(spark, sf_dir, "lineitem")
     cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
     disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
@@ -851,6 +853,8 @@ Q_TOP_CUSTOMERS_SQL = """
 
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog (shipping priority): filtered fact-fact join +
+    broadcast customer dim, revenue in exact integer cents."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     li = load(spark, sf_dir, "lineitem")
@@ -1064,23 +1068,32 @@ def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 def q_exact_dedup(spark, sf_dir):
+    """Exact duplicate groups: one hash-agg over the content hash — the
+    cheapest dedup pass and the scale baseline for the fuzzy families."""
     return _longify(pdedup.exact_dup_groups(load(spark, sf_dir, "documents")))
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle -> one-hash affine MinHash ->
+    banded buckets -> bucket join -> exact-Jaccard verify >= 0.1)."""
     return _longify(pdedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.1))
 
 
 def q_simhash_sig(spark, sf_dir):
+    """64-bit SimHash signature per document (vectorized token-hash
+    majority vote) — the input to band-blocked hamming search."""
     return _longify(pdedup.simhash(load(spark, sf_dir, "documents")))
 
 
 def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dups at hamming<=3 via 4x16-bit band blocking (pigeonhole-
+    complete for hd<=3) + exact popcount verify — never all-pairs."""
     return _longify(pdedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3))
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    # hot-block guardrail explicitly ON; the SQL twin mirrors the cap
+    """Blocked n-gram Jaccard pairs (rare-shingle blocking + exact verify),
+    hot-block guardrail explicitly ON; the SQL twin mirrors the cap."""
     return _longify(
         pdedup.ngram_jaccard_pairs(
             load(spark, sf_dir, "documents"),
@@ -1091,7 +1104,8 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    # hot-block guardrail explicitly ON; the SQL twin mirrors the cap
+    """Embedding-cosine near-dups via sign-LSH bucket blocking + exact
+    cosine verify; hot-block guardrail explicitly ON (mirrored in SQL twin)."""
     return _longify(
         pdedup.embedding_near_dups(
             load(spark, sf_dir, "embeddings"),
@@ -1102,10 +1116,14 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: broadcast query block,
+    zip_with dot product, windowed top-k with deterministic tie-break."""
     return _longify(psim.cosine_topk(load(spark, sf_dir, "embeddings"), n_queries=10, k=5))
 
 
 def q_lsh_ann(spark, sf_dir):
+    """Sign-LSH bucketed ANN: hyperplane-sign bucket join prunes the corpus
+    before the exact cosine re-rank (the scale path next to brute force)."""
     return _longify(psim.lsh_ann_topk(load(spark, sf_dir, "embeddings"), n_queries=10, k=5))
 
 
@@ -1144,10 +1162,14 @@ def q_ivf_ann_exact(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting per document — narrow
+    projection, no shuffle (the LLM-pipeline token accounting primitive)."""
     return _longify(pstats.token_counts(load(spark, sf_dir, "documents")))
 
 
 def q_quality(spark, sf_dir):
+    """Text-quality scoring features (length/punctuation/stopword/casing
+    ratios) as integer-exact projections per document."""
     return _longify(pstats.quality_features(load(spark, sf_dir, "documents")))
 
 
@@ -1276,6 +1298,13 @@ def q_degree_stats(spark, sf_dir):
     """Per-node out/in degree + dangling flag of the link graph — the
     frontier-health profile (two hash-aggs, two left joins)."""
     return _longify(psearch.degree_stats(load(spark, sf_dir, "documents")))
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation per link target: in-link count, distinct
+    anchors, majority anchor with deterministic tie-break — one shuffle
+    on dst shared by the ranking window and the final hash-agg."""
+    return _longify(psearch.anchor_texts(load(spark, sf_dir, "documents")))
 
 
 def q_length_histogram(spark, sf_dir):
@@ -1617,14 +1646,21 @@ def q_vocab_coverage(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
+    """C3 language identification: script ranges + 27 stopword tables over
+    a 45-language map (domain_spider.py:150-167 parity), vectorized —
+    the oracle restates the decision table in SQL."""
     return _longify(pstats.language_id(load(spark, sf_dir, "documents")))
 
 
 def q_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprints (per-position polynomial hash
+    minima) — the cheap similarity sketch behind plagiarism-style checks."""
     return _longify(pstats.fingerprints(load(spark, sf_dir, "documents")))
 
 
 def q_top_keywords(spark, sf_dir):
+    """A2 keyword half: stopword-filtered top-k keywords per source via
+    explode + hash-agg + windowed top-k (deterministic tie-break)."""
     return _longify(pstats.top_keywords(load(spark, sf_dir, "documents"), k=10))
 
 
@@ -1642,17 +1678,25 @@ def q_cdc_chunks(spark, sf_dir):
 
 
 def q_spans_flatten(spark, sf_dir):
-    # fused derive+flatten (same rows as flatten_spans(derive_spans(..)),
-    # pinned by tests/test_pipelines.py); the unfused operators stay the
-    # API for real spans-array tables
+    """Interleaved text+media span flattening (the BASELINE input-hint
+    shape): fused derive+flatten posexplode preserving (kind, text,
+    media_ref, order) — same rows as flatten_spans(derive_spans(..)),
+    pinned by tests/test_pipelines.py; the unfused operators stay the
+    API for real spans-array tables."""
     return _longify(pspans.derive_flat_spans(load(spark, sf_dir, "documents")))
 
 
 def q_span_stats(spark, sf_dir):
+    """Per-document span-sequence stats (kind counts, text/media mix,
+    order integrity) over the interleaved spans array — higher-order
+    array functions only, no explode shuffle."""
     return _longify(pspans.span_stats(pspans.derive_spans(load(spark, sf_dir, "documents"))))
 
 
 def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload columns + typed metadata
+    extraction (magic-byte sniff, size, checksum) through Arrow batches —
+    the decode step itself is the documented capability gate."""
     return _longify(pmm.binary_meta(pmm.attach_binary(load(spark, sf_dir, "documents"))))
 
 
@@ -2693,6 +2737,7 @@ def queries():
         "bfs_depths": q_bfs_depths,
         "hits": q_hits,
         "degree_stats": q_degree_stats,
+        "anchor_texts": q_anchor_texts,
         "length_histogram": q_length_histogram,
         "source_entropy": q_source_entropy,
         "mad_stats": q_mad_stats,
@@ -2822,6 +2867,7 @@ def oracle_sql():
         "upsert": _upsert_oracle_sql(),
         "scd2": _scd2_oracle_sql(),
         "degree_stats": psearch.degree_stats_sql(),
+        "anchor_texts": psearch.anchor_texts_sql(),
         "length_histogram": pstats.length_histogram_sql(),
         "source_entropy": pstats.source_entropy_sql(),
         "mad_stats": pevents.mad_stats_sql(),

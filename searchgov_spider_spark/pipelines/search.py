@@ -810,3 +810,90 @@ def degree_stats_sql(table: str = "documents") -> str:
         FROM nodes n LEFT JOIN o USING (node) LEFT JOIN i USING (node)
         ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation
+# ---------------------------------------------------------------------------
+
+def anchor_texts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-target anchor-text rollup over the link graph — the classic
+    search-relevance signal the reference's link extraction feeds
+    (`search_gov_crawler/search_gov_spiders/spiders/domain_spider.py`
+    extracts <a href> links; the index side aggregates their anchor
+    strings per target). Anchor for edge (src, dst) is a deterministic
+    function of the src document (its first two lowercased tokens), so
+    the oracle reconstructs it exactly.
+
+    Output per target: in-link count, distinct-anchor count, and the
+    majority anchor with (count DESC, anchor ASC) tie-break.
+
+    Scale shape (100 TB): anchors are a narrow projection of the source
+    page; the rollup is one shuffle on dst shared by the ranking window
+    AND the final hash-agg (same partition key, no second exchange).
+    Popular targets (the hot-dst skew every web graph has) are handled by
+    AQE skew-split; nothing collects to the driver.
+    """
+    edges = synthetic_edges(docs)
+    anchors = docs.select(
+        F.col("doc_id").alias("src"),
+        F.lower(F.concat_ws(" ", F.slice(tokens_col(text_col), 1, 2))).alias("anchor"),
+    )
+    pairs = (
+        edges.join(anchors, "src")
+        .groupBy("dst", "anchor")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .groupBy("dst")
+        .agg(
+            F.sum("n").cast("long").alias("in_links"),
+            F.count("*").cast("long").alias("n_distinct_anchors"),
+            F.max(F.when(F.col("rk") == 1, F.col("anchor"))).alias("top_anchor"),
+            F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("long").alias("top_anchor_count"),
+        )
+        .select(
+            F.col("dst").alias("doc_id"),
+            "in_links",
+            "n_distinct_anchors",
+            "top_anchor",
+            "top_anchor_count",
+        )
+    )
+
+
+def anchor_texts_sql(table: str = "documents") -> str:
+    edge_selects = " UNION ALL ".join(
+        f"SELECT node AS src, (node * {a} + {bb}) % (SELECT n_int FROM nn) AS dst FROM nodes"
+        for a, bb in PR_EDGE_COEFFS
+    )
+    return f"""
+        WITH nodes AS (SELECT doc_id AS node FROM {table}),
+        nn AS (SELECT count(*)::BIGINT AS n_int FROM nodes),
+        edges AS ({edge_selects}),
+        anchors AS (
+          SELECT doc_id AS src,
+                 lower(array_to_string(({tokens_sql('text')})[1:2], ' ')) AS anchor
+          FROM {table}
+        ),
+        pairs AS (
+          SELECT dst, anchor, count(*) AS n
+          FROM edges JOIN anchors USING (src)
+          GROUP BY dst, anchor
+        ),
+        ranked AS (
+          SELECT dst, anchor, n,
+                 row_number() OVER (PARTITION BY dst ORDER BY n DESC, anchor) AS rk
+          FROM pairs
+        )
+        SELECT dst AS doc_id,
+               sum(n)::BIGINT AS in_links,
+               count(*)::BIGINT AS n_distinct_anchors,
+               max(CASE WHEN rk = 1 THEN anchor END) AS top_anchor,
+               max(CASE WHEN rk = 1 THEN n END)::BIGINT AS top_anchor_count
+        FROM ranked
+        GROUP BY dst
+        ORDER BY doc_id
+    """

@@ -278,3 +278,23 @@ def test_source_entropy_matches_python(spark):
     assert got["diverse"].vocab == 4
     assert got["diverse"].entropy == pytest.approx(math.log(4), abs=1e-9)
     assert got["diverse"].norm_entropy == pytest.approx(1.0, abs=1e-9)
+
+
+def test_anchor_texts_matches_python(docs_df):
+    from collections import Counter
+
+    n = len(DOCS)
+    anchors = {d: " ".join(_tokens(t)[:2]) for d, t in DOCS}
+    per_dst = {}
+    for a, b in psearch.PR_EDGE_COEFFS:
+        for src in range(n):
+            dst = (src * a + b) % n
+            per_dst.setdefault(dst, Counter())[anchors[src]] += 1
+    rows = {r.doc_id: r for r in psearch.anchor_texts(docs_df).collect()}
+    assert set(rows) == set(per_dst)
+    for dst, cnt in per_dst.items():
+        r = rows[dst]
+        assert r.in_links == sum(cnt.values())
+        assert r.n_distinct_anchors == len(cnt)
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r.top_anchor, r.top_anchor_count) == top
