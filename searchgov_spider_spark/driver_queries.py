@@ -1483,6 +1483,16 @@ def q_pack_chunks(spark, sf_dir):
     return _longify(ppack.pack_chunks(load(spark, sf_dir, "documents")))
 
 
+def q_pack_spans(spark, sf_dir):
+    """Interleaved multimodal packing: per-doc cost = text tokens +
+    fixed media token budget per media span, then the same shard-local
+    integer-exact placement as pack_chunks — over the derived
+    (doc_id, spans) interleaved shape."""
+    return _longify(
+        ppack.pack_spans(pspans.derive_spans(load(spark, sf_dir, "documents")))
+    )
+
+
 def q_chunk_stats(spark, sf_dir):
     """Per-shard packing summary (docs, tokens, chunks, fill fraction)."""
     return _longify(
@@ -2762,6 +2772,7 @@ def queries():
         "cdc_chunks": q_cdc_chunks,
         "top_keywords": q_top_keywords,
         "span_stats": q_span_stats,
+        "pack_spans": q_pack_spans,
         "multimodal_meta": q_multimodal_meta,
         "repetition_profile": q_repetition_profile,
         "segment_dedup": q_segment_dedup,
@@ -2834,6 +2845,7 @@ def oracle_sql():
         "decontaminate": pclean.decontaminate_sql(),
         "pii_scrub": pclean.pii_scrub_sql(_INJECT_PII_SQL),
         "pack_chunks": ppack.pack_chunks_sql(),
+        "pack_spans": ppack.pack_spans_sql(),
         "chunk_stats": ppack.chunk_stats_sql(),
         "corpus_prep": pprep.corpus_prep_sql(),
         "mixture_weights": psampling.mixture_weights_sql(_MIXTURE),

@@ -300,3 +300,112 @@ def cdc_chunks_sql(divisor: int = CDC_DIVISOR, table: str = "documents") -> str:
         FROM cd_c, unnest(generate_series(1, len(starts))) AS u(c)
         ORDER BY doc_id, chunk_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Interleaved (multimodal) sequence packing over the span model
+# ---------------------------------------------------------------------------
+
+MEDIA_BUDGET = 16  # tokens a media span occupies in the packed stream
+
+
+def pack_spans(
+    spanned: DataFrame,
+    capacity: int = CAPACITY,
+    n_shards: int = N_SHARDS,
+    media_budget: int = MEDIA_BUDGET,
+) -> DataFrame:
+    """Sequence packing for INTERLEAVED text+media documents (the
+    BASELINE input-hint shape): each document's cost in the packed token
+    stream is its text-token count plus ``media_budget`` tokens per media
+    span (the fixed per-image token count a vision encoder emits), and
+    placement is the same shard-local windowed prefix sum as
+    ``pack_chunks`` — multimodal batches pack exactly like text ones once
+    cost is defined, and a document's spans are never split across
+    shards so (kind, text, media_ref, order) stays intact per chunk
+    assembly.
+
+    Input: (doc_id, spans) rows (spans: array<struct<kind, text,
+    media_ref, offset>>). Output per doc: shard, n_text_tokens, n_media,
+    cost, start_off/end_off in the shard stream, first/last chunk ids —
+    all integer-exact (DIV, never float floor). Same doc_id-uniqueness
+    contract as pack_chunks.
+
+    Scale shape: per-row higher-order array projections (no UDF, no
+    explode), then ONE shuffle on the shard key for the prefix-sum
+    window. n_shards >= cluster parallelism keeps every executor packing
+    independently at 100 TB.
+    """
+    spans = F.col("spans")
+    texts = F.filter(spans, lambda s: s["kind"] == "text")
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] == "media"))
+    n_text_tokens = F.aggregate(
+        texts,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.size(tokens_col(s["text"])),
+    )
+    base = spanned.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long").alias("shard"),
+        n_text_tokens.alias("n_text_tokens"),
+        n_media.cast("long").alias("n_media"),
+        (n_text_tokens + n_media.cast("long") * media_budget).alias("cost"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("cost").over(w), F.lit(0))
+    placed = base.select(
+        "doc_id",
+        "shard",
+        "n_text_tokens",
+        "n_media",
+        "cost",
+        start.alias("start_off"),
+        (start + F.col("cost")).alias("end_off"),
+    )
+    return placed.select(
+        "*",
+        F.expr(f"start_off DIV {capacity}").alias("first_chunk"),
+        F.expr(
+            f"(start_off + greatest(cost, 1) - 1) DIV {capacity}"
+        ).alias("last_chunk"),
+    )
+
+
+def pack_spans_sql(
+    table: str = "documents",
+    capacity: int = CAPACITY,
+    n_shards: int = N_SHARDS,
+    media_budget: int = MEDIA_BUDGET,
+) -> str:
+    from .spans import derive_spans_sql_cte
+
+    return f"""
+        WITH {derive_spans_sql_cte(table)},
+        ps_c AS (
+          SELECT doc_id,
+                 doc_id % {n_shards} AS shard,
+                 list_reduce(list_prepend(0::BIGINT,
+                   list_transform(list_filter(spans, s -> s['kind'] = 'text'),
+                                  s -> len({tokens_sql("s['text']")})::BIGINT)),
+                   (a, b) -> a + b) AS n_text_tokens,
+                 len(list_filter(spans, s -> s['kind'] = 'media'))::BIGINT AS n_media
+          FROM sp
+        ), ps_s AS (
+          SELECT doc_id, shard, n_text_tokens, n_media,
+                 n_text_tokens + n_media * {media_budget} AS cost,
+                 coalesce(sum(n_text_tokens + n_media * {media_budget}) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+          FROM ps_c
+        )
+        SELECT doc_id, shard, n_text_tokens, n_media, cost, start_off,
+               start_off + cost AS end_off,
+               start_off // {capacity} AS first_chunk,
+               (start_off + greatest(cost, 1) - 1) // {capacity} AS last_chunk
+        FROM ps_s
+        ORDER BY doc_id
+    """

@@ -135,3 +135,41 @@ class TestCdcChunks:
         h0 = {r["chunk_hash"] for r in rows if r["doc_id"] == 0}
         h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
         assert h0 & h1
+
+
+def test_pack_spans_multimodal_costs(docs):
+    from searchgov_spider_spark.pipelines import spans as ps
+
+    out = {
+        r["doc_id"]: r
+        for r in pp.pack_spans(
+            ps.derive_spans(docs), capacity=16, n_shards=1, media_budget=16
+        ).collect()
+    }
+    # derive_spans: 1-based position p is media iff p % 7 == 3.
+    # token counts 5, 10, 3, 130 -> media counts 1, 2, 1, 19
+    def cost(n):
+        n_media = 0 if n < 3 else (n - 3) // 7 + 1
+        return n - n_media + 16 * n_media, n_media
+
+    offs = 0
+    for d, n in ((0, 5), (1, 10), (2, 3), (3, 130)):
+        c, m = cost(n)
+        r = out[d]
+        assert (r["n_media"], r["n_text_tokens"], r["cost"]) == (m, n - m, c)
+        assert (r["start_off"], r["end_off"]) == (offs, offs + c)
+        assert r["first_chunk"] == offs // 16
+        assert r["last_chunk"] == (offs + c - 1) // 16
+        offs += c
+
+
+def test_pack_spans_media_budget_zero_matches_text_only(docs):
+    from searchgov_spider_spark.pipelines import spans as ps
+
+    # with media_budget equal to 1, every span costs one token, so the
+    # placement must equal pack_chunks on the flat text
+    sp = pp.pack_spans(ps.derive_spans(docs), capacity=16, n_shards=1, media_budget=1)
+    flat = pp.pack_chunks(docs, capacity=16, n_shards=1)
+    got = {r["doc_id"]: (r["start_off"], r["end_off"], r["first_chunk"], r["last_chunk"]) for r in sp.collect()}
+    want = {r["doc_id"]: (r["start_off"], r["end_off"], r["first_chunk"], r["last_chunk"]) for r in flat.collect()}
+    assert got == want
