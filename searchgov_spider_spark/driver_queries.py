@@ -1703,6 +1703,13 @@ def q_span_stats(spark, sf_dir):
     return _longify(pspans.span_stats(pspans.derive_spans(load(spark, sf_dir, "documents"))))
 
 
+def q_media_captions(spark, sf_dir):
+    """(image, caption-context) pair mining from interleaved spans: per
+    media span, the neighboring text spans within a 3-position window on
+    each side — per-row array functions + one explode, no self-join."""
+    return _longify(pspans.media_captions(pspans.derive_spans(load(spark, sf_dir, "documents"))))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload columns + typed metadata
     extraction (magic-byte sniff, size, checksum) through Arrow batches —
@@ -2773,6 +2780,7 @@ def queries():
         "top_keywords": q_top_keywords,
         "span_stats": q_span_stats,
         "pack_spans": q_pack_spans,
+        "media_captions": q_media_captions,
         "multimodal_meta": q_multimodal_meta,
         "repetition_profile": q_repetition_profile,
         "segment_dedup": q_segment_dedup,
@@ -2906,6 +2914,7 @@ def oracle_sql():
         "top_keywords": pstats.top_keywords_sql(k=10),
         "spans_flatten": pspans.flatten_spans_sql(),
         "span_stats": pspans.span_stats_sql(),
+        "media_captions": pspans.media_captions_sql(),
         "multimodal_meta": pmm.attach_binary_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "sample_split": _sample_split_sql(),

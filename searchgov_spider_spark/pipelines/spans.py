@@ -173,3 +173,86 @@ def reassemble_text(spanned: DataFrame) -> DataFrame:
         "doc_id",
         F.array_join(F.transform(texts, lambda s: s["text"]), " ").alias("text"),
     )
+
+
+CAPTION_WINDOW = 3  # span positions of context on each side of a media span
+
+
+def media_captions(spanned: DataFrame, window: int = CAPTION_WINDOW) -> DataFrame:
+    """(image, caption-context) pair mining from interleaved documents —
+    the multimodal-training-data operator: for every media span, the text
+    spans within ``window`` positions before and after it, in order.
+    This is how image-text pair corpora are built from interleaved web
+    documents (alt-text/neighboring-sentence mining).
+
+    Output: (doc_id, media_ref, offset, caption_before, caption_after) —
+    one row per media span, captions are space-joined neighboring text
+    spans (empty string when none).
+
+    Scale shape: pure per-row higher-order array functions (no UDF) +
+    one explode whose output is proportional to the media-span count;
+    context never leaves the row, so there is no self-join on position —
+    the naive formulation — and no shuffle at all before any downstream
+    agg.
+    """
+    spans = F.col("spans")
+    n = F.size(spans)
+
+    def texts_in(seg):
+        return F.array_join(
+            F.transform(
+                F.filter(seg, lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+            " ",
+        )
+
+    def pair(p):
+        start_b = F.greatest(p - window, F.lit(1))
+        before = F.slice(spans, start_b, p - start_b)
+        after = F.slice(spans, p + 1, F.lit(window))
+        m = F.element_at(spans, p)
+        return F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["offset"].alias("offset"),
+            texts_in(before).alias("caption_before"),
+            texts_in(after).alias("caption_after"),
+        )
+
+    media_pos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(spans, i)["kind"] == "media",
+    )
+    rows = F.transform(media_pos, pair)
+    return spanned.select("doc_id", F.explode(rows).alias("m")).select(
+        "doc_id",
+        F.col("m.media_ref").alias("media_ref"),
+        F.col("m.offset").alias("offset"),
+        F.col("m.caption_before").alias("caption_before"),
+        F.col("m.caption_after").alias("caption_after"),
+    )
+
+
+def media_captions_sql(table: str = "documents", window: int = CAPTION_WINDOW) -> str:
+    return f"""
+        WITH {derive_spans_sql_cte(table)},
+        mc AS (
+          SELECT doc_id, spans,
+                 list_filter(generate_series(1, len(spans)),
+                             i -> spans[i]['kind'] = 'media') AS media_pos
+          FROM sp
+        )
+        SELECT doc_id,
+               spans[u.p]['media_ref'] AS media_ref,
+               spans[u.p]['offset'] AS "offset",
+               coalesce(array_to_string(list_transform(
+                 list_filter(list_slice(spans, greatest(u.p - {window}, 1), u.p - 1),
+                             s -> s['kind'] = 'text'),
+                 s -> s['text']), ' '), '') AS caption_before,
+               coalesce(array_to_string(list_transform(
+                 list_filter(list_slice(spans, u.p + 1, u.p + {window}),
+                             s -> s['kind'] = 'text'),
+                 s -> s['text']), ' '), '') AS caption_after
+        FROM mc, unnest(media_pos) AS u(p)
+        ORDER BY doc_id, "offset"
+    """

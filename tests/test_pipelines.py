@@ -251,6 +251,28 @@ class TestSpans:
         assert stats[0]["n_spans"] == len(toks0)
         assert len(stats[0]["media_refs"]) == n_media
 
+    def test_media_captions_windows(self, docs_df):
+        rows = pspans.media_captions(pspans.derive_spans(docs_df), window=3).collect()
+        by_key = {(r["doc_id"], r["offset"]): r for r in rows}
+        for doc_id, text, _ in DOCS:
+            toks = _tokens(text)
+            media_pos = [i for i in range(1, len(toks) + 1) if i % 7 == 3]
+            got_for_doc = [k for k in by_key if k[0] == doc_id]
+            assert len(got_for_doc) == len(media_pos)
+            for p in media_pos:
+                r = by_key[(doc_id, p - 1)]
+                # neighbors within 3 positions, text spans only (pos q is
+                # text iff q % 7 != 3), tokens are 1-based positions
+                before = [toks[q - 1] for q in range(max(1, p - 3), p) if q % 7 != 3]
+                after = [
+                    toks[q - 1]
+                    for q in range(p + 1, min(len(toks), p + 3) + 1)
+                    if q % 7 != 3
+                ]
+                assert r["caption_before"] == " ".join(before)
+                assert r["caption_after"] == " ".join(after)
+                assert r["media_ref"].endswith(f"/{p}.png")
+
 
 class TestMultimodal:
     def test_meta(self, docs_df):
