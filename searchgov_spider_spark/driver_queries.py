@@ -141,6 +141,22 @@ Q_FRONTIER_SCHEDULE_SQL = f"""
 """
 
 
+def q_drain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier drain plan per domain: pending count, depth span,
+    waves-to-drain under the politeness budget, ETA seconds at the
+    reference's 1 req/s/domain cap — one hash agg, all integer."""
+    from .operators.politeness import drain_report
+
+    frontier = _frontier_from_events(load(spark, sf_dir, "events"))
+    return _longify(drain_report(frontier, budget=4))
+
+
+def _drain_report_sql() -> str:
+    from .operators.politeness import drain_report_sql
+
+    return drain_report_sql(_FRONTIER_SQL_CTE, budget=4)
+
+
 def q_dedup_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: bloom pre-filter + exact left_anti dedup against the seen set
     (real operator; output is hash-free)."""
@@ -2727,6 +2743,7 @@ def queries():
         "sitemap_priority": q_sitemap_priority,
         "circuit_breaker": q_circuit_breaker,
         "redirect_resolve": q_redirect_resolve,
+        "drain_report": q_drain_report,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -2842,6 +2859,7 @@ def oracle_sql():
         "sitemap_priority": _SITEMAP_PRIORITY_SQL,
         "circuit_breaker": _circuit_breaker_sql(),
         "redirect_resolve": _redirect_resolve_sql(),
+        "drain_report": _drain_report_sql(),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

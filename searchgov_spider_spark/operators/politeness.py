@@ -164,3 +164,67 @@ def domain_circuit_breaker_sql(
         FROM agg
         ORDER BY domain
     """
+
+
+# --- frontier drain planning --------------------------------------------------
+
+DOWNLOAD_DELAY_S = 1  # reference politeness: 1 req/s/domain (settings.py:44-47)
+
+
+def drain_report(
+    frontier: DataFrame,
+    budget: int,
+    download_delay_s: int = DOWNLOAD_DELAY_S,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Crawl-capacity plan per domain: how long the pending frontier takes
+    to drain under the politeness budget.
+
+    Per domain: pending URL count, depth span, waves_to_drain =
+    ceil(pending / budget), and eta_seconds = pending * download_delay_s
+    (the reference's 1 req/s/domain cap makes drain time equal pending
+    seconds regardless of worker count). All-integer ceil-div — engine-
+    proof. This is the report a crawl operator reads to decide budget
+    reallocation across the 1,759-site fleet; at 10^10 URLs it is one
+    map-side-combinable hash agg whose output is bounded by domain
+    cardinality.
+    """
+    return (
+        frontier.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pending"),
+            F.min("depth").cast("long").alias("min_depth"),
+            F.max("depth").cast("long").alias("max_depth"),
+        )
+        .select(
+            "domain",
+            "pending",
+            "min_depth",
+            "max_depth",
+            F.expr(f"(pending + {budget - 1}) DIV {budget}").alias("waves_to_drain"),
+            (F.col("pending") * download_delay_s).alias("eta_seconds"),
+        )
+    )
+
+
+def drain_report_sql(
+    frontier_cte: str,
+    budget: int,
+    download_delay_s: int = DOWNLOAD_DELAY_S,
+) -> str:
+    """DuckDB twin over a CTE named ``f`` with (domain, depth)."""
+    return f"""
+        WITH {frontier_cte},
+        agg AS (
+          SELECT domain,
+                 count(*)::BIGINT AS pending,
+                 min(depth)::BIGINT AS min_depth,
+                 max(depth)::BIGINT AS max_depth
+          FROM f GROUP BY domain
+        )
+        SELECT domain, pending, min_depth, max_depth,
+               (pending + {budget - 1}) // {budget} AS waves_to_drain,
+               pending * {download_delay_s} AS eta_seconds
+        FROM agg
+        ORDER BY domain
+    """

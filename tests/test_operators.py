@@ -235,3 +235,17 @@ def test_delta_bloom_driver_path_equivalent(spark):
     assert a.spec == b.spec
     for s in range(spec.n_shards):
         assert (a.shards[s] == b.shards[s]).all()
+
+
+def test_drain_report_ceil_div_and_eta(spark):
+    from searchgov_spider_spark.operators.politeness import drain_report
+
+    rows = [("a.gov", d) for d in [0, 1, 2, 2, 3]] + [("b.gov", 1)]
+    frontier = spark.createDataFrame(rows, "domain string, depth long")
+    out = {r["domain"]: r for r in drain_report(frontier, budget=2).collect()}
+    a = out["a.gov"]
+    assert (a["pending"], a["min_depth"], a["max_depth"]) == (5, 0, 3)
+    assert a["waves_to_drain"] == 3  # ceil(5/2)
+    assert a["eta_seconds"] == 5  # 1 req/s politeness
+    b = out["b.gov"]
+    assert (b["pending"], b["waves_to_drain"], b["eta_seconds"]) == (1, 1, 1)
