@@ -1316,6 +1316,18 @@ def q_degree_stats(spark, sf_dir):
     return _longify(psearch.degree_stats(load(spark, sf_dir, "documents")))
 
 
+def q_host_links(spark, sf_dir):
+    """Host-graph rollup: per source host, out-edges, cross-host (offsite)
+    edges, offsite ratio in integer ppm — one hash agg, no joins."""
+    return _longify(psearch.host_links(load(spark, sf_dir, "documents")))
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-source tokenizer accounting: bytes/token and tokens/word in
+    integer ppm — the corpus-bytes -> token-budget conversion table."""
+    return _longify(pstats.tokenizer_fertility(load(spark, sf_dir, "documents")))
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-text aggregation per link target: in-link count, distinct
     anchors, majority anchor with deterministic tie-break — one shuffle
@@ -2772,6 +2784,8 @@ def queries():
         "hits": q_hits,
         "degree_stats": q_degree_stats,
         "anchor_texts": q_anchor_texts,
+        "host_links": q_host_links,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "length_histogram": q_length_histogram,
         "source_entropy": q_source_entropy,
         "mad_stats": q_mad_stats,
@@ -2906,6 +2920,8 @@ def oracle_sql():
         "scd2": _scd2_oracle_sql(),
         "degree_stats": psearch.degree_stats_sql(),
         "anchor_texts": psearch.anchor_texts_sql(),
+        "host_links": psearch.host_links_sql(),
+        "tokenizer_fertility": pstats.tokenizer_fertility_sql(),
         "length_histogram": pstats.length_histogram_sql(),
         "source_entropy": pstats.source_entropy_sql(),
         "mad_stats": pevents.mad_stats_sql(),

@@ -897,3 +897,70 @@ def anchor_texts_sql(table: str = "documents") -> str:
         GROUP BY dst
         ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Host-level link-graph rollup
+# ---------------------------------------------------------------------------
+
+N_HOSTS = 25  # same deterministic doc->host mapping as the crawl queries
+
+
+def host_links(docs: DataFrame, n_hosts: int = N_HOSTS) -> DataFrame:
+    """Host-graph rollup of the page-level link graph: per source host,
+    out-edge count, cross-host (offsite) edge count, and the offsite
+    ratio in integer ppm. This is the webgraph-compression step every
+    crawl scheduler runs — page-level edges collapse to a host graph
+    whose cardinality is the seed-list size (1,759 hosts for the
+    reference fleet), and the offsite ratio is the aggregate view of the
+    F1 offsite filter (operators/filters.py).
+
+    Scale shape: host ids are projections of doc_id (in a real crawl, of
+    the canonical URL's authority — a narrow column); the rollup is one
+    map-side-combinable hash agg onto |hosts| rows. No joins at all.
+    """
+    e = synthetic_edges(docs)
+    hosted = e.select(
+        F.concat(F.lit("d"), (F.col("src") % n_hosts).cast("string"), F.lit(".gov")).alias("src_host"),
+        ((F.col("src") % n_hosts) != (F.col("dst") % n_hosts)).cast("long").alias("is_cross"),
+    )
+    return (
+        hosted.groupBy("src_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_edges"),
+            F.sum("is_cross").cast("long").alias("cross_host_edges"),
+        )
+        .select(
+            "src_host",
+            "out_edges",
+            "cross_host_edges",
+            F.expr("cross_host_edges * 1000000 DIV out_edges").alias("cross_ppm"),
+        )
+    )
+
+
+def host_links_sql(table: str = "documents", n_hosts: int = N_HOSTS) -> str:
+    edge_selects = " UNION ALL ".join(
+        f"SELECT node AS src, (node * {a} + {bb}) % (SELECT n_int FROM nn) AS dst FROM nodes"
+        for a, bb in PR_EDGE_COEFFS
+    )
+    return f"""
+        WITH nodes AS (SELECT doc_id AS node FROM {table}),
+        nn AS (SELECT count(*)::BIGINT AS n_int FROM nodes),
+        edges AS ({edge_selects}),
+        hosted AS (
+          SELECT 'd' || (src % {n_hosts})::VARCHAR || '.gov' AS src_host,
+                 CASE WHEN src % {n_hosts} <> dst % {n_hosts} THEN 1 ELSE 0 END AS is_cross
+          FROM edges
+        ),
+        agg AS (
+          SELECT src_host,
+                 count(*)::BIGINT AS out_edges,
+                 sum(is_cross)::BIGINT AS cross_host_edges
+          FROM hosted GROUP BY src_host
+        )
+        SELECT src_host, out_edges, cross_host_edges,
+               cross_host_edges * 1000000 // out_edges AS cross_ppm
+        FROM agg
+        ORDER BY src_host
+    """

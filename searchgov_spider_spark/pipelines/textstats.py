@@ -719,3 +719,59 @@ def readability_sql(table: str = "documents") -> str:
         FROM c
         ORDER BY doc_id
     """
+
+
+def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer-budget accounting per source: corpus bytes per regex
+    (BPE-ish) token and regex tokens per whitespace word, both in integer
+    ppm — the numbers a pretraining-data planner uses to convert corpus
+    bytes into token budgets (and to spot sources whose tokenization is
+    pathologically expensive). One map-side-combinable hash agg onto
+    |sources| rows; all-integer output."""
+    text = F.col(text_col)
+    per_doc = docs.select(
+        "source",
+        F.octet_length(text).cast("long").alias("n_bytes"),
+        F.size(tokens_col(text)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(REGEX_TOKEN), 0)).cast("long").alias("re_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("re_tokens").alias("re_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_bytes",
+            "ws_tokens",
+            "re_tokens",
+            F.expr("n_bytes * 1000000 DIV re_tokens").alias("bytes_per_token_ppm"),
+            F.expr("re_tokens * 1000000 DIV ws_tokens").alias("fertility_ppm"),
+        )
+    )
+
+
+def tokenizer_fertility_sql(table: str = "documents") -> str:
+    return f"""
+        WITH tfd AS (
+          SELECT source,
+                 strlen(text)::BIGINT AS n_bytes,
+                 len({tokens_sql('text')})::BIGINT AS ws_tokens,
+                 len(regexp_extract_all(text, '{REGEX_TOKEN}'))::BIGINT AS re_tokens
+          FROM {table}
+        ),
+        agg AS (
+          SELECT source, count(*)::BIGINT AS n_docs, sum(n_bytes) AS n_bytes,
+                 sum(ws_tokens) AS ws_tokens, sum(re_tokens) AS re_tokens
+          FROM tfd GROUP BY source
+        )
+        SELECT source, n_docs, n_bytes, ws_tokens, re_tokens,
+               n_bytes * 1000000 // re_tokens AS bytes_per_token_ppm,
+               re_tokens * 1000000 // ws_tokens AS fertility_ppm
+        FROM agg
+        ORDER BY source
+    """

@@ -695,3 +695,21 @@ class TestQuantize:
             scale = ma / 127.0
             for x, q in zip(v, r["q"]):
                 assert abs(q * scale - x) <= scale / 2 + 1e-12
+
+
+def test_tokenizer_fertility_integer_ppm(spark):
+    from searchgov_spider_spark.pipelines import textstats as pstats
+    import re
+
+    rows = [(0, "aa bb-cc 12", "s1"), (1, "x", "s1"), (2, "hello, world", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in pstats.tokenizer_fertility(df).collect()}
+    for src in ("s1", "s2"):
+        docs = [(t) for _, t, s in rows if s == src]
+        n_bytes = sum(len(t.encode()) for t in docs)
+        ws = sum(len(t.strip().split()) for t in docs)
+        re_t = sum(len(re.findall(pstats.REGEX_TOKEN, t)) for t in docs)
+        r = got[src]
+        assert (r["n_docs"], r["n_bytes"], r["ws_tokens"], r["re_tokens"]) == (len(docs), n_bytes, ws, re_t)
+        assert r["bytes_per_token_ppm"] == n_bytes * 1_000_000 // re_t
+        assert r["fertility_ppm"] == re_t * 1_000_000 // ws

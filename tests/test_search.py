@@ -298,3 +298,26 @@ def test_anchor_texts_matches_python(docs_df):
         assert r.n_distinct_anchors == len(cnt)
         top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert (r.top_anchor, r.top_anchor_count) == top
+
+
+def test_host_links_offsite_ratio(docs_df):
+    from collections import Counter
+
+    n = len(DOCS)
+    n_hosts = 25
+    out_e = Counter()
+    cross_e = Counter()
+    for a, b in psearch.PR_EDGE_COEFFS:
+        for src in range(n):
+            dst = (src * a + b) % n
+            h = f"d{src % n_hosts}.gov"
+            out_e[h] += 1
+            if src % n_hosts != dst % n_hosts:
+                cross_e[h] += 1
+    rows = {r.src_host: r for r in psearch.host_links(docs_df).collect()}
+    assert set(rows) == set(out_e)
+    for h in out_e:
+        r = rows[h]
+        assert r.out_edges == out_e[h]
+        assert r.cross_host_edges == cross_e[h]
+        assert r.cross_ppm == cross_e[h] * 1_000_000 // out_e[h]
