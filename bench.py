@@ -131,6 +131,8 @@ HEADLINE_QUERIES = (
     "pricing_summary",
     "top_keywords",
     "spans_flatten",
+    "pack_spans",
+    "media_captions",
     "bm25_topk",
     "asof_join",
     "rollup_hypertable",

@@ -157,6 +157,46 @@ def _drain_report_sql() -> str:
     return drain_report_sql(_FRONTIER_SQL_CTE, budget=4)
 
 
+def q_adaptive_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 per-row-budget path: each domain's politeness budget derives
+    from its robots crawl-delay (budget = wave_seconds DIV delay, delay
+    1-5 s by domain index) and schedule_wave ranks under that column —
+    the code path a constant budget never exercises."""
+    frontier = _frontier_from_events(load(spark, sf_dir, "events"))
+    delay = F.pmod(F.regexp_extract("domain", r"d(\d+)\.gov", 1).cast("long"), F.lit(5)) + 1
+    budgeted = frontier.withColumn("budget", (F.lit(60) / delay).cast("long"))
+    scheduled, _ = schedule_wave(budgeted, budget="budget", salt_buckets=8)
+    return _longify(
+        scheduled.groupBy("domain")
+        .agg(
+            F.max("budget").alias("budget"),
+            F.count(F.lit(1)).cast("long").alias("n_scheduled"),
+            F.max("fetch_rank").cast("long").alias("max_rank"),
+        )
+    )
+
+
+_ADAPTIVE_BUDGET_SQL = f"""
+    WITH {_FRONTIER_SQL_CTE},
+    b AS (
+      SELECT *, 60 // ((regexp_extract(domain, 'd(\\d+)\\.gov', 1)::BIGINT % 5) + 1) AS budget
+      FROM f
+    ),
+    ranked AS (
+      SELECT domain, budget,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY priority, depth, discovery_idx, url) AS fetch_rank
+      FROM b
+    )
+    SELECT domain, max(budget) AS budget,
+           count(*)::BIGINT AS n_scheduled,
+           max(fetch_rank)::BIGINT AS max_rank
+    FROM ranked WHERE fetch_rank <= budget
+    GROUP BY domain
+    ORDER BY domain
+"""
+
+
 def q_dedup_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: bloom pre-filter + exact left_anti dedup against the seen set
     (real operator; output is hash-free)."""
@@ -2670,6 +2710,55 @@ def _circuit_breaker_sql() -> str:
     return domain_circuit_breaker_sql(_FETCH_LOG_SQL_CTE)
 
 
+_SOFT404_PAGES_SQL_CTE = """
+    pg AS (
+      SELECT 'd' || (user_id % 25)::VARCHAR || '.gov' AS domain,
+             'https://d' || (user_id % 25)::VARCHAR || '.gov/e/' || event_id::VARCHAR AS url,
+             CASE WHEN event_id % 10 = 0 THEN 404
+                  WHEN event_id % 10 = 1 THEN 500
+                  ELSE 200 END AS http_status,
+             CASE WHEN event_id % 17 = 0 THEN 'Sorry - this Page Not Found on our server'
+                  WHEN event_id % 23 = 0 THEN 'tiny stub'
+                  ELSE 'normal government content page with enough characters to pass the length threshold'
+             END AS text
+      FROM events
+    )
+"""
+
+
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection: HTTP-200 pages whose body is a not-found
+    phrase or near-empty — per-row regex+length projection, no shuffle;
+    synthetic page table injects both failure modes deterministically."""
+    from .operators.traps import soft404
+
+    events = load(spark, sf_dir, "events")
+    dom = F.concat(F.lit("d"), (F.col("user_id") % 25).cast("string"), F.lit(".gov"))
+    status = (
+        F.when(F.col("event_id") % 10 == 0, 404)
+        .when(F.col("event_id") % 10 == 1, 500)
+        .otherwise(200)
+    )
+    text = (
+        F.when(F.col("event_id") % 17 == 0, F.lit("Sorry - this Page Not Found on our server"))
+        .when(F.col("event_id") % 23 == 0, F.lit("tiny stub"))
+        .otherwise(F.lit("normal government content page with enough characters to pass the length threshold"))
+    )
+    pages = events.select(
+        dom.alias("domain"),
+        F.concat(F.lit("https://"), dom, F.lit("/e/"), F.col("event_id").cast("string")).alias("url"),
+        status.alias("http_status"),
+        text.alias("text"),
+    )
+    return _longify(soft404(pages))
+
+
+def _soft404_sql() -> str:
+    from .operators.traps import soft404_sql
+
+    return soft404_sql(_SOFT404_PAGES_SQL_CTE)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2756,6 +2845,8 @@ def queries():
         "circuit_breaker": q_circuit_breaker,
         "redirect_resolve": q_redirect_resolve,
         "drain_report": q_drain_report,
+        "soft404": q_soft404,
+        "adaptive_budget": q_adaptive_budget,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -2874,6 +2965,8 @@ def oracle_sql():
         "circuit_breaker": _circuit_breaker_sql(),
         "redirect_resolve": _redirect_resolve_sql(),
         "drain_report": _drain_report_sql(),
+        "soft404": _soft404_sql(),
+        "adaptive_budget": _ADAPTIVE_BUDGET_SQL,
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

@@ -240,3 +240,66 @@ def url_templates_sql(frontier_cte: str) -> str:
         FROM t GROUP BY domain, template
         ORDER BY domain, template
     """
+
+
+# --- soft-404 detection -------------------------------------------------------
+
+# lowercase match surface; applied to lower(text) on both engines so the
+# regex needs no engine-specific case-insensitivity flag
+SOFT404_PATTERNS = (
+    "(page not found|file not found|404 not found|no longer available"
+    "|document has moved|page cannot be found)"
+)
+SOFT404_MIN_CHARS = 40
+
+
+def soft404(
+    pages: DataFrame,
+    min_chars: int = SOFT404_MIN_CHARS,
+    domain_col: str = "domain",
+    url_col: str = "url",
+    status_col: str = "http_status",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft-404 detection: pages served with HTTP 200 whose body says
+    otherwise — a not-found phrase or a near-empty body. Crawlers that
+    index soft 404s pollute both the seen-set (the URL looks fetched) and
+    the search index (the reference's i14y sink would upload an error
+    page as a document); flagged rows feed the same deny path as
+    ``detect_traps``.
+
+    Per-row projection only (regex + length, whole-stage codegen): no
+    shuffle, no UDF — scale-free at 10^10 pages. Output keeps the
+    evidence columns so the operator is auditable: (domain, url,
+    http_status, n_chars, pattern_hit, too_small, is_soft404).
+    """
+    lower_text = F.lower(F.col(text_col))
+    pattern_hit = lower_text.rlike(SOFT404_PATTERNS)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    too_small = n_chars < min_chars
+    return pages.select(
+        F.col(domain_col).alias("domain"),
+        F.col(url_col).alias("url"),
+        F.col(status_col).cast("long").alias("http_status"),
+        n_chars.alias("n_chars"),
+        pattern_hit.alias("pattern_hit"),
+        too_small.alias("too_small"),
+        ((F.col(status_col) == 200) & (pattern_hit | too_small)).alias("is_soft404"),
+    )
+
+
+def soft404_sql(pages_cte: str, min_chars: int = SOFT404_MIN_CHARS) -> str:
+    """DuckDB twin over a CTE named ``pg`` with
+    (domain, url, http_status, text) columns."""
+    return f"""
+        WITH {pages_cte}
+        SELECT domain, url,
+               http_status::BIGINT AS http_status,
+               length(text)::BIGINT AS n_chars,
+               regexp_matches(lower(text), '{SOFT404_PATTERNS}') AS pattern_hit,
+               length(text) < {min_chars} AS too_small,
+               (http_status = 200 AND (regexp_matches(lower(text), '{SOFT404_PATTERNS}')
+                                       OR length(text) < {min_chars})) AS is_soft404
+        FROM pg
+        ORDER BY domain, url
+    """

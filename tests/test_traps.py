@@ -172,3 +172,22 @@ class TestRedirects:
         )
         out = resolve_redirects(requests, redirects, max_hops=2).collect()[0]
         assert out["final_url"] == "c" and out["n_hops"] == 2 and out["capped"]
+
+
+def test_soft404_flags(spark):
+    from searchgov_spider_spark.operators.traps import soft404
+
+    rows = [
+        ("a.gov", "u1", 200, "Sorry, this PAGE NOT FOUND here" + " x" * 20),
+        ("a.gov", "u2", 200, "y" * 10),  # too small
+        ("a.gov", "u3", 200, "perfectly healthy page content with plenty of characters here"),
+        ("a.gov", "u4", 404, "page not found"),  # real 404, not soft
+        ("a.gov", "u5", 200, "this document has moved somewhere else entirely my friend ok"),
+    ]
+    df = spark.createDataFrame(rows, "domain string, url string, http_status int, text string")
+    out = {r["url"]: r for r in soft404(df).collect()}
+    assert out["u1"]["is_soft404"] and out["u1"]["pattern_hit"]
+    assert out["u2"]["is_soft404"] and out["u2"]["too_small"] and not out["u2"]["pattern_hit"]
+    assert not out["u3"]["is_soft404"]
+    assert not out["u4"]["is_soft404"]  # 404 status is an honest 404
+    assert out["u5"]["is_soft404"] and out["u5"]["pattern_hit"]
