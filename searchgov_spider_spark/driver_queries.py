@@ -1362,6 +1362,13 @@ def q_host_links(spark, sf_dir):
     return _longify(psearch.host_links(load(spark, sf_dir, "documents")))
 
 
+def q_lang_mixture(spark, sf_dir):
+    """Per-language corpus composition (docs, tokens, share_ppm): the
+    data-mixture planning table — one scan, one hash-agg, broadcast
+    1-row total; integer-exact share."""
+    return _longify(pstats.lang_mixture(load(spark, sf_dir, "documents")))
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Per-source tokenizer accounting: bytes/token and tokens/word in
     integer ppm — the corpus-bytes -> token-budget conversion table."""
@@ -2877,6 +2884,7 @@ def queries():
         "anchor_texts": q_anchor_texts,
         "host_links": q_host_links,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "lang_mixture": q_lang_mixture,
         "length_histogram": q_length_histogram,
         "source_entropy": q_source_entropy,
         "mad_stats": q_mad_stats,
@@ -3015,6 +3023,7 @@ def oracle_sql():
         "anchor_texts": psearch.anchor_texts_sql(),
         "host_links": psearch.host_links_sql(),
         "tokenizer_fertility": pstats.tokenizer_fertility_sql(),
+        "lang_mixture": pstats.lang_mixture_sql(),
         "length_histogram": pstats.length_histogram_sql(),
         "source_entropy": pstats.source_entropy_sql(),
         "mad_stats": pevents.mad_stats_sql(),

@@ -775,3 +775,85 @@ def tokenizer_fertility_sql(table: str = "documents") -> str:
         FROM agg
         ORDER BY source
     """
+
+
+def lang_mixture(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus composition: document count, whitespace-token
+    count, and token share of the whole corpus in integer ppm — the
+    table a pretraining data-mixture planner reads before setting
+    per-language sampling weights (pipelines/sampling.mixture_weights).
+
+    Single scan: the language decision and the token count are computed
+    in one projection (no doc_id join), then one hash-agg onto
+    |languages| rows; the corpus total rides along as a broadcast 1-row
+    aggregate. Integer-exact output.
+    """
+    # The language decision is rebuilt inline (same fold as language_id)
+    # rather than joining language_id's output back on doc_id: the fused
+    # projection keeps this a one-scan zero-join plan.
+    toks = F.transform(tokens_col(F.col(text_col)), F.lower)
+    has_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0
+
+    def _contains(arr):
+        return lambda t: F.array_contains(arr, t)
+
+    pred = F.lit("und")
+    acc = F.lit(0)
+    for lang, markers in LANG_MARKERS:
+        arr = F.array(*[F.lit(m) for m in markers])
+        sc = F.size(F.filter(toks, _contains(arr)))
+        pred = F.when(sc > acc, F.lit(lang)).otherwise(pred)
+        acc = F.greatest(acc, sc)
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(pred)
+    per_doc = docs.select(
+        pred.alias("predicted_lang"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("ws_tokens"),
+    )
+    agg = per_doc.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").alias("ws_tokens"),
+    )
+    total = agg.agg(F.sum("ws_tokens").alias("total_tokens"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "predicted_lang",
+        "n_docs",
+        "ws_tokens",
+        F.expr("ws_tokens * 1000000 DIV total_tokens").alias("share_ppm"),
+    )
+
+
+def lang_mixture_sql(table: str = "documents") -> str:
+    score_exprs = []
+    for lang, markers in LANG_MARKERS:
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(list_transform(toks, x -> lower(x)), t -> list_contains([{lst}], t))) AS score_{lang}"
+        )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    pred = "'und'"
+    acc = "0"
+    for lang in langs:
+        pred = f"CASE WHEN score_{lang} > {acc} THEN '{lang}' ELSE {pred} END"
+        acc = f"greatest({acc}, score_{lang})"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, {tokens_sql('text')} AS toks FROM {table}
+        ), s AS (
+          SELECT doc_id, text, len(toks)::BIGINT AS ws_tokens,
+                 {', '.join(score_exprs)}
+          FROM t
+        ), p AS (
+          SELECT CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
+                      THEN 'zh' ELSE {pred} END AS predicted_lang,
+                 ws_tokens
+          FROM s
+        ), agg AS (
+          SELECT predicted_lang, count(*)::BIGINT AS n_docs,
+                 sum(ws_tokens)::BIGINT AS ws_tokens
+          FROM p GROUP BY predicted_lang
+        )
+        SELECT predicted_lang, n_docs, ws_tokens,
+               ws_tokens * 1000000 // (SELECT sum(ws_tokens) FROM agg) AS share_ppm
+        FROM agg
+        ORDER BY predicted_lang
+    """

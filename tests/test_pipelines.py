@@ -713,3 +713,21 @@ def test_tokenizer_fertility_integer_ppm(spark):
         assert (r["n_docs"], r["n_bytes"], r["ws_tokens"], r["re_tokens"]) == (len(docs), n_bytes, ws, re_t)
         assert r["bytes_per_token_ppm"] == n_bytes * 1_000_000 // re_t
         assert r["fertility_ppm"] == re_t * 1_000_000 // ws
+
+
+def test_lang_mixture_shares(spark):
+    from searchgov_spider_spark.pipelines import textstats as pstats
+
+    rows = [
+        (0, "the of and in is", "a"),      # en, 5 tokens
+        (1, "el la los de y que", "a"),    # es, 6 tokens
+        (2, "zz qq ww", "a"),              # und, 3 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["predicted_lang"]: r for r in pstats.lang_mixture(df).collect()}
+    total = 5 + 6 + 3
+    assert got["en"]["n_docs"] == 1 and got["en"]["ws_tokens"] == 5
+    assert got["es"]["ws_tokens"] == 6
+    assert got["und"]["ws_tokens"] == 3
+    for lang, n in (("en", 5), ("es", 6), ("und", 3)):
+        assert got[lang]["share_ppm"] == n * 1_000_000 // total
