@@ -1362,6 +1362,13 @@ def q_host_links(spark, sf_dir):
     return _longify(psearch.host_links(load(spark, sf_dir, "documents")))
 
 
+def q_dup_rate_report(spark, sf_dir):
+    """Per-source exact-duplicate rate in integer ppm: two map-side-
+    combinable hash-aggs, bounded |sources| output — the dedup-strategy
+    triage table."""
+    return _longify(pdedup.dup_rate_report(load(spark, sf_dir, "documents")))
+
+
 def q_lang_mixture(spark, sf_dir):
     """Per-language corpus composition (docs, tokens, share_ppm): the
     data-mixture planning table — one scan, one hash-agg, broadcast
@@ -2885,6 +2892,7 @@ def queries():
         "host_links": q_host_links,
         "tokenizer_fertility": q_tokenizer_fertility,
         "lang_mixture": q_lang_mixture,
+        "dup_rate_report": q_dup_rate_report,
         "length_histogram": q_length_histogram,
         "source_entropy": q_source_entropy,
         "mad_stats": q_mad_stats,
@@ -3024,6 +3032,7 @@ def oracle_sql():
         "host_links": psearch.host_links_sql(),
         "tokenizer_fertility": pstats.tokenizer_fertility_sql(),
         "lang_mixture": pstats.lang_mixture_sql(),
+        "dup_rate_report": pdedup.dup_rate_report_sql(),
         "length_histogram": pstats.length_histogram_sql(),
         "source_entropy": pstats.source_entropy_sql(),
         "mad_stats": pevents.mad_stats_sql(),

@@ -901,3 +901,49 @@ def containment_counts_sql(table: str = "documents") -> str:
         FROM sized JOIN counted USING (doc_id)
         ORDER BY doc_id
     """
+
+
+def dup_rate_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus-health report: exact-duplicate rate in integer
+    ppm. Two hash-aggs, both map-side combinable: (source, dup_key) ->
+    counts, then source -> (n_docs, n_unique, dup_ppm) where dup_ppm =
+    (n_docs - n_unique) * 10^6 DIV n_docs. The first-stop diagnosis a
+    corpus curator runs before choosing a dedup strategy per source —
+    bounded output (|sources| rows), no joins, scale-free."""
+    keyed = docs.select(
+        "source", F.md5(normalized_text_col(text_col)).alias("dup_key")
+    )
+    per_key = keyed.groupBy("source", "dup_key").agg(F.count("*").alias("n"))
+    return (
+        per_key.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.expr("(n_docs - n_unique) * 1000000 DIV n_docs").alias("dup_ppm"),
+        )
+    )
+
+
+def dup_rate_report_sql(table: str = "documents") -> str:
+    return f"""
+        WITH k AS (
+          SELECT source, md5({normalized_text_sql('text')}) AS dup_key
+          FROM {table}
+        ),
+        pk AS (
+          SELECT source, dup_key, count(*) AS n FROM k GROUP BY source, dup_key
+        ),
+        agg AS (
+          SELECT source, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_unique
+          FROM pk GROUP BY source
+        )
+        SELECT source, n_docs, n_unique,
+               (n_docs - n_unique) * 1000000 // n_docs AS dup_ppm
+        FROM agg
+        ORDER BY source
+    """

@@ -731,3 +731,20 @@ def test_lang_mixture_shares(spark):
     assert got["und"]["ws_tokens"] == 3
     for lang, n in (("en", 5), ("es", 6), ("und", 3)):
         assert got[lang]["share_ppm"] == n * 1_000_000 // total
+
+
+def test_dup_rate_report(spark):
+    from searchgov_spider_spark.pipelines import dedup as pdedup
+
+    rows = [
+        (0, "same text", "a"),
+        (1, "same text", "a"),
+        (2, "SAME   text", "a"),  # normalizes equal
+        (3, "unique one", "a"),
+        (4, "solo", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in pdedup.dup_rate_report(df).collect()}
+    assert (got["a"]["n_docs"], got["a"]["n_unique"]) == (4, 2)
+    assert got["a"]["dup_ppm"] == 2 * 1_000_000 // 4
+    assert (got["b"]["n_docs"], got["b"]["n_unique"], got["b"]["dup_ppm"]) == (1, 1, 0)
