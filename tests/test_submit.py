@@ -95,3 +95,38 @@ def test_spark_submit_crawl(tmp_path, spark):
     assert [w["scheduled"] for w in waves] == sim.scheduled_per_wave
     # per-wave state committed under --state-dir (resume surface)
     assert (Path(state) / "frontier").exists() and (Path(state) / "seen").exists()
+
+
+def test_driver_contract_integrity():
+    """Every queries() entry has an oracle, and the gate's 50-entry
+    window keeps one representative per operator family (the round-2
+    lesson: the driver checks dict order and may stop at 50)."""
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(qs) == set(oracles), "every query needs an oracle twin"
+    first50 = set(list(qs)[:50])
+    required = {
+        # crawl core
+        "frontier_schedule", "dedup_seen", "expire_recrawl", "sitemap_diff",
+        "url_canonicalize", "prefetch_filters", "robots_eval",
+        "content_type_route", "monitor_codes", "sitemap_resolve",
+        # extraction / interleaved / language
+        "i14y_docs", "spans_flatten", "lang_id",
+        # dedup + similarity families
+        "exact_dedup", "minhash_pairs", "simhash_near_dups", "ngram_jaccard",
+        "embedding_near_dups", "dup_clusters", "overlap_join", "containment",
+        "ivf_ann_exact",
+        # corpus prep chain + splits
+        "repetition_stats", "pack_chunks", "chunk_stats", "corpus_prep",
+        "sample_split", "leakage_split",
+        # temporal / search / events / warehouse
+        "asof_join", "range_join", "rollup_hypertable",
+        "inverted_index", "bm25_topk", "pagerank",
+        "funnel", "retention", "percentiles", "rolling_stats",
+        "upsert", "scd2", "profile_table",
+        # TPC-H analog + streaming
+        "pricing_summary", "stream_dedup", "stream_monitor",
+    }
+    missing = required - first50
+    assert not missing, f"family representatives fell out of the gate window: {missing}"
