@@ -1,0 +1,71 @@
+"""Plan-shape regression tests: the scale contracts the operators
+document (shuffle counts, no per-row Python) asserted on the actual
+physical plans, so a future edit cannot silently add an exchange to a
+shuffle-free operator."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def _n_shuffles(df) -> int:
+    # shuffle exchanges only; BroadcastExchange is deliberately allowed
+    return len(re.findall(r"(?<!Broadcast)Exchange", _plan(df)))
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [(i, "tok%d alpha beta gamma delta epsilon zeta eta" % i, "s") for i in range(8)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_media_captions_is_shuffle_free(docs_df):
+    from searchgov_spider_spark.pipelines import spans as ps
+
+    df = ps.media_captions(ps.derive_spans(docs_df))
+    assert _n_shuffles(df) == 0
+    assert "Python" not in _plan(df)  # no UDF in the hot path
+
+
+def test_derive_flat_spans_is_shuffle_free(docs_df):
+    from searchgov_spider_spark.pipelines import spans as ps
+
+    assert _n_shuffles(ps.derive_flat_spans(docs_df)) == 0
+
+
+def test_pack_spans_single_shard_shuffle(docs_df):
+    from searchgov_spider_spark.pipelines import packing as pp
+    from searchgov_spider_spark.pipelines import spans as ps
+
+    df = pp.pack_spans(ps.derive_spans(docs_df))
+    assert _n_shuffles(df) == 1  # exactly the shard-key window exchange
+
+
+def test_soft404_is_pure_projection(spark):
+    from searchgov_spider_spark.operators.traps import soft404
+
+    pages = spark.createDataFrame(
+        [("a.gov", "u", 200, "body")],
+        "domain string, url string, http_status int, text string",
+    )
+    df = soft404(pages)
+    assert _n_shuffles(df) == 0
+
+
+def test_tokenizer_fertility_single_agg_shuffle(docs_df):
+    from searchgov_spider_spark.pipelines import textstats as pstats
+
+    assert _n_shuffles(pstats.tokenizer_fertility(docs_df)) == 1
