@@ -69,3 +69,26 @@ def test_tokenizer_fertility_single_agg_shuffle(docs_df):
     from searchgov_spider_spark.pipelines import textstats as pstats
 
     assert _n_shuffles(pstats.tokenizer_fertility(docs_df)) == 1
+
+
+def test_hash_split_is_pure_projection(docs_df):
+    from searchgov_spider_spark.pipelines import sampling as psampling
+
+    assert _n_shuffles(psampling.hash_split(docs_df)) == 0
+
+
+def test_asof_join_single_shuffle(spark):
+    from searchgov_spider_spark.pipelines import temporal as pt
+
+    events = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "purchase", 1.0, "{}"),
+         (2, 1, "2024-01-01 00:00:01", "click", 1.0, "{}")],
+        "event_id long, user_id long, ts string, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert _n_shuffles(pt.asof_join(events)) == 1
+
+
+def test_exact_dedup_single_agg_shuffle(docs_df):
+    from searchgov_spider_spark.pipelines import dedup as pd
+
+    assert _n_shuffles(pd.exact_dup_groups(docs_df)) == 1
