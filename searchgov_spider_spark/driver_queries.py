@@ -1785,6 +1785,13 @@ def q_span_stats(spark, sf_dir):
     return _longify(pspans.span_stats(pspans.derive_spans(load(spark, sf_dir, "documents"))))
 
 
+def q_interleave_profile(spark, sf_dir):
+    """Per-document span-kind transition counts + longest text run — the
+    interleaving-structure metric; one pass of higher-order array fns,
+    no explode, no shuffle, all-integer output."""
+    return _longify(pspans.interleave_profile(pspans.derive_spans(load(spark, sf_dir, "documents"))))
+
+
 def q_media_captions(spark, sf_dir):
     """(image, caption-context) pair mining from interleaved spans: per
     media span, the neighboring text spans within a 3-position window on
@@ -2919,6 +2926,7 @@ def queries():
         "span_stats": q_span_stats,
         "pack_spans": q_pack_spans,
         "media_captions": q_media_captions,
+        "interleave_profile": q_interleave_profile,
         "multimodal_meta": q_multimodal_meta,
         "repetition_profile": q_repetition_profile,
         "segment_dedup": q_segment_dedup,
@@ -3060,6 +3068,7 @@ def oracle_sql():
         "spans_flatten": pspans.flatten_spans_sql(),
         "span_stats": pspans.span_stats_sql(),
         "media_captions": pspans.media_captions_sql(),
+        "interleave_profile": pspans.interleave_profile_sql(),
         "multimodal_meta": pmm.attach_binary_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "sample_split": _sample_split_sql(),

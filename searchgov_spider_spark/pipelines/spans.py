@@ -256,3 +256,94 @@ def media_captions_sql(table: str = "documents", window: int = CAPTION_WINDOW) -
         FROM mc, unnest(media_pos) AS u(p)
         ORDER BY doc_id, "offset"
     """
+
+
+def interleave_profile(spanned: DataFrame) -> DataFrame:
+    """Per-document interleaving structure: counts of adjacent span-kind
+    transitions (text->text, text->media, media->text, media->media) plus
+    the longest text run — how tightly media interleaves with text, the
+    statistic that drives the media token budget in ``packing.pack_spans``
+    and caption-window sizing in ``media_captions``.
+
+    Pure per-row higher-order array functions (one pass over the spans
+    array, no explode, no shuffle); all-integer output.
+    """
+    spans = F.col("spans")
+    n = F.size(spans)
+
+    def trans_count(a: str, b: str):
+        # guard n >= 2: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+        # empty like DuckDB's generate_series — unguarded it would probe
+        # element_at(spans, 2) on a 1-span doc
+        return (
+            F.when(
+                n >= 2,
+                F.size(
+                    F.filter(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: (F.element_at(spans, i)["kind"] == a)
+                        & (F.element_at(spans, i + 1)["kind"] == b),
+                    )
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    # longest text run = max gap between consecutive media positions
+    # (with virtual media sentinels at 0 and n+1): pure integer zip_with
+    # over the media-position array, no fold state
+    mpos = F.concat(
+        F.array(F.lit(0)),
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.element_at(spans, i)["kind"] == "media",
+        ),
+        F.array(n + 1),
+    )
+    gaps = F.zip_with(
+        F.slice(mpos, 1, F.size(mpos) - 1),
+        F.slice(mpos, 2, F.size(mpos) - 1),
+        lambda a, b: b - a - 1,
+    )
+    longest = F.array_max(gaps).cast("long")
+    return spanned.select(
+        "doc_id",
+        n.cast("long").alias("n_spans"),
+        trans_count("text", "text").alias("tt"),
+        trans_count("text", "media").alias("tm"),
+        trans_count("media", "text").alias("mt"),
+        trans_count("media", "media").alias("mm"),
+        longest.alias("longest_text_run"),
+    )
+
+
+def interleave_profile_sql(table: str = "documents") -> str:
+    def trans(a: str, b: str) -> str:
+        return (
+            f"len(list_filter(generate_series(1, len(spans) - 1), "
+            f"i -> spans[i]['kind'] = '{a}' AND spans[i + 1]['kind'] = '{b}'))::BIGINT"
+        )
+
+    return f"""
+        WITH {derive_spans_sql_cte(table)}
+        SELECT doc_id,
+               len(spans)::BIGINT AS n_spans,
+               {trans('text', 'text')} AS tt,
+               {trans('text', 'media')} AS tm,
+               {trans('media', 'text')} AS mt,
+               {trans('media', 'media')} AS mm,
+               (SELECT max(b - a - 1) FROM (
+                  SELECT unnest(list_slice(mpos, 1, len(mpos) - 1)) AS a,
+                         unnest(list_slice(mpos, 2, len(mpos))) AS b
+               ))::BIGINT AS longest_text_run
+        FROM (
+          SELECT doc_id, spans,
+                 list_concat(list_concat([0],
+                   list_filter(generate_series(1, len(spans)),
+                               i -> spans[i]['kind'] = 'media')),
+                   [len(spans) + 1]) AS mpos
+          FROM sp
+        )
+        ORDER BY doc_id
+    """

@@ -273,6 +273,23 @@ class TestSpans:
                 assert r["caption_after"] == " ".join(after)
                 assert r["media_ref"].endswith(f"/{p}.png")
 
+    def test_interleave_profile(self, docs_df):
+        rows = {r["doc_id"]: r for r in pspans.interleave_profile(pspans.derive_spans(docs_df)).collect()}
+        for doc_id, text, _ in DOCS:
+            toks = _tokens(text)
+            kinds = ["media" if p % 7 == 3 else "text" for p in range(1, len(toks) + 1)]
+            r = rows[doc_id]
+            assert r["n_spans"] == len(kinds)
+            for a, b, col in (("text", "text", "tt"), ("text", "media", "tm"),
+                              ("media", "text", "mt"), ("media", "media", "mm")):
+                want = sum(1 for i in range(len(kinds) - 1) if kinds[i] == a and kinds[i + 1] == b)
+                assert r[col] == want, (doc_id, col)
+            runs, cur = [0], 0
+            for k in kinds:
+                cur = cur + 1 if k == "text" else 0
+                runs.append(cur)
+            assert r["longest_text_run"] == max(runs)
+
 
 class TestMultimodal:
     def test_meta(self, docs_df):
