@@ -219,10 +219,16 @@ def media_captions(spanned: DataFrame, window: int = CAPTION_WINDOW) -> DataFram
             texts_in(after).alias("caption_after"),
         )
 
-    media_pos = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: F.element_at(spans, i)["kind"] == "media",
-    )
+    # guard n >= 1: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+    # like DuckDB's generate_series — a real spans table may hold empty
+    # arrays (derived spans never do: tokens_col('') -> [''])
+    media_pos = F.when(
+        n >= 1,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.element_at(spans, i)["kind"] == "media",
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     rows = F.transform(media_pos, pair)
     return spanned.select("doc_id", F.explode(rows).alias("m")).select(
         "doc_id",
@@ -295,10 +301,13 @@ def interleave_profile(spanned: DataFrame) -> DataFrame:
     # over the media-position array, no fold state
     mpos = F.concat(
         F.array(F.lit(0)),
-        F.filter(
-            F.sequence(F.lit(1), n),
-            lambda i: F.element_at(spans, i)["kind"] == "media",
-        ),
+        F.when(
+            n >= 1,
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: F.element_at(spans, i)["kind"] == "media",
+            ),
+        ).otherwise(F.array().cast("array<int>")),
         F.array(n + 1),
     )
     gaps = F.zip_with(

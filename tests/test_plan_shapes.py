@@ -92,3 +92,20 @@ def test_exact_dedup_single_agg_shuffle(docs_df):
     from searchgov_spider_spark.pipelines import dedup as pd
 
     assert _n_shuffles(pd.exact_dup_groups(docs_df)) == 1
+
+
+def test_span_ops_tolerate_empty_spans(spark):
+    # Spark's sequence(1, 0) is descending [1, 0] (DuckDB's is empty);
+    # the span operators guard it so real spans tables may hold []
+    from searchgov_spider_spark.pipelines import spans as ps
+
+    df = spark.createDataFrame(
+        [(0, []), (1, [("text", "hi", None, 0)]), (2, [("media", None, "m.png", 0)])],
+        f"doc_id long, spans {ps.SPAN_SCHEMA}",
+    )
+    caps = ps.media_captions(df).collect()
+    assert [(r["doc_id"], r["media_ref"]) for r in caps] == [(2, "m.png")]
+    prof = {r["doc_id"]: r for r in ps.interleave_profile(df).collect()}
+    assert prof[0]["n_spans"] == 0 and prof[0]["longest_text_run"] == 0
+    assert prof[1]["longest_text_run"] == 1
+    assert prof[2]["longest_text_run"] == 0
