@@ -1799,6 +1799,26 @@ def q_media_captions(spark, sf_dir):
     return _longify(pspans.media_captions(pspans.derive_spans(load(spark, sf_dir, "documents"))))
 
 
+def q_truncate_spans(spark, sf_dir):
+    """Token-budget truncation preserving span boundaries: keep the
+    longest span prefix whose cumulative token cost (text = token count,
+    media = fixed vision-token cost) fits the budget. Zero-shuffle O(n)
+    fold per row; output is the kept prefix flattened, so the oracle pins
+    both the budget arithmetic AND (kind, text, media_ref, order)
+    preservation."""
+    return _longify(
+        pspans.truncate_spans(pspans.derive_spans(load(spark, sf_dir, "documents")))
+    )
+
+
+def q_media_dedup(spark, sf_dir):
+    """Media-blob dedup manifest over the interleaved corpus: group media
+    refs by content hash, canonical ref = lexicographic min, plus
+    ref/doc/distinct-ref counts — one hash-agg shuffle; the rewrite side
+    (rewrite_media_refs) is pinned by the round-trip pytest."""
+    return pspans.dedup_media(pspans.derived_media(load(spark, sf_dir, "documents")))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload columns + typed metadata
     extraction (magic-byte sniff, size, checksum) through Arrow batches —
@@ -2927,6 +2947,8 @@ def queries():
         "pack_spans": q_pack_spans,
         "media_captions": q_media_captions,
         "interleave_profile": q_interleave_profile,
+        "truncate_spans": q_truncate_spans,
+        "media_dedup": q_media_dedup,
         "multimodal_meta": q_multimodal_meta,
         "repetition_profile": q_repetition_profile,
         "segment_dedup": q_segment_dedup,
@@ -3069,6 +3091,8 @@ def oracle_sql():
         "span_stats": pspans.span_stats_sql(),
         "media_captions": pspans.media_captions_sql(),
         "interleave_profile": pspans.interleave_profile_sql(),
+        "truncate_spans": pspans.truncate_spans_sql(),
+        "media_dedup": pspans.dedup_media_sql(),
         "multimodal_meta": pmm.attach_binary_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "sample_split": _sample_split_sql(),

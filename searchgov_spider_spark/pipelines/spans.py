@@ -327,6 +327,182 @@ def interleave_profile(spanned: DataFrame) -> DataFrame:
     )
 
 
+MEDIA_TOKEN_COST = 4  # token-budget cost of one media span (vision-token analog)
+TRUNCATE_BUDGET = 24  # default per-document token budget for truncation
+
+
+def truncate_spans(
+    spanned: DataFrame, budget: int = TRUNCATE_BUDGET, media_cost: int = MEDIA_TOKEN_COST
+) -> DataFrame:
+    """Per-document token-budget truncation that PRESERVES span boundaries:
+    keep the longest span prefix whose cumulative token cost fits the
+    budget (text span = its whitespace token count, media span = a fixed
+    vision-token cost). This is the context-window fitting step of an
+    interleaved multimodal training pipeline — a document is never cut
+    mid-span, so the (kind, text, media_ref, order) invariant survives.
+
+    Output: the KEPT prefix flattened to rows (doc_id, pos, kind, text,
+    media_ref, offset) — directly comparable against the oracle and
+    against ``flatten_spans`` of the untruncated input.
+
+    Scale shape: a single O(n) fold per row (``F.aggregate`` with a
+    (total, kept, kept_tokens) accumulator — costs are strictly positive
+    so the running total is monotone and the prefix decision is local),
+    then one explode proportional to the kept output. No shuffle at all;
+    the naive formulation (explode -> per-doc window cumsum -> filter)
+    pays a full shuffle on doc_id that this avoids.
+    """
+    spans = F.col("spans")
+
+    def cost(s):
+        return (
+            F.when(s["kind"] == "media", F.lit(media_cost))
+            .otherwise(F.size(F.split(F.trim(s["text"]), r"\s+")))
+            .cast("long")
+        )
+
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("tot"),
+        F.lit(0).cast("int").alias("k"),
+        F.lit(0).cast("long").alias("kept_tokens"),
+    )
+
+    def step(acc, s):
+        new_tot = acc["tot"] + cost(s)
+        fits = new_tot <= budget
+        return F.struct(
+            new_tot.alias("tot"),
+            F.when(fits, acc["k"] + 1).otherwise(acc["k"]).alias("k"),
+            F.when(fits, new_tot).otherwise(acc["kept_tokens"]).alias("kept_tokens"),
+        )
+
+    agg = F.aggregate(spans, acc0, step)
+    kept = spanned.select(
+        "doc_id", F.slice(spans, 1, agg["k"]).alias("spans")
+    )
+    return flatten_spans(kept)
+
+
+def truncate_spans_sql(
+    table: str = "documents", budget: int = TRUNCATE_BUDGET, media_cost: int = MEDIA_TOKEN_COST
+) -> str:
+    return f"""
+        WITH {derive_spans_sql_cte(table)},
+        flat AS (
+          SELECT doc_id, u.pos - 1 AS pos, u.s AS s,
+                 CASE WHEN u.s['kind'] = 'media' THEN {media_cost}
+                      ELSE len(regexp_split_to_array(trim(u.s['text']), '\\s+')) END AS cost
+          FROM sp, (SELECT unnest(spans) AS s, generate_subscripts(spans, 1) AS pos) u
+        )
+        SELECT doc_id, pos, s['kind'] AS kind, s['text'] AS text,
+               s['media_ref'] AS media_ref, s['offset'] AS "offset"
+        FROM (
+          SELECT *, sum(cost) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+          FROM flat
+        )
+        WHERE cum <= {budget}
+        ORDER BY doc_id, pos
+    """
+
+
+def derived_media(docs: DataFrame) -> DataFrame:
+    """Flat media-span table (doc_id, media_ref, offset, content_hash)
+    from the derived interleaved shape. The content hash is a
+    deterministic stand-in for hashing the fetched blob bytes (the real
+    path is ``multimodal.media_meta`` over binary columns): blobs at the
+    same token position hash identically, so the SAME logical image is
+    referenced from many documents under different refs — exactly the
+    situation media dedup exists for (CDN mirrors, resized copies with
+    shared origin, repeated site chrome)."""
+    flat = derive_flat_spans(docs).filter(F.col("kind") == "media")
+    return flat.select(
+        "doc_id",
+        "media_ref",
+        "offset",
+        F.md5((F.col("offset") + 1).cast("string")).alias("content_hash"),
+    )
+
+
+def dedup_media(media: DataFrame) -> DataFrame:
+    """Media-blob dedup across the corpus: group media references by
+    content hash; the canonical ref is the lexicographic minimum (stable,
+    engine-independent). Output per blob: (content_hash, canonical_ref,
+    ref_count, n_docs, n_refs) — the blob store's reference-count
+    manifest.
+
+    Scale shape: ONE hash aggregation on content_hash with map-side
+    partial aggregation; count(distinct) columns rewrite to the standard
+    two-level expand+agg, still a single shuffle family. At 100 TB the
+    blob table is re-partitioned by content_hash anyway for the store
+    layout, so this agg co-locates with the write."""
+    return (
+        media.groupBy("content_hash")
+        .agg(
+            F.min("media_ref").alias("canonical_ref"),
+            F.count(F.lit(1)).cast("long").alias("ref_count"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.countDistinct("media_ref").cast("long").alias("n_refs"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+def dedup_media_sql(table: str = "documents") -> str:
+    return f"""
+        WITH {derive_spans_sql_cte(table)},
+        media AS (
+          SELECT doc_id, u.s['media_ref'] AS media_ref,
+                 md5((u.s['offset'] + 1)::VARCHAR) AS content_hash
+          FROM sp, (SELECT unnest(spans) AS s) u
+          WHERE u.s['kind'] = 'media'
+        )
+        SELECT content_hash,
+               min(media_ref) AS canonical_ref,
+               count(*)::BIGINT AS ref_count,
+               count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(DISTINCT media_ref)::BIGINT AS n_refs
+        FROM media
+        GROUP BY content_hash
+        ORDER BY content_hash
+    """
+
+
+def rewrite_media_refs(spanned: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite every media span's ref to its canonical blob ref, keeping
+    the span sequence byte-identical otherwise (kind, text, order all
+    preserved — verified by the round-trip test).
+
+    ``mapping`` is (media_ref, canonical_ref), e.g. exploded from
+    ``dedup_media``. Scale shape: explode -> equi-join on media_ref
+    (broadcast when the mapping is small; at blob-store scale both sides
+    hash-partition on media_ref) -> re-assemble with an order-restoring
+    sort_array on the captured position. One join + one aggregation; the
+    text spans ride through with null join keys (left join keeps them)."""
+    flat = spanned.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+    joined = flat.join(
+        mapping.select(
+            F.col("media_ref").alias("_mr"), F.col("canonical_ref").alias("_canon")
+        ),
+        flat["s"]["media_ref"] == F.col("_mr"),
+        "left",
+    )
+    new_span = F.struct(
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.when(
+            (F.col("s.kind") == "media") & F.col("_canon").isNotNull(), F.col("_canon")
+        ).otherwise(F.col("s.media_ref")).alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    return (
+        joined.select("doc_id", F.struct(F.col("pos"), new_span.alias("s")).alias("ps"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("ps")).alias("pss"))
+        .select("doc_id", F.transform(F.col("pss"), lambda x: x["s"]).alias("spans"))
+    )
+
+
 def interleave_profile_sql(table: str = "documents") -> str:
     def trans(a: str, b: str) -> str:
         return (

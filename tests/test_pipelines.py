@@ -290,6 +290,79 @@ class TestSpans:
                 runs.append(cur)
             assert r["longest_text_run"] == max(runs)
 
+    def test_truncate_spans_prefix_and_budget(self, docs_df):
+        budget, media_cost = 8, 4
+        kept = pspans.truncate_spans(
+            pspans.derive_spans(docs_df), budget=budget, media_cost=media_cost
+        ).collect()
+        by_doc = {}
+        for r in kept:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        flat = pspans.flatten_spans(pspans.derive_spans(docs_df)).collect()
+        full = {}
+        for r in flat:
+            full.setdefault(r["doc_id"], []).append(r)
+        for doc_id, rows in full.items():
+            rows.sort(key=lambda r: r["pos"])
+            cum, want = 0, []
+            for r in rows:
+                cost = media_cost if r["kind"] == "media" else len(r["text"].split()) or 1
+                if cum + cost > budget:
+                    break
+                cum += cost
+                want.append((r["pos"], r["kind"], r["text"], r["media_ref"], r["offset"]))
+            got = sorted(
+                (r["pos"], r["kind"], r["text"], r["media_ref"], r["offset"])
+                for r in by_doc.get(doc_id, [])
+            )
+            assert got == want, doc_id
+
+    def test_truncate_spans_empty_and_oversized(self, spark):
+        spanned = spark.createDataFrame(
+            [(1, []), (2, [("media", None, "m.png", 0)])],
+            f"doc_id long, spans {pspans.SPAN_SCHEMA}",
+        )
+        # budget below the single media span's cost -> nothing kept
+        assert pspans.truncate_spans(spanned, budget=2, media_cost=4).count() == 0
+
+    def test_media_dedup_refcounts(self, docs_df):
+        blobs = {r["content_hash"]: r for r in pspans.dedup_media(pspans.derived_media(docs_df)).collect()}
+        # position p (1-based, p % 7 == 3) is a media span; blob identity is
+        # the position, so n_docs = #docs with >= p tokens
+        pos_docs = {}
+        for doc_id, text, _ in DOCS:
+            for p in range(1, len(_tokens(text)) + 1):
+                if p % 7 == 3:
+                    pos_docs.setdefault(p, []).append(doc_id)
+        assert len(blobs) == len(pos_docs)
+        for p, docs in pos_docs.items():
+            h = hashlib.md5(str(p).encode()).hexdigest()
+            r = blobs[h]
+            assert r["ref_count"] == len(docs) == r["n_docs"] == r["n_refs"]
+            assert r["canonical_ref"] == min(
+                f"https://cdn.example.gov/{d}/{p}.png" for d in docs
+            )
+
+    def test_rewrite_media_refs_roundtrip(self, docs_df):
+        spanned = pspans.derive_spans(docs_df)
+        blobs = pspans.dedup_media(pspans.derived_media(docs_df))
+        mapping = pspans.derived_media(docs_df).select("media_ref", "content_hash").join(
+            blobs.select("content_hash", "canonical_ref"), "content_hash"
+        ).select("media_ref", "canonical_ref")
+        rewritten = {r["doc_id"]: r["spans"] for r in pspans.rewrite_media_refs(spanned, mapping).collect()}
+        original = {r["doc_id"]: r["spans"] for r in spanned.collect()}
+        canon = {r["media_ref"]: r["canonical_ref"] for r in mapping.collect()}
+        assert rewritten.keys() == original.keys()
+        for doc_id, spans in original.items():
+            got = rewritten[doc_id]
+            assert len(got) == len(spans)
+            for o, g in zip(spans, got):
+                assert (g["kind"], g["text"], g["offset"]) == (o["kind"], o["text"], o["offset"])
+                if o["kind"] == "media":
+                    assert g["media_ref"] == canon[o["media_ref"]]
+                else:
+                    assert g["media_ref"] is None
+
 
 class TestMultimodal:
     def test_meta(self, docs_df):
