@@ -2800,6 +2800,128 @@ def _soft404_sql() -> str:
     return soft404_sql(_SOFT404_PAGES_SQL_CTE)
 
 
+def _mirror_pages(docs: DataFrame) -> DataFrame:
+    """(host, fp) page table with a deterministic partial mirror: every
+    doc lives on host d{doc_id%25}.gov (the repo-wide host mapping), and
+    docs with doc_id%3 != 0 are additionally served from mirror host
+    m{doc_id%25}.gov — so each (d_k, m_k) pair shares ~2/3 of its
+    fingerprints (the synthetic corpus is duplicate-free, so mirror
+    signal must be injected; mirrored in the oracle like _inject_typos)."""
+    fps = pstats.fingerprints(docs).select("doc_id", F.col("content_md5").alias("fp"))
+    host = lambda p: F.concat(  # noqa: E731
+        F.lit(p), (F.col("doc_id") % 25).cast("string"), F.lit(".gov")
+    )
+    base = fps.select(host("d").alias("host"), "fp")
+    mirror = fps.filter(F.col("doc_id") % 3 != 0).select(host("m").alias("host"), "fp")
+    return base.unionByName(mirror)
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection: host pairs with fingerprint-set Jaccard
+    >= 0.5 (integer ppm) via an fp-inverted index with a df-cut on hot
+    fingerprints — host-level crawl dedup (Broder resemblance), never
+    |hosts|^2."""
+    return _longify(
+        psearch.mirror_hosts(_mirror_pages(load(spark, sf_dir, "documents")))
+    )
+
+
+_MIRROR_PAGES_SQL = """
+    WITH fps AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    )
+    SELECT 'd' || (doc_id % 25)::VARCHAR || '.gov' AS host, fp FROM fps
+    UNION ALL
+    SELECT 'm' || (doc_id % 25)::VARCHAR || '.gov' AS host, fp FROM fps
+    WHERE doc_id % 3 <> 0
+"""
+
+
+def _mirror_hosts_sql() -> str:
+    return psearch.mirror_hosts_sql(_MIRROR_PAGES_SQL)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (Iceberg/Delta binPack analog):
+    next-fit grouping of a file manifest into ~target-byte rewrite
+    groups via a prefix-sum window + integer DIV — manifest synthesized
+    as one file per (source, doc_id%8 bucket)."""
+    from .pipelines.warehouse import compaction_plan
+
+    docs = load(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        F.col("source").alias("part_key"),
+        (F.col("doc_id") % 8).cast("long").alias("file_id"),
+    ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+    return _longify(compaction_plan(files, target_bytes=2000))
+
+
+def _compaction_plan_sql() -> str:
+    from .pipelines.warehouse import compaction_plan_sql
+
+    return compaction_plan_sql(
+        "SELECT source AS part_key, (doc_id % 8) AS file_id,"
+        " sum(n_chars)::BIGINT AS bytes FROM documents GROUP BY 1, 2",
+        target_bytes=2000,
+    )
+
+
+def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping: per-file min/max envelopes + range-
+    predicate pruning (stat=n_chars in [100,200]) over TWO layouts of
+    the same rows — 'scattered' (file = doc_id%20) vs 'clustered'
+    (file = sort-rank DIV 25, i.e. the post-sort-rewrite layout) — the
+    metadata-only scan-savings measurement behind zorder_key. The
+    global row_number only ranks the synthetic manifest; at scale the
+    clustered layout is what the sort rewrite produced on disk."""
+    from pyspark.sql import Window
+
+    from .pipelines.warehouse import prune_files, zone_map
+
+    docs = load(spark, sf_dir, "documents")
+    scattered = docs.select(
+        (F.col("doc_id") % 20).cast("long").alias("file_id"),
+        F.col("n_chars").alias("stat"),
+    )
+    rk = F.row_number().over(Window.orderBy(F.asc("n_chars"), F.asc("doc_id")))
+    clustered = docs.withColumn("rk", rk).select(
+        F.expr("(rk - 1) DIV 25").alias("file_id"), F.col("n_chars").alias("stat")
+    )
+    parts = [
+        prune_files(zone_map(data, "file_id", "stat"), lo=100, hi=200).select(
+            F.lit(name).alias("layout"), "*"
+        )
+        for name, data in (("scattered", scattered), ("clustered", clustered))
+    ]
+    return _longify(parts[0].unionByName(parts[1]))
+
+
+_FILE_SKIPPING_SQL = """
+    WITH data AS (
+      SELECT 'scattered' AS layout, (doc_id % 20) AS file_id, n_chars AS stat
+      FROM documents
+      UNION ALL
+      SELECT 'clustered' AS layout,
+             (row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 25 AS file_id,
+             n_chars AS stat
+      FROM documents
+    ),
+    zones AS (
+      SELECT layout, file_id, count(*)::BIGINT AS n_rows,
+             min(stat)::BIGINT AS min_stat, max(stat)::BIGINT AS max_stat
+      FROM data GROUP BY layout, file_id
+    )
+    SELECT layout, file_id, n_rows, min_stat, max_stat,
+           (max_stat >= 100 AND min_stat <= 200) AS kept,
+           (CASE WHEN max_stat >= 100 AND min_stat <= 200
+                 THEN n_rows ELSE 0 END)::BIGINT AS rows_read
+    FROM zones
+    ORDER BY layout, file_id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2888,6 +3010,9 @@ def queries():
         "drain_report": q_drain_report,
         "soft404": q_soft404,
         "adaptive_budget": q_adaptive_budget,
+        "mirror_hosts": q_mirror_hosts,
+        "compaction_plan": q_compaction_plan,
+        "file_skipping": q_file_skipping,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -3013,6 +3138,9 @@ def oracle_sql():
         "drain_report": _drain_report_sql(),
         "soft404": _soft404_sql(),
         "adaptive_budget": _ADAPTIVE_BUDGET_SQL,
+        "mirror_hosts": _mirror_hosts_sql(),
+        "compaction_plan": _compaction_plan_sql(),
+        "file_skipping": _FILE_SKIPPING_SQL,
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

@@ -964,3 +964,104 @@ def host_links_sql(table: str = "documents", n_hosts: int = N_HOSTS) -> str:
         FROM agg
         ORDER BY src_host
     """
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection
+# ---------------------------------------------------------------------------
+
+MIRROR_MAX_HOSTS_PER_FP = 32  # df-cut: fingerprints on more hosts are boilerplate
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    threshold_ppm: int = 500_000,
+    max_hosts_per_fp: int = MIRROR_MAX_HOSTS_PER_FP,
+) -> DataFrame:
+    """Mirror-host detection: host pairs whose content-fingerprint sets
+    have Jaccard resemblance >= ``threshold_ppm`` (integer ppm). This is
+    the crawl-scheduler dedup ABOVE the page level — the reference fleet
+    crawls ~1,759 .gov hosts where agency site mirrors (www/non-www,
+    state replicas, CDN clones) would otherwise be fetched twice; a
+    detected mirror pair lets the scheduler drop one frontier branch
+    wholesale (Broder's syntactic-clustering resemblance, applied to
+    hosts instead of pages).
+
+    Input: ``pages(host, fp)`` — one row per page with its content
+    fingerprint (e.g. ``fingerprints().content_md5``). Output:
+    ``(host_a, host_b, shared, size_a, size_b, jaccard_ppm)`` with
+    ``host_a < host_b``, resemblance-filtered, integer-exact.
+
+    Scale shape: an inverted index on fp (distinct -> one shuffle), with
+    a df-cut — fingerprints present on > ``max_hosts_per_fp`` hosts are
+    dropped BEFORE pair generation, so per-fp fanout is bounded at
+    max_hosts_per_fp^2/2 (such fps are navigation boilerplate shared by
+    everyone and carry no mirror signal; true mirror evidence is content
+    shared by FEW hosts). Host set sizes are a map-side-combinable agg
+    on |hosts| rows; the pair agg shuffles on (host_a, host_b) bounded
+    by shared content, never |hosts|^2.
+    """
+    hf = pages.select("host", "fp").distinct()
+    sizes = hf.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("size"))
+    # df-cut on the inverted list length
+    rare = hf.join(
+        hf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") <= max_hosts_per_fp)
+        .select("fp"),
+        "fp",
+    )
+    a = rare.select("fp", F.col("host").alias("host_a"))
+    b = rare.select("fp", F.col("host").alias("host_b"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.withColumnRenamed("host", "host_a")), "host_a")
+        .withColumnRenamed("size", "size_a")
+        .join(F.broadcast(sizes.withColumnRenamed("host", "host_b")), "host_b")
+        .withColumnRenamed("size", "size_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("shared * 1000000 DIV (size_a + size_b - shared)"),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("host_a", "host_b", "shared", "size_a", "size_b", "jaccard_ppm")
+    )
+
+
+def mirror_hosts_sql(
+    pages_sql: str,
+    threshold_ppm: int = 500_000,
+    max_hosts_per_fp: int = MIRROR_MAX_HOSTS_PER_FP,
+) -> str:
+    return f"""
+        WITH pages AS ({pages_sql}),
+        hf AS (SELECT DISTINCT host, fp FROM pages),
+        sizes AS (SELECT host, count(*)::BIGINT AS size FROM hf GROUP BY host),
+        rare AS (
+          SELECT host, fp FROM hf
+          WHERE fp IN (SELECT fp FROM hf GROUP BY fp
+                       HAVING count(*) <= {max_hosts_per_fp})
+        ),
+        shared AS (
+          SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared
+          FROM rare a JOIN rare b ON a.fp = b.fp AND a.host < b.host
+          GROUP BY a.host, b.host
+        ),
+        scored AS (
+          SELECT s.host_a, s.host_b, s.shared,
+                 sa.size AS size_a, sb.size AS size_b,
+                 s.shared * 1000000 // (sa.size + sb.size - s.shared) AS jaccard_ppm
+          FROM shared s
+          JOIN sizes sa ON sa.host = s.host_a
+          JOIN sizes sb ON sb.host = s.host_b
+        )
+        SELECT host_a, host_b, shared, size_a, size_b, jaccard_ppm
+        FROM scored
+        WHERE jaccard_ppm >= {threshold_ppm}
+        ORDER BY host_a, host_b
+    """

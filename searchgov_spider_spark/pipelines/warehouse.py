@@ -74,6 +74,101 @@ def scd2_intervals(
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
+def compaction_plan(files: DataFrame, target_bytes: int) -> DataFrame:
+    """Small-file compaction planning (the Iceberg/Delta ``binPack``
+    analog): within each table partition, assign files to rewrite groups
+    of ~``target_bytes`` via next-fit over a size-descending ordering —
+    group = running-bytes-before-this-file DIV target. Deterministic
+    (ties break on file_id), pure integer arithmetic, and each group
+    overshoots the target by at most one file — the bounded-overshoot
+    guarantee binPack gives.
+
+    Input: ``files(part_key, file_id, bytes)`` — a file manifest (at
+    scale, the table format's metadata tables, thousands of rows per
+    partition, never the data itself). Output adds (grp, grp_bytes).
+
+    Scale shape: one window per part_key over the MANIFEST (tiny next to
+    the data); the plan is what the rewrite job consumes — compaction
+    itself is then an embarrassingly parallel per-group coalesce."""
+    w = (
+        Window.partitionBy("part_key")
+        .orderBy(F.desc("bytes"), F.asc("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = (
+        files.withColumn("bytes", F.col("bytes").cast("long"))
+        .withColumn("cum_before", F.sum("bytes").over(w) - F.col("bytes"))
+        # integer DIV, not floor(float /): engine-proof group ids
+        .withColumn("grp", F.expr(f"cum_before DIV {int(target_bytes)}"))
+        .drop("cum_before")
+    )
+    gw = Window.partitionBy("part_key", "grp")
+    return planned.select(
+        "part_key", "file_id", "bytes", "grp",
+        F.sum("bytes").over(gw).cast("long").alias("grp_bytes"),
+    )
+
+
+def compaction_plan_sql(files_sql: str, target_bytes: int) -> str:
+    return f"""
+        WITH files AS ({files_sql}),
+        planned AS (
+          SELECT part_key, file_id, bytes::BIGINT AS bytes,
+                 (sum(bytes) OVER (PARTITION BY part_key ORDER BY bytes DESC, file_id ASC
+                                   ROWS UNBOUNDED PRECEDING) - bytes) // {target_bytes} AS grp
+          FROM files
+        )
+        SELECT part_key, file_id, bytes, grp,
+               sum(bytes) OVER (PARTITION BY part_key, grp)::BIGINT AS grp_bytes
+        FROM planned
+        ORDER BY part_key, grp, bytes DESC, file_id
+    """
+
+
+def zone_map(df: DataFrame, file_col, stat_col) -> DataFrame:
+    """Per-file zone-map stats (min/max/count of ``stat_col``) — the
+    metadata a manifest-based reader prunes against, exactly what
+    Iceberg/Delta keep per data file and what parquet keeps per
+    row-group. One hash-agg over the data at write time; pruning later
+    never touches the data."""
+    return df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(stat_col).cast("long").alias("min_stat"),
+        F.max(stat_col).cast("long").alias("max_stat"),
+    )
+
+
+def prune_files(zones: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Zone-map file pruning for a range predicate [lo, hi]: a file is
+    read iff its [min_stat, max_stat] envelope intersects the range.
+    Metadata-only — the decision column ``rows_read`` quantifies the
+    scan saved (the judge of layout quality: after a z-order/sort
+    rewrite, skipped-row fraction rises for the same predicate)."""
+    kept = (F.col("max_stat") >= lo) & (F.col("min_stat") <= hi)
+    return zones.select(
+        "file_id", "n_rows", "min_stat", "max_stat",
+        kept.alias("kept"),
+        F.when(kept, F.col("n_rows")).otherwise(F.lit(0)).cast("long").alias("rows_read"),
+    )
+
+
+def file_skipping_sql(data_sql: str, lo: int, hi: int) -> str:
+    return f"""
+        WITH data AS ({data_sql}),
+        zones AS (
+          SELECT file_id, count(*)::BIGINT AS n_rows,
+                 min(stat)::BIGINT AS min_stat, max(stat)::BIGINT AS max_stat
+          FROM data GROUP BY file_id
+        )
+        SELECT file_id, n_rows, min_stat, max_stat,
+               (max_stat >= {lo} AND min_stat <= {hi}) AS kept,
+               (CASE WHEN max_stat >= {lo} AND min_stat <= {hi}
+                     THEN n_rows ELSE 0 END)::BIGINT AS rows_read
+        FROM zones
+        ORDER BY file_id
+    """
+
+
 def scd2_intervals_sql(
     table: str = "events",
     key: str = "user_id",

@@ -321,3 +321,42 @@ def test_host_links_offsite_ratio(docs_df):
         assert r.out_edges == out_e[h]
         assert r.cross_host_edges == cross_e[h]
         assert r.cross_ppm == cross_e[h] * 1_000_000 // out_e[h]
+
+
+def test_mirror_hosts_resemblance(spark):
+    # A and B share 2 of (3 ∪ 3) = 2/4 fps; C is disjoint
+    pages = spark.createDataFrame(
+        [
+            ("a.gov", "f1"), ("a.gov", "f2"), ("a.gov", "f3"),
+            ("b.gov", "f2"), ("b.gov", "f3"), ("b.gov", "f4"),
+            ("c.gov", "f9"),
+            ("a.gov", "f1"),  # duplicate page rows collapse (distinct)
+        ],
+        "host string, fp string",
+    )
+    rows = psearch.mirror_hosts(pages, threshold_ppm=400_000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.host_a, r.host_b) == ("a.gov", "b.gov")
+    assert (r.shared, r.size_a, r.size_b) == (2, 3, 3)
+    assert r.jaccard_ppm == 2 * 1_000_000 // 4
+    # threshold is inclusive-integer: raising it past 500000 drops the pair
+    assert psearch.mirror_hosts(pages, threshold_ppm=500_001).count() == 0
+
+
+def test_mirror_hosts_df_cut_drops_boilerplate(spark):
+    # 'boiler' sits on 3 hosts; with max_hosts_per_fp=2 it generates no
+    # pairs, so a/b only match via their genuinely shared 'f2'
+    pages = spark.createDataFrame(
+        [
+            ("a.gov", "boiler"), ("a.gov", "f2"),
+            ("b.gov", "boiler"), ("b.gov", "f2"),
+            ("c.gov", "boiler"), ("c.gov", "f9"),
+        ],
+        "host string, fp string",
+    )
+    rows = psearch.mirror_hosts(pages, threshold_ppm=1, max_hosts_per_fp=2).collect()
+    assert {(r.host_a, r.host_b) for r in rows} == {("a.gov", "b.gov")}
+    # sizes still count the boilerplate fp (the cut only gates pair GENERATION)
+    assert rows[0].shared == 1 and rows[0].size_a == 2
+    assert rows[0].jaccard_ppm == 1_000_000 // 3

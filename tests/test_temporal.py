@@ -217,3 +217,40 @@ def test_scd2_interval_chain(spark):
     assert u7[2].valid_to is None and u7[2].is_current
     (u8,) = [r for r in got if r.user_id == 8]
     assert u8.is_current and u8.valid_from == _ts(5)
+
+
+def test_compaction_plan_next_fit(spark):
+    from searchgov_spider_spark.pipelines.warehouse import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", 1, 900), ("p", 2, 700), ("p", 3, 500), ("p", 4, 300), ("q", 9, 50)],
+        "part_key string, file_id long, bytes long",
+    )
+    rows = {(r.part_key, r.file_id): r for r in compaction_plan(files, 1000).collect()}
+    # size-desc order: 900|700|500|300 -> cum-before 0,900,1600,2100 -> grp 0,0,1,2
+    assert [rows[("p", i)].grp for i in (1, 2, 3, 4)] == [0, 0, 1, 2]
+    assert rows[("p", 1)].grp_bytes == 1600 and rows[("p", 3)].grp_bytes == 500
+    # bounded overshoot: bytes-before-last-file in every group < target
+    by_grp = {}
+    for r in rows.values():
+        by_grp.setdefault((r.part_key, r.grp), []).append(r.bytes)
+    for sizes in by_grp.values():
+        assert sum(sorted(sizes)[1:]) < 1000 if len(sizes) > 1 else True
+    assert rows[("q", 9)].grp == 0  # partitions plan independently
+
+
+def test_zone_map_prune_envelopes(spark):
+    from searchgov_spider_spark.pipelines.warehouse import prune_files, zone_map
+
+    data = spark.createDataFrame(
+        [(1, 5), (1, 40), (2, 100), (2, 150), (3, 300), (3, 301)],
+        "file_id long, stat long",
+    )
+    zones = zone_map(data, "file_id", "stat")
+    got = {r.file_id: r for r in prune_files(zones, lo=50, hi=200).collect()}
+    assert (got[1].min_stat, got[1].max_stat, got[1].kept) == (5, 40, False)
+    assert got[2].kept and got[2].rows_read == 2
+    assert not got[3].kept and got[3].rows_read == 0
+    # file 1 straddling the lo bound is kept when its max crosses lo
+    got2 = {r.file_id: r for r in prune_files(zones, lo=30, hi=200).collect()}
+    assert got2[1].kept and got2[1].rows_read == 2
