@@ -2898,6 +2898,22 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(parts[0].unionByName(parts[1]))
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE pair counting (the tokenizer-training inner
+    loop): word-frequency table first, then adjacent character pairs
+    weighted by word frequency — pair work scales with |vocab|, not
+    corpus size."""
+    return _longify(pstats.bpe_pairs(load(spark, sf_dir, "documents")))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights for data selection: per-doc
+    sum of ln(p_target/p_raw) over unigram features with add-one
+    smoothing (target = source 'src0' slice) — two vocab hash-aggs +
+    a broadcast log-ratio join, the lm_score shape."""
+    return _longify(psampling.dsir_weights(load(spark, sf_dir, "documents")))
+
+
 _FILE_SKIPPING_SQL = """
     WITH data AS (
       SELECT 'scattered' AS layout, (doc_id % 20) AS file_id, n_chars AS stat
@@ -3013,6 +3029,8 @@ def queries():
         "mirror_hosts": q_mirror_hosts,
         "compaction_plan": q_compaction_plan,
         "file_skipping": q_file_skipping,
+        "bpe_pairs": q_bpe_pairs,
+        "dsir_weights": q_dsir_weights,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -3141,6 +3159,8 @@ def oracle_sql():
         "mirror_hosts": _mirror_hosts_sql(),
         "compaction_plan": _compaction_plan_sql(),
         "file_skipping": _FILE_SKIPPING_SQL,
+        "bpe_pairs": pstats.bpe_pairs_sql(),
+        "dsir_weights": psampling.dsir_weights_sql(),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

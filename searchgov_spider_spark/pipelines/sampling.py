@@ -310,3 +310,120 @@ def weighted_sample_sql(
         SELECT doc_id, weight, key, rank FROM ranked WHERE rank <= {k}
         ORDER BY rank
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data selection for a target distribution)
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    docs: DataFrame, target_source: str = "src0", text_col: str = "text"
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023)
+    restated over unigram features: per document, the importance
+    log-weight sum_t [ ln p_target(t) - ln p_raw(t) ] with add-one
+    smoothing, where the target distribution is estimated from the
+    slice of the corpus matching ``target_source`` and the raw
+    distribution from the whole corpus. Documents with the highest
+    weight are the ones to up-sample when you want more
+    target-looking data — the standard pretraining data-selection
+    recipe when a small high-quality target corpus exists.
+
+    Output: (doc_id, n_tokens, log_weight, avg_log_weight) — raw IEEE
+    doubles, no rounding (sums of ulp-identical ln operands agree
+    across engines far inside the gate's 1e-9).
+
+    Scale shape: identical to lm_score — two vocab hash-aggs (map-side
+    combine), the per-term log-ratio table broadcasts back onto the
+    token stream (vocab << corpus), one final per-doc agg. The target
+    slice is a pushed-down filter, not a second scan at the plan level
+    (Spark reuses the exchange; at 100 TB the target estimate can also
+    be precomputed once and broadcast as a static table).
+    """
+    from .textstats import tokens_col
+
+    terms = docs.select(
+        "doc_id",
+        F.col("source"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") > 0)
+    raw = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        terms.filter(F.col("source") == target_source)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    vocab = raw.join(tgt, "term", "left").na.fill({"c_tgt": 0})
+    tot = vocab.agg(
+        F.sum("c_raw").alias("total_raw"),
+        F.sum("c_tgt").alias("total_tgt"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (
+            F.log(
+                (F.col("c_tgt") + F.lit(1)).cast("double")
+                / (F.col("total_tgt") + F.col("v_size")).cast("double")
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(1)).cast("double")
+                / (F.col("total_raw") + F.col("v_size")).cast("double")
+            )
+        ).alias("log_ratio"),
+    )
+    return (
+        terms.join(F.broadcast(ratio), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "log_weight",
+            (F.col("log_weight") / F.col("n_tokens")).alias("avg_log_weight"),
+        )
+    )
+
+
+def dsir_weights_sql(table: str = "documents", target_source: str = "src0") -> str:
+    from .textstats import tokens_sql
+
+    return f"""
+        WITH terms AS (
+          SELECT doc_id, source, unnest({tokens_sql('text')}) AS term
+          FROM {table}
+        ),
+        terms_ne AS (SELECT * FROM terms WHERE length(term) > 0),
+        raw AS (SELECT term, count(*)::BIGINT AS c_raw FROM terms_ne GROUP BY term),
+        tgt AS (
+          SELECT term, count(*)::BIGINT AS c_tgt FROM terms_ne
+          WHERE source = '{target_source}' GROUP BY term
+        ),
+        vocab AS (
+          SELECT raw.term, raw.c_raw, coalesce(tgt.c_tgt, 0) AS c_tgt
+          FROM raw LEFT JOIN tgt ON raw.term = tgt.term
+        ),
+        tot AS (
+          SELECT sum(c_raw)::BIGINT AS total_raw, sum(c_tgt)::BIGINT AS total_tgt,
+                 count(*)::BIGINT AS v_size
+          FROM vocab
+        ),
+        ratio AS (
+          SELECT term,
+                 ln((c_tgt + 1) / (total_tgt + v_size))
+                 - ln((c_raw + 1) / (total_raw + v_size)) AS log_ratio
+          FROM vocab CROSS JOIN tot
+        ),
+        scored AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(log_ratio) AS log_weight
+          FROM terms_ne JOIN ratio USING (term)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, log_weight,
+               log_weight / n_tokens AS avg_log_weight
+        FROM scored ORDER BY doc_id
+    """

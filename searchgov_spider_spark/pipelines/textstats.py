@@ -857,3 +857,76 @@ def lang_mixture_sql(table: str = "documents") -> str:
         FROM agg
         ORDER BY predicted_lang
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (the tokenizer-training inner loop, distributed)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pairs(docs: DataFrame, text_col: str = "text", min_freq: int = 2) -> DataFrame:
+    """First BPE training iteration, distributed: adjacent character-pair
+    frequencies weighted by word frequency. This is THE counting step a
+    tokenizer trainer (BPE/WordPiece) repeats per merge — at corpus
+    scale the trick is that pairs are counted over the WORD-FREQUENCY
+    TABLE, not the token stream: one explode+hash-agg compresses 100 TB
+    of text to a |vocab|-row table, and per-word pair expansion then
+    touches |vocab| * avg_word_len rows regardless of corpus size.
+
+    Output: (left_sym, right_sym, pair_freq) for pairs with corpus
+    frequency >= ``min_freq`` — the argmax row is the first merge rule.
+
+    Scale shape: shuffle #1 is the word-count agg (map-side combine,
+    skew-neutral: hot words pre-aggregate per partition); pair expansion
+    is a no-shuffle lateral over the vocab; shuffle #2 aggregates
+    ~alphabet^2 pair rows. No per-row Python anywhere.
+    """
+    words = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wfreq"))
+        # sequence(1, 0) is descending in Spark: gate 1-char words out
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substr(word, i, 1) AS left_sym,"
+                "             substr(word, i + 1, 1) AS right_sym))"
+            )
+        ).alias("p"),
+        "wfreq",
+    )
+    return (
+        pairs.groupBy(F.col("p.left_sym").alias("left_sym"), F.col("p.right_sym").alias("right_sym"))
+        .agg(F.sum("wfreq").cast("long").alias("pair_freq"))
+        .filter(F.col("pair_freq") >= min_freq)
+    )
+
+
+def bpe_pairs_sql(table: str = "documents", min_freq: int = 2) -> str:
+    return f"""
+        WITH words AS (
+          SELECT word, count(*)::BIGINT AS wfreq FROM (
+            SELECT unnest({tokens_sql('text')}) AS word FROM {table}
+          ) WHERE length(word) > 0
+          GROUP BY word
+        ),
+        pairs AS (
+          SELECT substr(word, i::INT, 1) AS left_sym,
+                 substr(word, i::INT + 1, 1) AS right_sym,
+                 wfreq
+          FROM (
+            SELECT word, wfreq,
+                   unnest(generate_series(1, length(word) - 1)) AS i
+            FROM words WHERE length(word) >= 2
+          )
+        )
+        SELECT left_sym, right_sym, sum(wfreq)::BIGINT AS pair_freq
+        FROM pairs
+        GROUP BY left_sym, right_sym
+        HAVING sum(wfreq) >= {min_freq}
+        ORDER BY left_sym, right_sym
+    """

@@ -189,3 +189,28 @@ def test_dedup_ngram_spans_intra_doc_repeat_not_removed(spark):
     )
     out = {x["doc_id"]: x for x in pc.dedup_ngram_spans(df, n=4).collect()}
     assert out[1]["n_removed"] == 0
+
+
+def test_bpe_pairs_matches_python(spark):
+    from collections import Counter
+
+    from searchgov_spider_spark.pipelines.textstats import bpe_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "low low lower"), (1, "newest widest x")],  # 1-char word dropped
+        "doc_id long, text string",
+    )
+    got = {(r.left_sym, r.right_sym): r.pair_freq for r in bpe_pairs(docs, min_freq=1).collect()}
+    wfreq = Counter("low low lower newest widest x".split())
+    exp = Counter()
+    for w, c in wfreq.items():
+        if len(w) < 2:
+            continue
+        for a, b in zip(w, w[1:]):
+            exp[(a, b)] += c
+    assert got == dict(exp)
+    # ('l','o') counted once per 'low' occurrence plus 'lower': freq 3
+    assert got[("l", "o")] == 3
+    # min_freq prunes the tail
+    pruned = {(r.left_sym, r.right_sym) for r in bpe_pairs(docs, min_freq=3).collect()}
+    assert pruned == {k for k, c in exp.items() if c >= 3}

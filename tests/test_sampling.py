@@ -135,3 +135,34 @@ def test_weighted_sample_topk(spark):
     )[:20]
     want = [(i, r + 1) for r, (_, i) in enumerate(keys)]
     assert got == want
+
+
+def test_dsir_weights_matches_python(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "alpha beta beta", "tgt"),
+        (1, "alpha gamma", "tgt"),
+        (2, "delta delta gamma", "other"),
+        (3, "beta delta", "other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in ps.dsir_weights(docs, target_source="tgt").collect()}
+
+    toks = {d: t.split() for d, t, _ in rows}
+    raw = Counter(t for ts in toks.values() for t in ts)
+    tgt = Counter(t for d, ts in toks.items() if d in (0, 1) for t in ts)
+    v = len(raw)
+    tot_raw, tot_tgt = sum(raw.values()), sum(tgt.values())
+    for d, ts in toks.items():
+        lw = sum(
+            math.log((tgt.get(t, 0) + 1) / (tot_tgt + v))
+            - math.log((raw[t] + 1) / (tot_raw + v))
+            for t in ts
+        )
+        assert got[d].n_tokens == len(ts)
+        assert abs(got[d].log_weight - lw) < 1e-12
+        assert abs(got[d].avg_log_weight - lw / len(ts)) < 1e-12
+    # target-looking docs rank above non-target ones
+    assert got[0].avg_log_weight > got[2].avg_log_weight
