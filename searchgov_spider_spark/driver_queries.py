@@ -2898,6 +2898,36 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(parts[0].unionByName(parts[1]))
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings to deterministic centroids, drop
+    docs with a lower-id in-cluster neighbor at cos >= 0.3 (the
+    synthetic embeddings are near-orthogonal, so the gate threshold
+    sits below the production ~0.85; machinery is identical). Output
+    is integers+boolean only — both engines fold the identical doubles
+    in identical order, so the threshold compare is bit-exact."""
+    return _longify(
+        psim.semdedup(load(spark, sf_dir, "embeddings"), threshold=0.3)
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: per-row (shard, sort_key) from a
+    salted portable hash — two epochs unioned to show independent
+    permutations; zero shuffle, pure projection."""
+    d = load(spark, sf_dir, "documents")
+    return _longify(
+        psampling.epoch_shuffle(d, epoch=1).unionByName(
+            psampling.epoch_shuffle(d, epoch=2)
+        )
+    )
+
+
+def _epoch_shuffle_sql() -> str:
+    e1 = psampling.epoch_shuffle_sql(epoch=1)
+    e2 = psampling.epoch_shuffle_sql(epoch=2)
+    return f"SELECT * FROM ({e1}) UNION ALL SELECT * FROM ({e2})"
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE pair counting (the tokenizer-training inner
     loop): word-frequency table first, then adjacent character pairs
@@ -3031,6 +3061,8 @@ def queries():
         "file_skipping": q_file_skipping,
         "bpe_pairs": q_bpe_pairs,
         "dsir_weights": q_dsir_weights,
+        "semdedup": q_semdedup,
+        "epoch_shuffle": q_epoch_shuffle,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -3161,6 +3193,8 @@ def oracle_sql():
         "file_skipping": _FILE_SKIPPING_SQL,
         "bpe_pairs": pstats.bpe_pairs_sql(),
         "dsir_weights": psampling.dsir_weights_sql(),
+        "semdedup": psim.semdedup_sql(threshold=0.3),
+        "epoch_shuffle": _epoch_shuffle_sql(),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

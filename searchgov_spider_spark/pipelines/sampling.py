@@ -427,3 +427,48 @@ def dsir_weights_sql(table: str = "documents", target_source: str = "src0") -> s
                log_weight / n_tokens AS avg_log_weight
         FROM scored ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (training-order assignment)
+# ---------------------------------------------------------------------------
+
+
+def epoch_shuffle(
+    docs: DataFrame, epoch: int = 1, n_shards: int = 64, key: str = "doc_id"
+) -> DataFrame:
+    """Global training-data shuffle for an epoch, with ZERO shuffle at
+    assignment time: every document gets (shard, sort_key) from a salted
+    portable hash of its key, a different permutation per epoch. The
+    trainer streams shards in shard order, each shard sorted by
+    sort_key — equivalent to a uniform pseudo-random permutation, but
+    the assignment is a pure per-row projection: reproducible across
+    runs/engines, stable under repartitioning and corpus appends, and
+    free at 100 TB (the only data movement is the writer's
+    partitionBy(shard), which replaces — not adds to — its normal
+    output partitioning). Contrast with ``ORDER BY rand()``: a full
+    range-partitioned sort whose result changes with partition layout.
+    """
+    h = portable_hash32_col(
+        F.concat(F.lit(f"epoch{epoch}|"), F.col(key).cast("string"))
+    )
+    return docs.select(
+        F.col(key),
+        F.lit(epoch).cast("long").alias("epoch"),
+        F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"),
+        h.cast("long").alias("sort_key"),
+    )
+
+
+def epoch_shuffle_sql(
+    table: str = "documents", epoch: int = 1, n_shards: int = 64, key: str = "doc_id"
+) -> str:
+    h = portable_hash32_sql(f"'epoch{epoch}|' || CAST({key} AS VARCHAR)")
+    return f"""
+        SELECT {key},
+               {epoch}::BIGINT AS epoch,
+               ({h} % {n_shards})::BIGINT AS shard,
+               ({h})::BIGINT AS sort_key
+        FROM {table}
+        ORDER BY {key}
+    """

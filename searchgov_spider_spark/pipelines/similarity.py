@@ -495,3 +495,126 @@ def knn_classify_sql(table: str = "embeddings", n_queries: int = 10, k: int = 5)
         WHERE r.r = 1
         ORDER BY query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-then-prune
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.85,
+    max_cluster_size: int = 4096,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    drop documents that are semantically duplicated WITHIN their
+    cluster — pairwise cosine is only ever computed inside a cluster,
+    never across the corpus. Kept = a document with no LOWER-ID
+    in-cluster neighbor at cos >= ``threshold`` (the greedy
+    keep-first-seen rule, deterministic); dropped rows carry ``dup_of``
+    = their lowest-id such neighbor.
+
+    Centroids are the ``n_centroids`` lowest-id vectors (a deterministic
+    codebook so the SQL oracle can replay assignment exactly; swap in
+    ``train_centroids`` for a real k-means codebook at production
+    scale — assignment and pruning are unchanged).
+
+    Output: (vec_id, cluster_id, dup_of, is_kept) — integers + boolean
+    only; no float column reaches the gate hash (the cos comparison
+    happens against raw IEEE doubles identically in both engines).
+
+    Scale shape: assignment is a broadcast of k centroid vectors +
+    one window over n*k scored rows (shuffle on vec_id); the prune
+    self-join shuffles on cluster_id with per-cluster work bounded by
+    ``max_cluster_size``^2 (clusters are rank-truncated like
+    dedup._cap_blocks — at 100 TB you raise n_centroids so E[cluster]
+    stays ~10^3-10^4, which is exactly how the paper runs: k scales
+    with n, per-cluster pairwise stays constant).
+    """
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cents = e.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "cid", cosine_col(F.col("v"), F.col("cv")).alias("cc")
+    )
+    aw = Window.partitionBy("id").orderBy(F.desc("cc"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("cid").alias("cluster_id"), "v")
+    )
+    cw = Window.partitionBy("cluster_id").orderBy(F.asc("id"))
+    capped = (
+        assigned.withColumn("_cr", F.row_number().over(cw))
+        .filter(F.col("_cr") <= max_cluster_size)
+        .drop("_cr")
+    )
+    x = capped.select(F.col("cluster_id"), F.col("id").alias("id_a"), F.col("v").alias("va"))
+    y = capped.select(F.col("cluster_id"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dup_of = (
+        x.join(y, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_col(F.col("va"), F.col("vb")) >= threshold)
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )
+
+
+def semdedup_sql(
+    table: str = "embeddings",
+    n_centroids: int = 8,
+    threshold: float = 0.85,
+    max_cluster_size: int = 4096,
+) -> str:
+    cos_assign = cosine_sql("e.v", "c.cv")
+    cos_pair = cosine_sql("x.va", "y.vb")
+    return f"""
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM {table}),
+        c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {n_centroids}),
+        scored AS (
+          SELECT e.id, e.v, c.cid, {cos_assign} AS cc
+          FROM e CROSS JOIN c
+        ),
+        assigned AS (
+          SELECT id, cid AS cluster_id, v FROM (
+            SELECT *, row_number() OVER (PARTITION BY id ORDER BY cc DESC, cid ASC) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        ),
+        capped AS (
+          SELECT id, cluster_id, v FROM (
+            SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY id ASC) AS cr
+            FROM assigned
+          ) WHERE cr <= {max_cluster_size}
+        ),
+        dup AS (
+          SELECT y.id_b AS id, min(x.id_a) AS dup_of
+          FROM (SELECT cluster_id, id AS id_a, v AS va FROM capped) x
+          JOIN (SELECT cluster_id, id AS id_b, v AS vb FROM capped) y
+            ON x.cluster_id = y.cluster_id AND x.id_a < y.id_b
+          WHERE {cos_pair} >= {threshold}
+          GROUP BY y.id_b
+        )
+        SELECT a.id AS vec_id,
+               a.cluster_id::BIGINT AS cluster_id,
+               d.dup_of::BIGINT AS dup_of,
+               (d.dup_of IS NULL) AS is_kept
+        FROM assigned a LEFT JOIN dup d ON a.id = d.id
+        ORDER BY vec_id
+    """

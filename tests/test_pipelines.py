@@ -185,6 +185,45 @@ class TestSimilarity:
             assert r["neighbor_id"] != r["query_id"]
 
 
+
+    def test_semdedup_matches_numpy_greedy(self, emb_df):
+        import numpy as np
+
+        got = {r.vec_id: r for r in psim.semdedup(emb_df, n_centroids=4, threshold=0.3).collect()}
+        data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb_df.collect()}
+
+        def cos(a, b):
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        cents = {c: data[c] for c in range(4)}
+        assign = {
+            i: max(cents, key=lambda c: (cos(v, cents[c]), -c)) for i, v in data.items()
+        }
+        for i in sorted(data):
+            dups = [
+                j for j in sorted(data)
+                if j < i and assign[j] == assign[i] and cos(data[j], data[i]) >= 0.3
+            ]
+            assert got[i].cluster_id == assign[i]
+            assert got[i].is_kept == (not dups)
+            assert got[i].dup_of == (min(dups) if dups else None)
+
+    def test_semdedup_cluster_cap_bounds_pairs(self, emb_df):
+        # cap=1: every cluster keeps only its lowest-id member for pair
+        # generation, so nothing can be marked dup
+        out = psim.semdedup(emb_df, n_centroids=4, threshold=-1.0, max_cluster_size=1)
+        assert out.filter("NOT is_kept").count() == 0
+        # uncapped at threshold=-1, everything after the cluster's first id is a dup
+        out2 = {r.vec_id: r for r in psim.semdedup(emb_df, n_centroids=4, threshold=-1.0).collect()}
+        firsts = {}
+        for i in sorted(out2):
+            c = out2[i].cluster_id
+            if c not in firsts:
+                firsts[c] = i
+                assert out2[i].is_kept
+            else:
+                assert out2[i].dup_of == firsts[c]
+
 class TestTextStats:
     def test_token_counts(self, spark, docs_df):
         rows = {r["doc_id"]: r for r in pstats.token_counts(docs_df).collect()}

@@ -166,3 +166,23 @@ def test_dsir_weights_matches_python(spark):
         assert abs(got[d].avg_log_weight - lw / len(ts)) < 1e-12
     # target-looking docs rank above non-target ones
     assert got[0].avg_log_weight > got[2].avg_log_weight
+
+
+def test_epoch_shuffle_permutation_properties(spark):
+    docs = _docs(spark, 600)
+    e1 = {r.doc_id: (r.shard, r.sort_key) for r in ps.epoch_shuffle(docs, epoch=1).collect()}
+    # stable: pure function of (key, epoch), immune to repartitioning
+    e1b = {
+        r.doc_id: (r.shard, r.sort_key)
+        for r in ps.epoch_shuffle(docs.repartition(7), epoch=1).collect()
+    }
+    assert e1 == e1b
+    # a different epoch is a different permutation
+    e2 = {r.doc_id: (r.shard, r.sort_key) for r in ps.epoch_shuffle(docs, epoch=2).collect()}
+    assert e1 != e2
+    # shards are within range and reasonably balanced
+    from collections import Counter
+
+    shards = Counter(s for s, _ in e1.values())
+    assert set(shards) <= set(range(64))
+    assert max(shards.values()) < 3 * (600 / 64)
