@@ -2898,6 +2898,18 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(parts[0].unionByName(parts[1]))
 
 
+def q_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source modality balance over interleaved spans (text vs media
+    spans, media share in ppm, deviation from the target share) — the
+    multimodal data-mixer planning table; per-row higher-order array fns
+    + ONE hash-agg onto |sources| rows, no explode."""
+    return _longify(
+        pspans.modality_mix(
+            pspans.derive_spans(load(spark, sf_dir, "documents"), keep=("source",))
+        )
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster embeddings to deterministic centroids, drop
     docs with a lower-id in-cluster neighbor at cos >= 0.3 (the
@@ -3063,6 +3075,7 @@ def queries():
         "dsir_weights": q_dsir_weights,
         "semdedup": q_semdedup,
         "epoch_shuffle": q_epoch_shuffle,
+        "modality_mix": q_modality_mix,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -3195,6 +3208,7 @@ def oracle_sql():
         "dsir_weights": psampling.dsir_weights_sql(),
         "semdedup": psim.semdedup_sql(threshold=0.3),
         "epoch_shuffle": _epoch_shuffle_sql(),
+        "modality_mix": pspans.modality_mix_sql(),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

@@ -29,10 +29,16 @@ SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>
 MEDIA_EVERY = 7  # token positions p with p % 7 == 3 become media spans
 
 
-def derive_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, spans) with spans interleaved deterministically from text:
-    1-based token position p -> media span iff p % 7 == 3, else text span.
-    offset = p - 1; media_ref = 'https://cdn.example.gov/<doc>/<p>.png'."""
+def derive_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *keep, spans) with spans interleaved deterministically
+    from text: 1-based token position p -> media span iff p % 7 == 3,
+    else text span. offset = p - 1;
+    media_ref = 'https://cdn.example.gov/<doc>/<p>.png'."""
     toks = tokens_col(text_col)
     # Two-arg transform gives (element, 0-based index) directly — no
     # sequence materialization and no per-position element_at probe.
@@ -58,14 +64,18 @@ def derive_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             )
         ),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), spans.alias("spans"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *[F.col(c) for c in keep], spans.alias("spans")
+    )
 
 
-def derive_spans_sql_cte(table: str = "documents") -> str:
-    """DuckDB CTE producing the identical (doc_id, spans) rows."""
+def derive_spans_sql_cte(table: str = "documents", keep: tuple[str, ...] = ()) -> str:
+    """DuckDB CTE producing the identical (doc_id, *keep, spans) rows."""
+    keep_outer = "".join(f" {c}," for c in keep)
+    keep_inner = "".join(f" {c}," for c in keep)
     return f"""
         sp AS (
-          SELECT doc_id,
+          SELECT doc_id,{keep_outer}
                  list_transform(generate_series(1, len(toks)), p ->
                    CASE WHEN p % {MEDIA_EVERY} = 3 THEN
                      {{'kind': 'media', 'text': NULL,
@@ -74,7 +84,7 @@ def derive_spans_sql_cte(table: str = "documents") -> str:
                    ELSE
                      {{'kind': 'text', 'text': toks[p], 'media_ref': NULL, 'offset': p - 1}}
                    END) AS spans
-          FROM (SELECT doc_id, {tokens_sql('text')} AS toks FROM {table})
+          FROM (SELECT doc_id,{keep_inner} {tokens_sql('text')} AS toks FROM {table})
         )
     """
 
@@ -531,4 +541,73 @@ def interleave_profile_sql(table: str = "documents") -> str:
           FROM sp
         )
         ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Modality-mix accounting (per-source text/media balance for data planning)
+# ---------------------------------------------------------------------------
+
+
+def modality_mix(spanned: DataFrame, target_ppm: int = 150_000) -> DataFrame:
+    """Per-source modality balance over interleaved span sequences: how
+    much of each source is media vs text, and how far it sits from the
+    corpus's target media share — the planning table a multimodal data
+    mixer reads before deciding which sources to up/down-sample so the
+    blended corpus hits its image-token budget.
+
+    Input: (doc_id, source, spans) rows (``derive_spans(...,
+    keep=("source",))`` or a real extraction table). Output per source:
+    (source, n_docs, text_spans, media_spans, media_share_ppm,
+    dev_from_target_ppm) — all integer-exact (ppm via integer DIV;
+    nullif guards an all-empty source identically in both engines).
+
+    Scale shape: per-row higher-order ``filter``/``size`` over the spans
+    array (no explode), then ONE map-side-combinable hash-agg onto
+    |sources| rows — the cheapest possible pass over 100 TB of spans.
+    """
+    m = F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media")))
+    per = spanned.select(
+        "source",
+        (F.size("spans") - m).cast("long").alias("t"),
+        m.cast("long").alias("m"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("text_spans"),
+            F.sum("m").cast("long").alias("media_spans"),
+        )
+        .withColumn(
+            "media_share_ppm",
+            F.expr("media_spans * 1000000 DIV nullif(text_spans + media_spans, 0)"),
+        )
+        .withColumn(
+            "dev_from_target_ppm",
+            F.col("media_share_ppm") - F.lit(int(target_ppm)),
+        )
+    )
+
+
+def modality_mix_sql(table: str = "documents", target_ppm: int = 150_000) -> str:
+    return f"""
+        WITH {derive_spans_sql_cte(table, keep=("source",))},
+        per AS (
+          SELECT source,
+                 (len(spans) - len(list_filter(spans, s -> s['kind'] = 'media')))::BIGINT AS t,
+                 len(list_filter(spans, s -> s['kind'] = 'media'))::BIGINT AS m
+          FROM sp
+        ),
+        agg AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(t)::BIGINT AS text_spans, sum(m)::BIGINT AS media_spans
+          FROM per GROUP BY source
+        )
+        SELECT source, n_docs, text_spans, media_spans,
+               media_spans * 1000000 // nullif(text_spans + media_spans, 0) AS media_share_ppm,
+               media_spans * 1000000 // nullif(text_spans + media_spans, 0)
+                 - {int(target_ppm)} AS dev_from_target_ppm
+        FROM agg
+        ORDER BY source
     """

@@ -877,3 +877,27 @@ def test_dup_rate_report(spark):
     assert (got["a"]["n_docs"], got["a"]["n_unique"]) == (4, 2)
     assert got["a"]["dup_ppm"] == 2 * 1_000_000 // 4
     assert (got["b"]["n_docs"], got["b"]["n_unique"], got["b"]["dup_ppm"]) == (1, 1, 0)
+
+
+def test_modality_mix_matches_python(spark):
+    from searchgov_spider_spark.pipelines import spans as pspans
+
+    rows = [
+        (0, "a b c d e f g h i j", "s1"),   # 10 toks: media at p=3,10 -> 2
+        (1, "a b c", "s1"),                  # 3 toks: media at p=3 -> 1
+        (2, "a b", "s2"),                    # 2 toks: no media
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: r
+        for r in pspans.modality_mix(
+            pspans.derive_spans(docs, keep=("source",)), target_ppm=150_000
+        ).collect()
+    }
+    # s1: 13 spans total, 3 media
+    assert (got["s1"].n_docs, got["s1"].text_spans, got["s1"].media_spans) == (2, 10, 3)
+    assert got["s1"].media_share_ppm == 3 * 1_000_000 // 13
+    assert got["s1"].dev_from_target_ppm == 3 * 1_000_000 // 13 - 150_000
+    # s2: no media at all
+    assert (got["s2"].media_spans, got["s2"].media_share_ppm) == (0, 0)
+    assert got["s2"].dev_from_target_ppm == -150_000
