@@ -545,10 +545,14 @@ def semdedup(
         "id", "v", "cid", cosine_col(F.col("v"), F.col("cv")).alias("cc")
     )
     aw = Window.partitionBy("id").orderBy(F.desc("cc"), F.asc("cid"))
+    # materialize the assignment once: it feeds three branches (both pair
+    # sides + the final left join); without this, Spark replays the n*k
+    # centroid scoring per branch (same idiom as search.triangle_count)
     assigned = (
         scored.withColumn("_rn", F.row_number().over(aw))
         .filter(F.col("_rn") == 1)
         .select("id", F.col("cid").alias("cluster_id"), "v")
+        .localCheckpoint(eager=True)
     )
     cw = Window.partitionBy("cluster_id").orderBy(F.asc("id"))
     capped = (

@@ -109,3 +109,71 @@ def test_span_ops_tolerate_empty_spans(spark):
     assert prof[0]["n_spans"] == 0 and prof[0]["longest_text_run"] == 0
     assert prof[1]["longest_text_run"] == 1
     assert prof[2]["longest_text_run"] == 0
+
+
+def test_epoch_shuffle_is_pure_projection(docs_df):
+    from searchgov_spider_spark.pipelines import sampling as psampling
+
+    df = psampling.epoch_shuffle(docs_df)
+    assert _n_shuffles(df) == 0
+    assert "Python" not in _plan(df)
+
+
+def test_modality_mix_single_agg_shuffle(docs_df):
+    from searchgov_spider_spark.pipelines import spans as ps
+
+    df = ps.modality_mix(ps.derive_spans(docs_df, keep=("source",)))
+    assert _n_shuffles(df) == 1  # the per-source hash-agg, nothing else
+    assert "Generate" not in _plan(df)  # no explode: array fns only
+
+
+def test_bpe_pairs_two_agg_shuffles(docs_df):
+    from searchgov_spider_spark.pipelines import textstats as pstats
+
+    df = pstats.bpe_pairs(docs_df)
+    assert _n_shuffles(df) == 2  # word-count agg + pair agg
+    assert "Python" not in _plan(df)
+
+
+def test_compaction_plan_manifest_windows_only(spark):
+    from searchgov_spider_spark.pipelines.warehouse import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", 1, 10)], "part_key string, file_id long, bytes long"
+    )
+    df = compaction_plan(files, 100)
+    # both windows share the part_key partitioning: at most 2 exchanges
+    assert _n_shuffles(df) <= 2
+
+
+def test_mirror_hosts_no_cartesian(spark):
+    from searchgov_spider_spark.pipelines import search as psearch
+
+    pages = spark.createDataFrame(
+        [("a.gov", "f1"), ("b.gov", "f1")], "host string, fp string"
+    )
+    plan = (
+        psearch.mirror_hosts(pages)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan  # pair join keyed on fp, never all-pairs
+
+
+def test_semdedup_no_cartesian_beyond_centroid_broadcast(spark):
+    from searchgov_spider_spark.pipelines import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        psim.semdedup(emb, n_centroids=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only product is the broadcast of k centroid vectors; the
+    # intra-cluster pair join is keyed on cluster_id
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
