@@ -2898,6 +2898,90 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(parts[0].unionByName(parts[1]))
 
 
+def _wave_pages(docs: DataFrame, which: int) -> DataFrame:
+    """Deterministic two-wave page synthesis for change detection:
+    wave 2 drops every 17th page (gone), rewrites every 4th page's
+    content (changed), and adds a +10000-keyed page for every 13th doc
+    (new) — mirrored verbatim in the oracle SQL."""
+    dom = F.concat(F.lit("d"), (F.col("doc_id") % 25).cast("string"), F.lit(".gov"))
+    base = docs.select(
+        dom.alias("domain"),
+        F.concat(F.lit("https://"), dom, F.lit("/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("doc_id"),
+        F.col("text"),
+    )
+    if which == 1:
+        return base.select("domain", "url", F.md5("text").alias("content_hash"))
+    curr = base.filter(F.col("doc_id") % 17 != 0).select(
+        "domain",
+        "url",
+        F.when(F.col("doc_id") % 4 == 0, F.md5(F.concat(F.col("text"), F.lit("v2"))))
+        .otherwise(F.md5("text"))
+        .alias("content_hash"),
+    )
+    new = base.filter(F.col("doc_id") % 13 == 0).select(
+        "domain",
+        F.concat(
+            F.lit("https://"), F.col("domain"), F.lit("/p/"),
+            (F.col("doc_id") + 10000).cast("string"),
+        ).alias("url"),
+        F.md5(F.concat(F.col("text"), F.lit("new"))).alias("content_hash"),
+    )
+    return curr.unionByName(new)
+
+
+_WAVE1_SQL = """
+    SELECT 'd' || (doc_id % 25)::VARCHAR || '.gov' AS domain,
+           'https://d' || (doc_id % 25)::VARCHAR || '.gov/p/' || doc_id::VARCHAR AS url,
+           md5(text) AS content_hash
+    FROM documents
+"""
+
+_WAVE2_SQL = """
+    SELECT 'd' || (doc_id % 25)::VARCHAR || '.gov' AS domain,
+           'https://d' || (doc_id % 25)::VARCHAR || '.gov/p/' || doc_id::VARCHAR AS url,
+           CASE WHEN doc_id % 4 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS content_hash
+    FROM documents WHERE doc_id % 17 <> 0
+    UNION ALL
+    SELECT 'd' || (doc_id % 25)::VARCHAR || '.gov' AS domain,
+           'https://d' || (doc_id % 25)::VARCHAR || '.gov/p/' || (doc_id + 10000)::VARCHAR AS url,
+           md5(text || 'new') AS content_hash
+    FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-wave change detection: per-domain unchanged/changed/new/
+    gone counts + change rate in ppm between two synthesized crawl
+    waves — ONE full-outer join on url + one hash-agg; the recrawl-
+    frequency feedback signal."""
+    from .operators.traps import change_detect
+
+    docs = load(spark, sf_dir, "documents")
+    return _longify(change_detect(_wave_pages(docs, 1), _wave_pages(docs, 2)))
+
+
+def _change_detect_sql() -> str:
+    from .operators.traps import change_detect_sql
+
+    return change_detect_sql(_WAVE1_SQL, _WAVE2_SQL)
+
+
+def q_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding recall vs brute-force exact-Jaccard truth on
+    a deterministic sample — the sketch-quality monitoring row a dedup
+    pipeline computes per corpus drop; all-integer output. At 0.05 the
+    threshold sits below the banding curve's knee, so the row shows a
+    real <1 recall (the 25 high-sim pairs all collide; low-sim truth
+    pairs rightly roll off) with precision pinned at 1 by the exact
+    verify."""
+    return _longify(
+        pdedup.sketch_eval(
+            load(spark, sf_dir, "documents"), n_sample=500, threshold_ppm=50_000
+        )
+    )
+
+
 def q_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source modality balance over interleaved spans (text vs media
     spans, media share in ppm, deviation from the target share) — the
@@ -3076,6 +3160,8 @@ def queries():
         "semdedup": q_semdedup,
         "epoch_shuffle": q_epoch_shuffle,
         "modality_mix": q_modality_mix,
+        "change_detect": q_change_detect,
+        "sketch_eval": q_sketch_eval,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -3209,6 +3295,8 @@ def oracle_sql():
         "semdedup": psim.semdedup_sql(threshold=0.3),
         "epoch_shuffle": _epoch_shuffle_sql(),
         "modality_mix": pspans.modality_mix_sql(),
+        "change_detect": _change_detect_sql(),
+        "sketch_eval": pdedup.sketch_eval_sql(n_sample=500, threshold_ppm=50_000),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

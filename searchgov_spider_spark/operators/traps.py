@@ -303,3 +303,79 @@ def soft404_sql(pages_cte: str, min_chars: int = SOFT404_MIN_CHARS) -> str:
         FROM pg
         ORDER BY domain, url
     """
+
+
+# ---------------------------------------------------------------------------
+# Inter-wave change detection (the recrawl-frequency feedback signal)
+# ---------------------------------------------------------------------------
+
+
+def change_detect(prev: DataFrame, curr: DataFrame) -> DataFrame:
+    """Per-domain page-change accounting between two crawl waves: how
+    many URLs are unchanged / changed (same URL, different content
+    hash) / new / gone, plus the change rate in integer ppm — the
+    empirical basis every recrawl scheduler (and the reference's daily
+    cron cadence, scheduling/schedulers.py) budgets against: domains
+    with high churn earn shorter revisit intervals (feeds
+    recrawl_schedule's interval column).
+
+    Input: two waves of ``(domain, url, content_hash)``. Output per
+    domain: (domain, n_unchanged, n_changed, n_new, n_gone,
+    change_ppm) where change_ppm = changed * 1e6 DIV (changed +
+    unchanged) — the rate among pages seen in BOTH waves; all-integer.
+
+    Scale shape: ONE full-outer shuffle join on url (both sides are
+    narrow url+hash projections of the wave snapshots, co-partitioned
+    on the same key the state store already buckets by), then one
+    map-side-combinable hash-agg onto |domains| rows.
+    """
+    p = prev.select(
+        F.col("domain").alias("p_domain"), "url", F.col("content_hash").alias("p_hash")
+    )
+    c = curr.select(
+        F.col("domain").alias("c_domain"), "url", F.col("content_hash").alias("c_hash")
+    )
+    j = p.join(c, "url", "full_outer").select(
+        F.coalesce("c_domain", "p_domain").alias("domain"),
+        F.when(F.col("p_hash").isNull(), "new")
+        .when(F.col("c_hash").isNull(), "gone")
+        .when(F.col("p_hash") == F.col("c_hash"), "unchanged")
+        .otherwise("changed")
+        .alias("state"),
+    )
+    agg = j.groupBy("domain").agg(
+        F.sum((F.col("state") == "unchanged").cast("long")).alias("n_unchanged"),
+        F.sum((F.col("state") == "changed").cast("long")).alias("n_changed"),
+        F.sum((F.col("state") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("state") == "gone").cast("long")).alias("n_gone"),
+    )
+    return agg.withColumn(
+        "change_ppm",
+        F.expr("n_changed * 1000000 DIV nullif(n_changed + n_unchanged, 0)"),
+    )
+
+
+def change_detect_sql(prev_sql: str, curr_sql: str) -> str:
+    return f"""
+        WITH p AS ({prev_sql}), c AS ({curr_sql}),
+        j AS (
+          SELECT coalesce(c.domain, p.domain) AS domain,
+                 CASE WHEN p.url IS NULL THEN 'new'
+                      WHEN c.url IS NULL THEN 'gone'
+                      WHEN p.content_hash = c.content_hash THEN 'unchanged'
+                      ELSE 'changed' END AS state
+          FROM p FULL OUTER JOIN c ON p.url = c.url
+        ),
+        agg AS (
+          SELECT domain,
+                 sum(CASE WHEN state = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+                 sum(CASE WHEN state = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+                 sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+                 sum(CASE WHEN state = 'gone' THEN 1 ELSE 0 END)::BIGINT AS n_gone
+          FROM j GROUP BY domain
+        )
+        SELECT domain, n_unchanged, n_changed, n_new, n_gone,
+               n_changed * 1000000 // nullif(n_changed + n_unchanged, 0) AS change_ppm
+        FROM agg
+        ORDER BY domain
+    """

@@ -947,3 +947,113 @@ def dup_rate_report_sql(table: str = "documents") -> str:
         FROM agg
         ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Sketch-quality evaluation: LSH banding recall vs brute-force truth
+# ---------------------------------------------------------------------------
+
+
+def sketch_eval(
+    docs: DataFrame,
+    n_sample: int = 150,
+    ngram: int = 3,
+    threshold_ppm: int = 100_000,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Measured quality of the MinHash-LSH dedup path on a deterministic
+    sample: brute-force exact-Jaccard ground truth (all pairs of the
+    first ``n_sample`` docs) vs the pairs the production
+    ``minhash_lsh_pairs`` surfaces at the same threshold. Because the
+    production path exact-verifies its candidates, precision is 1 by
+    construction and the number that matters is **banding recall** —
+    the fraction of true pairs whose signatures collide in at least one
+    band. This is the monitoring query a 100-TB dedup pipeline runs on
+    a sampled slice per corpus drop to catch a drifting shingle
+    distribution before it silently under-dedups; the O(sample^2) truth
+    join is confined to the sample by construction.
+
+    Output: ONE row (n_truth, n_candidates, n_hit, recall_ppm,
+    precision_ppm) — all-integer (jaccard compared as inter*1e6 DIV
+    union on both engines).
+    """
+    sample = docs.filter(F.col("doc_id") < n_sample)
+    sh = (
+        sample.select(
+            "doc_id", shingles_col(tokens_col("text"), ngram).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("inter", inter)
+        .withColumn(
+            "jac_ppm",
+            F.expr("inter * 1000000 DIV (size(sh_a) + size(sh_b) - inter)"),
+        )
+        .filter(F.col("jac_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b")
+    )
+    cand = minhash_lsh_pairs(
+        sample, ngram=ngram, perms=perms, bands=bands,
+        threshold=threshold_ppm / 1_000_000,
+    ).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.expr("n_hit * 1000000 DIV nullif(n_truth, 0)").alias("recall_ppm"),
+        F.expr("n_hit * 1000000 DIV nullif(n_candidates, 0)").alias("precision_ppm"),
+    )
+
+
+def sketch_eval_sql(
+    table: str = "documents",
+    n_sample: int = 150,
+    ngram: int = 3,
+    threshold_ppm: int = 100_000,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> str:
+    sample = f"(SELECT * FROM {table} WHERE doc_id < {n_sample})"
+    lsh = minhash_lsh_pairs_sql(
+        sample, ngram=ngram, perms=perms, bands=bands,
+        threshold=threshold_ppm / 1_000_000,
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, {shingles_sql('toks', ngram)} AS sh
+          FROM (SELECT doc_id, {tokens_sql('text')} AS toks
+                FROM {table} WHERE doc_id < {n_sample})
+        ),
+        sh_ne AS (SELECT * FROM sh WHERE len(sh) > 0),
+        truth AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh_ne a JOIN sh_ne b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh)) * 1000000
+                // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= {threshold_ppm}
+        ),
+        cand AS (SELECT doc_a, doc_b FROM ({lsh})),
+        hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand),
+        n AS (
+          SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+                 (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+                 (SELECT count(*) FROM hit)::BIGINT AS n_hit
+        )
+        SELECT n_truth, n_candidates, n_hit,
+               n_hit * 1000000 // nullif(n_truth, 0) AS recall_ppm,
+               n_hit * 1000000 // nullif(n_candidates, 0) AS precision_ppm
+        FROM n
+    """

@@ -901,3 +901,23 @@ def test_modality_mix_matches_python(spark):
     # s2: no media at all
     assert (got["s2"].media_spans, got["s2"].media_share_ppm) == (0, 0)
     assert got["s2"].dev_from_target_ppm == -150_000
+
+
+def test_sketch_eval_counts_match_bruteforce(spark):
+    from searchgov_spider_spark.pipelines import dedup as pd2
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 0
+        (2, "one two three four five six seven eight"),
+        (3, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = pd2.sketch_eval(docs, n_sample=10, threshold_ppm=500_000).collect()[0]
+    # brute force: only (0,1) share >= 50% of 3-gram shingles
+    assert r.n_truth == 1
+    assert r.n_hit == r.n_candidates  # exact verify: no false positives kept
+    assert r.n_hit in (0, 1)
+    assert r.recall_ppm == r.n_hit * 1_000_000
+    if r.n_candidates:
+        assert r.precision_ppm == 1_000_000

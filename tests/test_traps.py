@@ -191,3 +191,31 @@ def test_soft404_flags(spark):
     assert not out["u3"]["is_soft404"]
     assert not out["u4"]["is_soft404"]  # 404 status is an honest 404
     assert out["u5"]["is_soft404"] and out["u5"]["pattern_hit"]
+
+
+def test_change_detect_states(spark):
+    from searchgov_spider_spark.operators.traps import change_detect
+
+    prev = spark.createDataFrame(
+        [
+            ("a.gov", "u1", "h1"), ("a.gov", "u2", "h2"), ("a.gov", "u3", "h3"),
+            ("b.gov", "u9", "h9"),
+        ],
+        "domain string, url string, content_hash string",
+    )
+    curr = spark.createDataFrame(
+        [
+            ("a.gov", "u1", "h1"),        # unchanged
+            ("a.gov", "u2", "h2x"),       # changed
+            ("a.gov", "u4", "h4"),        # new
+            # u3 gone; b.gov entirely gone
+        ],
+        "domain string, url string, content_hash string",
+    )
+    got = {r.domain: r for r in change_detect(prev, curr).collect()}
+    a = got["a.gov"]
+    assert (a.n_unchanged, a.n_changed, a.n_new, a.n_gone) == (1, 1, 1, 1)
+    assert a.change_ppm == 1_000_000 // 2
+    b = got["b.gov"]
+    assert (b.n_unchanged, b.n_changed, b.n_new, b.n_gone) == (0, 0, 0, 1)
+    assert b.change_ppm is None  # no co-observed pages: rate undefined, not 0
