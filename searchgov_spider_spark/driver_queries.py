@@ -2950,6 +2950,37 @@ _WAVE2_SQL = """
 """
 
 
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness compliance audit over a synthesized fetch log: per
+    domain, fetch count, minimum inter-fetch gap (exact integer millis)
+    and violations of the reference's 1 req/s/domain budget — one
+    shuffle shared by the lag window and the hash-agg."""
+    from .operators.politeness import politeness_audit
+
+    ev = load(spark, sf_dir, "events")
+    dom = F.concat(F.lit("d"), (F.col("user_id") % 25).cast("string"), F.lit(".gov"))
+    log = ev.select(
+        dom.alias("domain"),
+        F.concat(F.lit("https://"), dom, F.lit("/e/"), F.col("event_id").cast("string")).alias("url"),
+        F.col("ts"),
+    )
+    return _longify(politeness_audit(log))
+
+
+_FETCH_LOG_SQL = """
+    SELECT 'd' || (user_id % 25)::VARCHAR || '.gov' AS domain,
+           'https://d' || (user_id % 25)::VARCHAR || '.gov/e/' || event_id::VARCHAR AS url,
+           ts
+    FROM events
+"""
+
+
+def _politeness_audit_sql() -> str:
+    from .operators.politeness import politeness_audit_sql
+
+    return politeness_audit_sql(_FETCH_LOG_SQL)
+
+
 def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-wave change detection: per-domain unchanged/changed/new/
     gone counts + change rate in ppm between two synthesized crawl
@@ -3162,6 +3193,7 @@ def queries():
         "modality_mix": q_modality_mix,
         "change_detect": q_change_detect,
         "sketch_eval": q_sketch_eval,
+        "politeness_audit": q_politeness_audit,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -3297,6 +3329,7 @@ def oracle_sql():
         "modality_mix": pspans.modality_mix_sql(),
         "change_detect": _change_detect_sql(),
         "sketch_eval": pdedup.sketch_eval_sql(n_sample=500, threshold_ppm=50_000),
+        "politeness_audit": _politeness_audit_sql(),
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),

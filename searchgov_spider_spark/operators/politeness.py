@@ -228,3 +228,63 @@ def drain_report_sql(
         FROM agg
         ORDER BY domain
     """
+
+
+def politeness_audit(
+    fetch_log: DataFrame, delay_ms: int = DOWNLOAD_DELAY_S * 1000
+) -> DataFrame:
+    """Audit the politeness invariant OVER THE FETCH LOG: per domain,
+    the fetch count, the minimum inter-fetch gap, and how many gaps
+    violate the per-domain delay budget (reference: 1 req/s/domain,
+    settings.py:44-47 via DOWNLOAD_DELAY_S). The scheduler enforces the
+    budget at plan time (schedule_wave); this is the compliance check a
+    crawl operator runs over what ACTUALLY got fetched — the row that
+    proves (or disproves) politeness to a .gov webmaster.
+
+    Input: (domain, url, ts). Output per domain: (domain, n_fetches,
+    min_gap_ms, violations) — gaps in integer epoch-millis (ties on ts
+    break by url so the lag chain is deterministic); min_gap_ms NULL
+    for single-fetch domains.
+
+    Scale shape: one shuffle on domain shared by the lag window and the
+    hash-agg; the log is a narrow 3-column projection.
+    """
+    w = Window.partitionBy("domain").orderBy(F.asc("ts"), F.asc("url"))
+    # unix_millis, not cast(double)*1000: exact integer millis (a double
+    # epoch has ~0.5us resolution at 2026 magnitudes — truncation could
+    # differ from DuckDB's exact epoch_ms by 1ms on microsecond inputs)
+    # the NTZ->TZ cast is identity under the session's pinned UTC TZ
+    epoch_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gaps = fetch_log.select(
+        "domain",
+        "url",
+        "ts",
+        (epoch_ms - F.lag(epoch_ms).over(w)).alias("gap_ms"),
+    )
+    # when/otherwise, not bool-cast: (NULL < x) sums to NULL for a
+    # single-fetch domain, while the oracle's CASE yields 0 — mirror CASE
+    viol = F.when(F.col("gap_ms") < delay_ms, F.lit(1)).otherwise(F.lit(0))
+    return gaps.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.min("gap_ms").cast("long").alias("min_gap_ms"),
+        F.sum(viol).cast("long").alias("violations"),
+    )
+
+
+def politeness_audit_sql(
+    fetch_log_sql: str, delay_ms: int = DOWNLOAD_DELAY_S * 1000
+) -> str:
+    return f"""
+        WITH fl AS ({fetch_log_sql}),
+        gaps AS (
+          SELECT domain,
+                 (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                    PARTITION BY domain ORDER BY ts ASC, url ASC))::BIGINT AS gap_ms
+          FROM fl
+        )
+        SELECT domain, count(*)::BIGINT AS n_fetches,
+               min(gap_ms)::BIGINT AS min_gap_ms,
+               sum(CASE WHEN gap_ms < {delay_ms} THEN 1 ELSE 0 END)::BIGINT AS violations
+        FROM gaps GROUP BY domain
+        ORDER BY domain
+    """

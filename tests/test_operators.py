@@ -249,3 +249,24 @@ def test_drain_report_ceil_div_and_eta(spark):
     assert a["eta_seconds"] == 5  # 1 req/s politeness
     b = out["b.gov"]
     assert (b["pending"], b["waves_to_drain"], b["eta_seconds"]) == (1, 1, 1)
+
+
+def test_politeness_audit_gaps_and_violations(spark):
+    import datetime as dt
+
+    from searchgov_spider_spark.operators.politeness import politeness_audit
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    ms = dt.timedelta(milliseconds=1)
+    rows = [
+        ("a.gov", "u1", t0),
+        ("a.gov", "u2", t0 + 400 * ms),    # gap 400ms -> violation
+        ("a.gov", "u3", t0 + 1500 * ms),   # gap 1100ms -> ok
+        ("b.gov", "u9", t0),               # single fetch: no gap
+    ]
+    df = spark.createDataFrame(rows, "domain string, url string, ts timestamp")
+    got = {r.domain: r for r in politeness_audit(df, delay_ms=1000).collect()}
+    a = got["a.gov"]
+    assert (a.n_fetches, a.min_gap_ms, a.violations) == (3, 400, 1)
+    b = got["b.gov"]
+    assert (b.n_fetches, b.min_gap_ms, b.violations) == (1, None, 0)
