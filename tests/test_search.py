@@ -360,3 +360,39 @@ def test_mirror_hosts_df_cut_drops_boilerplate(spark):
     # sizes still count the boilerplate fp (the cut only gates pair GENERATION)
     assert rows[0].shared == 1 and rows[0].size_a == 2
     assert rows[0].jaccard_ppm == 1_000_000 // 3
+
+
+def test_mirror_hosts_random_matches_python(spark):
+    """Seeded random (host, fp) table vs a pure-python resemblance
+    oracle with the same df-cut."""
+    import random
+    from collections import defaultdict
+    from itertools import combinations
+
+    rng = random.Random(11)
+    pages = [
+        (f"h{rng.randint(0, 7)}.gov", f"f{rng.randint(0, 30)}")
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pages, "host string, fp string")
+    cap, thr = 4, 200_000
+    got = {
+        (r.host_a, r.host_b): (r.shared, r.size_a, r.size_b, r.jaccard_ppm)
+        for r in psearch.mirror_hosts(df, threshold_ppm=thr, max_hosts_per_fp=cap).collect()
+    }
+    sets = defaultdict(set)
+    for h, f in pages:
+        sets[h].add(f)
+    fp_hosts = defaultdict(set)
+    for h, f in set(pages):
+        fp_hosts[f].add(h)
+    rare = {f for f, hs in fp_hosts.items() if len(hs) <= cap}
+    exp = {}
+    for a, b in combinations(sorted(sets), 2):
+        shared = len(sets[a] & sets[b] & rare)
+        if not shared:
+            continue
+        jac = shared * 1_000_000 // (len(sets[a]) + len(sets[b]) - shared)
+        if jac >= thr:
+            exp[(a, b)] = (shared, len(sets[a]), len(sets[b]), jac)
+    assert got == exp

@@ -254,3 +254,35 @@ def test_zone_map_prune_envelopes(spark):
     # file 1 straddling the lo bound is kept when its max crosses lo
     got2 = {r.file_id: r for r in prune_files(zones, lo=30, hi=200).collect()}
     assert got2[1].kept and got2[1].rows_read == 2
+
+
+def test_compaction_plan_invariants_random_manifest(spark):
+    """Next-fit invariants on a seeded random manifest: every file
+    planned exactly once, grp_bytes is the true per-group sum, and in
+    each group the running bytes BEFORE its last (smallest) file stay
+    under the target — the bounded-overshoot guarantee."""
+    import random
+
+    from searchgov_spider_spark.pipelines.warehouse import compaction_plan
+
+    rng = random.Random(7)
+    rows = [
+        (f"p{i % 5}", i, rng.randint(1, 3000)) for i in range(200)
+    ]
+    target = 4096
+    files = spark.createDataFrame(rows, "part_key string, file_id long, bytes long")
+    got = compaction_plan(files, target).collect()
+    assert sorted((r.part_key, r.file_id) for r in got) == sorted(
+        (p, f) for p, f, _ in rows
+    )
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault((r.part_key, r.grp), []).append((r.bytes, r.file_id))
+        assert r.bytes == dict(((p, f), b) for p, f, b in rows)[(r.part_key, r.file_id)]
+    for (pk, g), members in by_grp.items():
+        total = sum(b for b, _ in members)
+        assert all(r.grp_bytes == total for r in got if (r.part_key, r.grp) == (pk, g))
+        # desc-bytes order within the group; cum before the last file < target
+        ordered = sorted(members, key=lambda t: (-t[0], t[1]))
+        cum_before_last = sum(b for b, _ in ordered[:-1])
+        assert cum_before_last < target
