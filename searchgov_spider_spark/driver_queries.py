@@ -358,6 +358,52 @@ Q_URL_CANONICALIZE_SQL = """
 """
 
 
+def q_url_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization collapse-rate report: per canonical host, raw
+    URL count vs distinct canonical URLs and the collapse rate in ppm —
+    the D1 complement quantifying how much dedup the canonicalizer
+    alone buys BEFORE the seen-set is consulted (casing/port/dot-
+    segment/query-order variants of the same page fold together). Same
+    messy synthesis as url_canonicalize, so the real pandas-UDF kernel
+    is in the loop; one hash-agg on the canonical host."""
+    canon = q_url_canonicalize(spark, sf_dir)
+    host = F.regexp_extract("canon_url", "://([^/]+)", 1)
+    return _longify(
+        canon.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.countDistinct("canon_url").cast("long").alias("n_canonical"),
+        )
+        .withColumn(
+            "collapse_ppm",
+            F.expr("(n_raw - n_canonical) * 1000000 DIV n_raw"),
+        )
+    )
+
+
+Q_URL_COLLAPSE_SQL = """
+    WITH canon AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'http://agency' || (doc_id % 7)::VARCHAR || '.gov/a/c?y=8&z=9'
+               WHEN 1 THEN 'https://www.site' || (doc_id % 7)::VARCHAR || '.gov/p/q/' || doc_id::VARCHAR || '/?a=1&b=2'
+               ELSE 'https://agency' || (doc_id % 7)::VARCHAR || '.gov/docs'
+             END AS canon_url
+      FROM documents
+    ),
+    agg AS (
+      SELECT regexp_extract(canon_url, '://([^/]+)', 1) AS host,
+             count(*)::BIGINT AS n_raw,
+             count(DISTINCT canon_url)::BIGINT AS n_canonical
+      FROM canon GROUP BY 1
+    )
+    SELECT host, n_raw, n_canonical,
+           (n_raw - n_canonical) * 1000000 // n_raw AS collapse_ppm
+    FROM agg
+    ORDER BY host
+"""
+
+
 # --- prefetch filters ------------------------------------------------------
 
 # Tiny config tables are built with JVM-side VALUES, not
@@ -3194,6 +3240,7 @@ def queries():
         "change_detect": q_change_detect,
         "sketch_eval": q_sketch_eval,
         "politeness_audit": q_politeness_audit,
+        "url_collapse": q_url_collapse,
         "token_counts": q_token_counts,
         "quality": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -3330,6 +3377,7 @@ def oracle_sql():
         "change_detect": _change_detect_sql(),
         "sketch_eval": pdedup.sketch_eval_sql(n_sample=500, threshold_ppm=50_000),
         "politeness_audit": _politeness_audit_sql(),
+        "url_collapse": Q_URL_COLLAPSE_SQL,
         "token_counts": pstats.token_counts_sql(),
         "quality": pstats.quality_features_sql(),
         "gopher_quality": pclean.gopher_stats_sql(),
