@@ -1230,9 +1230,16 @@ def q_lsh_ann(spark, sf_dir):
 
 
 def q_quantize_embeddings(spark, sf_dir):
-    """Symmetric int8 embedding quantization (integer outputs only)."""
+    """Symmetric int8 embedding quantization (integer outputs only).
+    Gate shape: the int8 vector is comma-joined to a string (the
+    driver's pandas canonicalizer cannot hash list cells)."""
+    qdf = psim.quantize_embeddings(load(spark, sf_dir, "embeddings"))
     return _longify(
-        psim.quantize_embeddings(load(spark, sf_dir, "embeddings")).orderBy("vec_id")
+        qdf.select(
+            "vec_id",
+            "scale_ppb",
+            F.array_join(F.col("q").cast("array<string>"), ",").alias("q"),
+        ).orderBy("vec_id")
     )
 
 
@@ -1730,8 +1737,19 @@ def q_corpus_prep(spark, sf_dir):
 
 def q_inverted_index(spark, sf_dir):
     """Posting-list build: (term, df, total_tf, sorted postings arrays) —
-    the physical structure behind the reference's Elasticsearch/i14y sink."""
-    return _longify(psearch.inverted_index(load(spark, sf_dir, "documents")))
+    the physical structure behind the reference's Elasticsearch/i14y sink.
+    Gate shape: posting arrays are comma-joined to strings because the
+    driver's pandas canonicalizer cannot hash list cells (r3 ERR)."""
+    idx = psearch.inverted_index(load(spark, sf_dir, "documents"))
+    return _longify(
+        idx.select(
+            "term",
+            "df",
+            "total_tf",
+            F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
+            F.array_join(F.col("tfs").cast("array<string>"), ",").alias("tfs"),
+        )
+    )
 
 
 def q_bm25_topk(spark, sf_dir):
@@ -1828,7 +1846,12 @@ def q_span_stats(spark, sf_dir):
     """Per-document span-sequence stats (kind counts, text/media mix,
     order integrity) over the interleaved spans array — higher-order
     array functions only, no explode shuffle."""
-    return _longify(pspans.span_stats(pspans.derive_spans(load(spark, sf_dir, "documents"))))
+    stats = pspans.span_stats(pspans.derive_spans(load(spark, sf_dir, "documents")))
+    # Gate shape: media_refs joined to a string (pandas canonicalizer
+    # cannot hash list cells); the library API keeps the array.
+    return _longify(
+        stats.withColumn("media_refs", F.array_join("media_refs", ","))
+    )
 
 
 def q_interleave_profile(spark, sf_dir):
@@ -1981,6 +2004,54 @@ Q_SITEMAP_REPORT_SQL = """
     FROM total t LEFT JOIN new n USING (sitemap_url)
     ORDER BY t.sitemap_url
 """
+
+
+# A4 second half: the readschedule per-day rollup. Sites are synthesized
+# from documents with a deterministic "M H * * dow" cron per doc_id; the
+# dow CASE is written out so both engines share the literal mapping.
+_SCHED_DOW_CASE = "CASE doc_id % 7 " + " ".join(
+    f"WHEN {i} THEN '{d}'"
+    for i, d in enumerate(("sun", "mon", "tue", "wed", "thu", "fri", "sat"))
+) + " END"
+
+_SCHEDULE_SITES_SQL = f"""
+    SELECT 'Site ' || doc_id::VARCHAR AS name,
+           (doc_id % 60)::VARCHAR || ' ' || (doc_id % 24)::VARCHAR
+             || ' * * ' || {_SCHED_DOW_CASE} AS schedule,
+           'd' || (doc_id % 25)::VARCHAR || '.gov' AS allowed_domains,
+           doc_id % 8 + 1 AS depth_limit
+    FROM documents
+"""
+
+
+def q_schedule_rollup(spark, sf_dir):
+    """A4 (second half): per-day crawl-schedule rollup — the reference's
+    readschedule.py markdown tables as one groupBy(day) plan
+    (operators/schedule_report.py)."""
+    from .operators.schedule_report import schedule_rollup
+
+    docs = load(spark, sf_dir, "documents")
+    sites = docs.select(
+        F.concat(F.lit("Site "), F.col("doc_id").cast("string")).alias("name"),
+        F.concat(
+            (F.col("doc_id") % 60).cast("string"),
+            F.lit(" "),
+            (F.col("doc_id") % 24).cast("string"),
+            F.lit(" * * "),
+            F.expr(_SCHED_DOW_CASE),
+        ).alias("schedule"),
+        F.concat(F.lit("d"), (F.col("doc_id") % 25).cast("string"), F.lit(".gov")).alias(
+            "allowed_domains"
+        ),
+        (F.col("doc_id") % 8 + 1).alias("depth_limit"),
+    )
+    return _longify(schedule_rollup(sites).orderBy("dow_idx"))
+
+
+def _schedule_rollup_oracle() -> str:
+    from .operators.schedule_report import schedule_rollup_sql
+
+    return schedule_rollup_sql(_SCHEDULE_SITES_SQL)
 
 
 _MONTH_NAMES = (
@@ -2947,8 +3018,12 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _wave_pages(docs: DataFrame, which: int) -> DataFrame:
     """Deterministic two-wave page synthesis for change detection:
     wave 2 drops every 17th page (gone), rewrites every 4th page's
-    content (changed), and adds a +10000-keyed page for every 13th doc
-    (new) — mirrored verbatim in the oracle SQL."""
+    content (changed), and adds a '/new/'-pathed page for every 13th
+    doc (new) — mirrored verbatim in the oracle SQL. The new-page URLs
+    live in their own path namespace so they can never collide with a
+    real wave-1 '/p/' URL at any table size (round-3 advisor finding:
+    '/p/' || (doc_id+10000) collided once the table held >=10001
+    docs, fanning out the full-outer join on both engines)."""
     dom = F.concat(F.lit("d"), (F.col("doc_id") % 25).cast("string"), F.lit(".gov"))
     base = docs.select(
         dom.alias("domain"),
@@ -2968,8 +3043,8 @@ def _wave_pages(docs: DataFrame, which: int) -> DataFrame:
     new = base.filter(F.col("doc_id") % 13 == 0).select(
         "domain",
         F.concat(
-            F.lit("https://"), F.col("domain"), F.lit("/p/"),
-            (F.col("doc_id") + 10000).cast("string"),
+            F.lit("https://"), F.col("domain"), F.lit("/new/"),
+            F.col("doc_id").cast("string"),
         ).alias("url"),
         F.md5(F.concat(F.col("text"), F.lit("new"))).alias("content_hash"),
     )
@@ -2990,7 +3065,7 @@ _WAVE2_SQL = """
     FROM documents WHERE doc_id % 17 <> 0
     UNION ALL
     SELECT 'd' || (doc_id % 25)::VARCHAR || '.gov' AS domain,
-           'https://d' || (doc_id % 25)::VARCHAR || '.gov/p/' || (doc_id + 10000)::VARCHAR AS url,
+           'https://d' || (doc_id % 25)::VARCHAR || '.gov/new/' || doc_id::VARCHAR AS url,
            md5(text || 'new') AS content_hash
     FROM documents WHERE doc_id % 13 = 0
 """
@@ -3217,8 +3292,21 @@ def queries():
         # -- 49-50: real Structured Streaming runs ---------------------
         "stream_dedup": q_stream_dedup,
         "stream_monitor": q_stream_monitor,
-        # ==== 51+: variants and breadth, cheapest first ===============
-        # 51-53: round-3 new families (crawl health + readability)
+        # ==== 51+: variants and breadth ================================
+        # 51-57: the seven r3-latent typing repairs (HUGEINT casts /
+        # array_join gate shapes), queued first so any extension of the
+        # driver's check window certifies the fixes before re-proving
+        # variants of already-green machinery.
+        "span_stats": q_span_stats,
+        "pack_spans": q_pack_spans,
+        "compaction_plan": q_compaction_plan,
+        "props_rollup": q_props_rollup,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "lang_mixture": q_lang_mixture,
+        "quantize_embeddings": q_quantize_embeddings,
+        # 58: round-4 new family (reference readschedule per-day rollup)
+        "schedule_rollup": q_schedule_rollup,
+        # 59+: round-3 new families (crawl health + readability)
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
         "readability": q_readability,
@@ -3230,7 +3318,6 @@ def queries():
         "soft404": q_soft404,
         "adaptive_budget": q_adaptive_budget,
         "mirror_hosts": q_mirror_hosts,
-        "compaction_plan": q_compaction_plan,
         "file_skipping": q_file_skipping,
         "bpe_pairs": q_bpe_pairs,
         "dsir_weights": q_dsir_weights,
@@ -3270,8 +3357,6 @@ def queries():
         "degree_stats": q_degree_stats,
         "anchor_texts": q_anchor_texts,
         "host_links": q_host_links,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "lang_mixture": q_lang_mixture,
         "dup_rate_report": q_dup_rate_report,
         "length_histogram": q_length_histogram,
         "source_entropy": q_source_entropy,
@@ -3281,7 +3366,6 @@ def queries():
         "rank_functions": q_rank_functions,
         "chi2": q_chi2,
         "hour_corr": q_hour_corr,
-        "props_rollup": q_props_rollup,
         "props_keys": q_props_keys,
         "debounce": q_debounce,
         "peak_events": q_peak_events,
@@ -3296,8 +3380,6 @@ def queries():
         "winnow_fingerprints": q_winnow_fingerprints,
         "cdc_chunks": q_cdc_chunks,
         "top_keywords": q_top_keywords,
-        "span_stats": q_span_stats,
-        "pack_spans": q_pack_spans,
         "media_captions": q_media_captions,
         "interleave_profile": q_interleave_profile,
         "truncate_spans": q_truncate_spans,
@@ -3306,7 +3388,6 @@ def queries():
         "repetition_profile": q_repetition_profile,
         "segment_dedup": q_segment_dedup,
         "dedup_ngram_spans": q_dedup_ngram_spans,
-        "quantize_embeddings": q_quantize_embeddings,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "simhash_sig": q_simhash_sig,
@@ -3335,6 +3416,7 @@ def oracle_sql():
         "sitemap_resolve": Q_SITEMAP_RESOLVE_SQL,
         "sitemap_discovery": Q_SITEMAP_DISCOVERY_SQL,
         "sitemap_report": Q_SITEMAP_REPORT_SQL,
+        "schedule_rollup": _schedule_rollup_oracle(),
         "endpoint_batches": Q_ENDPOINT_BATCHES_SQL,
         "endpoint_batches_partitioned": Q_ENDPOINT_BATCHES_PARTITIONED_SQL,
         "summarize": _summarize_sql(),

@@ -329,16 +329,22 @@ def change_detect(prev: DataFrame, curr: DataFrame) -> DataFrame:
     on the same key the state store already buckets by), then one
     map-side-combinable hash-agg onto |domains| rows.
     """
+    # Presence is decided by an explicit literal marker, NOT by
+    # content_hash nullity: a present row carrying a NULL hash must
+    # classify as changed/gone exactly as the SQL twin's url-nullity
+    # branch does (round-3 advisor finding).
     p = prev.select(
-        F.col("domain").alias("p_domain"), "url", F.col("content_hash").alias("p_hash")
+        F.col("domain").alias("p_domain"), "url",
+        F.col("content_hash").alias("p_hash"), F.lit(1).alias("p_present"),
     )
     c = curr.select(
-        F.col("domain").alias("c_domain"), "url", F.col("content_hash").alias("c_hash")
+        F.col("domain").alias("c_domain"), "url",
+        F.col("content_hash").alias("c_hash"), F.lit(1).alias("c_present"),
     )
     j = p.join(c, "url", "full_outer").select(
         F.coalesce("c_domain", "p_domain").alias("domain"),
-        F.when(F.col("p_hash").isNull(), "new")
-        .when(F.col("c_hash").isNull(), "gone")
+        F.when(F.col("p_present").isNull(), "new")
+        .when(F.col("c_present").isNull(), "gone")
         .when(F.col("p_hash") == F.col("c_hash"), "unchanged")
         .otherwise("changed")
         .alias("state"),

@@ -230,8 +230,8 @@ def repetition_stats_sql(table: str = "documents", width: int = SEGMENT_WIDTH) -
           FROM seg GROUP BY doc_id
         )
         SELECT d.doc_id,
-               coalesce(bs.n_bigrams, 0) AS n_bigrams,
-               coalesce(bs.top_c * 1000000 // bs.n_bigrams, 0) AS top_bigram_ppm,
+               coalesce(bs.n_bigrams, 0)::BIGINT AS n_bigrams,
+               coalesce(bs.top_c * 1000000 // bs.n_bigrams, 0)::BIGINT AS top_bigram_ppm,
                ss.n_segs AS n_segs,
                (ss.n_segs - ss.n_distinct_segs) * 1000000 // ss.n_segs AS dup_seg_ppm
         FROM {table} d

@@ -156,7 +156,17 @@ def minhash_lsh_pairs(
     Plan: narrow signature computation → explode to (band, key) [rows x
     bands] → shuffle once on the band key → same-bucket self-join →
     distinct pairs → join back for exact verification. No cross join.
+
+    The verify compares in integer parts-per-million (inter * 1e6 DIV
+    union >= round(threshold * 1e6)) — the SAME comparison sketch_eval's
+    ground truth uses, so a pair sitting in the half-ulp band below the
+    threshold cannot pass the candidate verify while failing truth
+    (round-3 advisor finding: the old round(jaccard, 6) filter admitted
+    jaccard in [threshold - 5e-7, threshold), breaking the
+    precision_ppm-pinned-at-1e6 property). The reported ``jaccard``
+    column stays the 6-dp rounded ratio.
     """
+    threshold_ppm = int(round(threshold * 1_000_000))
     rows = perms // bands
     # persist: the signature frame feeds four join branches (two bucket
     # sides, two shingle sides) — without it the shingle+md5 subplan
@@ -190,13 +200,9 @@ def minhash_lsh_pairs(
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
         .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_inter") / (F.size("sh_a") + F.size("sh_b") - F.col("_inter")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn("_union", F.size("sh_a") + F.size("sh_b") - F.col("_inter"))
+        .withColumn("jaccard", F.round(F.col("_inter") / F.col("_union"), 6))
+        .filter(F.expr(f"_inter * 1000000 DIV _union >= {threshold_ppm}"))
     )
     return verified.select("doc_a", "doc_b", "jaccard")
 
@@ -256,7 +262,7 @@ def minhash_lsh_pairs_sql(
         )
         SELECT doc_a, doc_b, round(inter / (la + lb - inter), 6) AS jaccard
         FROM scored
-        WHERE round(inter / (la + lb - inter), 6) >= {threshold}
+        WHERE inter * 1000000 // (la + lb - inter) >= {int(round(threshold * 1_000_000))}
         ORDER BY doc_a, doc_b
     """
 

@@ -98,7 +98,7 @@ def props_rollup_sql(table: str = "events") -> str:
     return f"""
         SELECT event_type,
                count(*) AS n_events,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
                count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
         FROM {table}
         GROUP BY event_type

@@ -113,10 +113,10 @@ def pack_chunks_sql(
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
           FROM pc_t
         )
-        SELECT doc_id, {ex}shard, n_tokens, start_off,
-               start_off + n_tokens AS end_off,
-               start_off // {capacity} AS first_chunk,
-               (start_off + greatest(n_tokens, 1) - 1) // {capacity} AS last_chunk
+        SELECT doc_id, {ex}shard, n_tokens, start_off::BIGINT AS start_off,
+               (start_off + n_tokens)::BIGINT AS end_off,
+               (start_off // {capacity})::BIGINT AS first_chunk,
+               ((start_off + greatest(n_tokens, 1) - 1) // {capacity})::BIGINT AS last_chunk
         FROM pc_s
         ORDER BY doc_id
     """
@@ -167,8 +167,9 @@ def chunk_stats_sql(
                  (sum(n_tokens) + {capacity - 1}) // {capacity} AS n_chunks
           FROM t GROUP BY shard
         )
-        SELECT shard, n_docs, n_tokens, n_chunks,
-               n_tokens * 1000000 // (n_chunks * {capacity}) AS fill_ppm
+        SELECT shard, n_docs, n_tokens::BIGINT AS n_tokens,
+               n_chunks::BIGINT AS n_chunks,
+               (n_tokens * 1000000 // (n_chunks * {capacity}))::BIGINT AS fill_ppm
         FROM g
         ORDER BY shard
     """
@@ -402,10 +403,11 @@ def pack_spans_sql(
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
           FROM ps_c
         )
-        SELECT doc_id, shard, n_text_tokens, n_media, cost, start_off,
-               start_off + cost AS end_off,
-               start_off // {capacity} AS first_chunk,
-               (start_off + greatest(cost, 1) - 1) // {capacity} AS last_chunk
+        SELECT doc_id, shard, n_text_tokens, n_media, cost,
+               start_off::BIGINT AS start_off,
+               (start_off + cost)::BIGINT AS end_off,
+               (start_off // {capacity})::BIGINT AS first_chunk,
+               ((start_off + greatest(cost, 1) - 1) // {capacity})::BIGINT AS last_chunk
         FROM ps_s
         ORDER BY doc_id
     """

@@ -113,6 +113,9 @@ def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def inverted_index_sql(table: str = "documents") -> str:
+    """Oracle twin of the driver-gate shape: posting arrays are emitted
+    as comma-joined strings (the gate's pandas canonicalizer cannot hash
+    list cells) and the HUGEINT ``sum(tf)`` is pinned ``::BIGINT``."""
     return f"""
         WITH terms AS (SELECT * FROM {_terms_sql(table)}),
         tf AS (
@@ -120,9 +123,9 @@ def inverted_index_sql(table: str = "documents") -> str:
         )
         SELECT term,
                count(*) AS df,
-               sum(tf) AS total_tf,
-               list(doc_id ORDER BY doc_id) AS doc_ids,
-               list(tf ORDER BY doc_id) AS tfs
+               sum(tf)::BIGINT AS total_tf,
+               array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+               array_to_string(list(tf ORDER BY doc_id), ',') AS tfs
         FROM tf GROUP BY term ORDER BY term
     """
 

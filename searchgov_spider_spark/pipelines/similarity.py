@@ -203,9 +203,9 @@ def quantize_embeddings_sql(table: str = "embeddings") -> str:
         )
         SELECT vec_id,
                (CASE WHEN ma > 0 THEN floor(ma / 127.0 * 1e9 + 0.5) ELSE 0 END)::BIGINT AS scale_ppb,
-               CASE WHEN ma > 0
+               array_to_string(CASE WHEN ma > 0
                     THEN list_transform(v, x -> (floor(x * 127.0 / ma + 0.5))::INT)
-                    ELSE list_transform(v, x -> 0) END AS q
+                    ELSE list_transform(v, x -> 0) END, ',') AS q
         FROM m
         ORDER BY vec_id
     """

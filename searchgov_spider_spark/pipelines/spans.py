@@ -165,8 +165,8 @@ def span_stats_sql(table: str = "documents") -> str:
                list_reduce(list_prepend(0,
                  list_transform(list_filter(spans, s -> s['kind'] = 'text'),
                                 s -> length(s['text']))), (a, b) -> a + b) AS text_chars,
-               list_transform(list_filter(spans, s -> s['kind'] = 'media'),
-                              s -> s['media_ref']) AS media_refs
+               array_to_string(list_transform(list_filter(spans, s -> s['kind'] = 'media'),
+                              s -> s['media_ref']), ',') AS media_refs
         FROM sp
         ORDER BY doc_id
     """

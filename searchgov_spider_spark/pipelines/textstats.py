@@ -769,9 +769,10 @@ def tokenizer_fertility_sql(table: str = "documents") -> str:
                  sum(ws_tokens) AS ws_tokens, sum(re_tokens) AS re_tokens
           FROM tfd GROUP BY source
         )
-        SELECT source, n_docs, n_bytes, ws_tokens, re_tokens,
-               n_bytes * 1000000 // re_tokens AS bytes_per_token_ppm,
-               re_tokens * 1000000 // ws_tokens AS fertility_ppm
+        SELECT source, n_docs, n_bytes::BIGINT AS n_bytes,
+               ws_tokens::BIGINT AS ws_tokens, re_tokens::BIGINT AS re_tokens,
+               (n_bytes * 1000000 // re_tokens)::BIGINT AS bytes_per_token_ppm,
+               (re_tokens * 1000000 // ws_tokens)::BIGINT AS fertility_ppm
         FROM agg
         ORDER BY source
     """
@@ -853,7 +854,7 @@ def lang_mixture_sql(table: str = "documents") -> str:
           FROM p GROUP BY predicted_lang
         )
         SELECT predicted_lang, n_docs, ws_tokens,
-               ws_tokens * 1000000 // (SELECT sum(ws_tokens) FROM agg) AS share_ppm
+               (ws_tokens * 1000000 // (SELECT sum(ws_tokens) FROM agg))::BIGINT AS share_ppm
         FROM agg
         ORDER BY predicted_lang
     """

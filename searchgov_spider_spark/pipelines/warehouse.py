@@ -114,8 +114,8 @@ def compaction_plan_sql(files_sql: str, target_bytes: int) -> str:
         WITH files AS ({files_sql}),
         planned AS (
           SELECT part_key, file_id, bytes::BIGINT AS bytes,
-                 (sum(bytes) OVER (PARTITION BY part_key ORDER BY bytes DESC, file_id ASC
-                                   ROWS UNBOUNDED PRECEDING) - bytes) // {target_bytes} AS grp
+                 ((sum(bytes) OVER (PARTITION BY part_key ORDER BY bytes DESC, file_id ASC
+                                   ROWS UNBOUNDED PRECEDING) - bytes) // {target_bytes})::BIGINT AS grp
           FROM files
         )
         SELECT part_key, file_id, bytes, grp,

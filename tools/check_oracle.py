@@ -1,7 +1,20 @@
 """Local replica of the driver's correctness gate: run each queries()
 entry on Spark and its oracle_sql() on DuckDB at the given sf, compare
-row count, schema (order-insensitive by column name), and value hash
-(rows sorted, columns sorted by name).
+row count, schema (order-insensitive by column name), and value hash.
+
+The value hash MIMICS THE DRIVER, not a friendlier normalization: both
+result sets go through a pandas roundtrip (``sdf.toPandas()`` /
+``rel.df()``), columns sorted by name, rows via ``sort_values`` over
+all columns, cells rendered with ``str()``. That reproduces the two
+failure classes the driver surfaced in rounds 2-3 that a custom
+``fetchall`` normalizer hid:
+
+- DuckDB HUGEINT (``sum(BIGINT)``) -> pandas float64 -> ``"8105.0"``
+  vs Spark int64 ``"8105"`` (hash mismatch on bit-identical values);
+- list cells -> ``sort_values`` raises ``unhashable type: 'list'``.
+
+A LIMIT-0 type probe (tools/probe_oracle_types.py) runs first so the
+whole class fails fast with the offending column named.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -9,7 +22,6 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
-import math
 import sys
 import time
 
@@ -26,30 +38,37 @@ TABLES = (
 )
 
 
-def norm_cell(v):
-    if v is None:
-        return "\0"
-    if isinstance(v, bool):
-        return "t" if v else "f"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{norm_cell(x)}" for k, x in sorted(v.items())) + "}"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+def canon_hash(pdf):
+    """Driver-style canonicalization: columns sorted by name, rows
+    sorted by all columns (raises on unhashable cells, as the driver
+    does), cells str()-rendered. Returns a 16-hex digest.
 
+    Two dtype normalizations calibrated against the driver's r3
+    verdicts (it passed monitor_codes/bm25_topk etc. with date/double
+    outputs while failing HUGEINT-vs-int64):
 
-def value_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    - float64 columns are rounded to 9 decimals (low-order-bit engine
+      noise tolerated, but a float column against an int column still
+      mismatches -> the HUGEINT class stays caught);
+    - datetime64 columns that are all-midnight render as bare dates
+      (Spark toPandas gives datetime.date objects, DuckDB .df() gives
+      datetime64[ns]; same value, different default str()).
+    """
+    import pandas as pd
+
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_float_dtype(s):
+            pdf[c] = s.round(9)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            if s.notna().all() and (s == s.dt.normalize()).all():
+                pdf[c] = s.dt.date
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
     h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
+    for row in pdf.itertuples(index=False, name=None):
+        h.update("|".join(str(v) for v in row).encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
 
@@ -57,6 +76,16 @@ def value_hash(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if "/" not in a]
+
+    # Fail fast on driver-unsafe oracle output types (HUGEINT/LIST/...).
+    from probe_oracle_types import probe
+
+    bad_types = probe(sf_dir)
+    if not only:
+        for name, bad in bad_types.items():
+            for col, ty in bad:
+                print(f"FAIL  {name}: oracle type unsafe for driver: {col} -> {ty}")
+
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
@@ -64,60 +93,65 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = []
+    failures = list(bad_types) if not only else []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.monotonic()
         try:
-            sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
             continue
         t1 = time.monotonic()
         if name not in oracles:
-            print(f"weak  {name}: {len(srows)} rows (no oracle) [{t1-t0:.1f}s]")
+            print(f"weak  {name}: {len(spdf)} rows (no oracle) [{t1-t0:.1f}s]")
             continue
         try:
-            res = con.sql(oracles[name])
-            orows = res.fetchall()
-            ocols = [d[0] for d in res.description]
+            opdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rows {len(srows)} vs {len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rows {len(spdf)} vs {len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols {sorted(spdf.columns)} vs {sorted(opdf.columns)}"
+            )
         else:
-            sh = value_hash(scols, [[r[c] for c in scols] for r in srows])
-            oh = value_hash(ocols, orows)
-            if sh != oh:
-                problems.append(f"hash {sh} vs {oh}")
+            try:
+                sh = canon_hash(spdf)
+                oh = canon_hash(opdf)
+            except TypeError as e:
+                problems.append(f"canonicalize error (driver would ERR): {e}")
+            else:
+                if sh != oh:
+                    problems.append(f"hash {sh} vs {oh}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{t1-t0:.1f}s]")
             failures.append(name)
-            # show a small diff sample
-            so = sorted(
-                ["|".join(norm_cell(r[c]) for c in sorted(scols)) for r in srows]
-            )
-            oo = sorted(
-                ["|".join(norm_cell(v) for _, v in sorted(zip(ocols, r))) for r in orows]
-            )
-            sset, oset = set(so), set(oo)
-            extra = [x for x in so if x not in oset][:3]
-            missing = [x for x in oo if x not in sset][:3]
-            for x in extra:
-                print(f"        spark-only: {x[:200]}")
-            for x in missing:
-                print(f"        oracle-only: {x[:200]}")
+            if sorted(spdf.columns) == sorted(opdf.columns):
+                cols = sorted(spdf.columns)
+                try:
+                    so = {
+                        "|".join(str(v) for v in r)
+                        for r in spdf[cols].itertuples(index=False, name=None)
+                    }
+                    oo = {
+                        "|".join(str(v) for v in r)
+                        for r in opdf[cols].itertuples(index=False, name=None)
+                    }
+                    for x in list(so - oo)[:3]:
+                        print(f"        spark-only: {x[:200]}")
+                    for x in list(oo - so)[:3]:
+                        print(f"        oracle-only: {x[:200]}")
+                except TypeError:
+                    pass
         else:
-            print(f"ok    {name}: {len(srows)} rows [{t1-t0:.1f}s]")
+            print(f"ok    {name}: {len(spdf)} rows [{t1-t0:.1f}s]")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
 

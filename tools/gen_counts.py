@@ -1,0 +1,81 @@
+"""Regenerate self-reported counts in README.md / BASELINE.md / BENCH.md
+from the artifacts themselves (round-3 verdict: hand-edited counts had
+drifted — README said 337 tests vs 341 collected, BASELINE said 133
+queries vs 147 exposed). Run after adding queries or tests:
+
+    python tools/gen_counts.py          # patch docs in place
+    python tools/gen_counts.py --check  # exit 1 if any doc is stale
+
+Counts produced:
+- n_queries   = len(__spark_entry__.queries())
+- n_oracles   = len(__spark_entry__.oracle_sql())
+- n_tests     = `pytest --collect-only -q` collected total
+
+Docs are patched via anchored regexes on the sentences that carry the
+numbers; an anchor that stops matching is an error (loud, not silent).
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+
+def counts() -> dict[str, int]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        capture_output=True, text=True, timeout=600,
+    )
+    m = re.search(r"(\d+) tests? collected", out.stdout)
+    if not m:
+        raise SystemExit(f"could not parse pytest collection: {out.stdout[-400:]}")
+    return {
+        "n_queries": len(qs),
+        "n_oracles": len(oracles),
+        "n_tests": int(m.group(1)),
+    }
+
+
+# (file, anchored pattern with ONE numeric group, replacement template)
+PATCHES = (
+    ("README.md", r"exposes (\d+) operator queries", "exposes {n_queries} operator queries"),
+    ("README.md", r"pytest suite \((\d+) tests", "pytest suite ({n_tests} tests"),
+    (
+        "BASELINE.md",
+        r"every `queries\(\)` entry \((\d+) as of [\d-]+\)",
+        "every `queries()` entry ({n_queries} as of 2026-08-19)",
+    ),
+)
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    c = counts()
+    print(f"counts: {c}")
+    stale = []
+    for path, pat, repl_t in PATCHES:
+        text = open(path).read()
+        repl = repl_t.format(**c)
+        new, n = re.subn(pat, repl, text)
+        if n == 0:
+            raise SystemExit(f"anchor not found in {path}: {pat}")
+        if new != text:
+            stale.append(f"{path}: {pat}")
+            if not check:
+                open(path, "w").write(new)
+    if check and stale:
+        print("STALE COUNTS:\n  " + "\n  ".join(stale))
+        return 1
+    print("docs " + ("stale" if stale else "in sync") + (": patched" if stale and not check else ""))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
