@@ -145,15 +145,24 @@ class CrawlScheduler:
 def engine_runner(spark, fetcher, robots=None, max_waves: int | None = None):
     """Production runner: one CrawlEngine per site, checkpointed under
     state_root/{job_id} so a Rerun:: replay RESUMES an interrupted crawl
-    instead of duplicating it."""
+    instead of duplicating it.
+
+    Resume is decided by the state dir itself: a committed frontier
+    snapshot means a previous boot died mid-crawl (its pending entry is
+    what routed us here), so continue from the latest committed wave
+    (P4, plans/crawl.py:142). A completed-then-killed-before-unlink job
+    resumes from its drained frontier and terminates immediately — the
+    at-least-once window degrades to a no-op, never duplicate output."""
     from .plans.crawl import CrawlEngine
 
     def run(site: CrawlSite, run_id: str, state_dir: str | Path | None = None):
         seeds = CrawlSites([site]).to_seeds_df(spark)
-        engine = CrawlEngine(
-            spark, seeds, fetcher, robots=robots,
-            state_dir=str(state_dir) if state_dir else None,
-        )
+        sd = str(state_dir) if state_dir else None
+        engine = CrawlEngine(spark, seeds, fetcher, robots=robots, state_dir=sd)
+        if sd and engine.store.latest_wave("frontier") is not None:
+            return CrawlEngine.resume(
+                spark, seeds, fetcher, robots=robots, state_dir=sd
+            )
         return engine.run(max_waves=max_waves)
 
     return run

@@ -74,8 +74,14 @@ def canon_hash(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
 
     # Fail fast on driver-unsafe oracle output types (HUGEINT/LIST/...).
     from probe_oracle_types import probe
@@ -93,7 +99,14 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        # A typo'd filter must hard-fail: a name matching nothing would
+        # otherwise skip every query and print a vacuous ALL OK.
+        print(f"FAIL  unknown query name(s): {unknown}")
+        return 2
     failures = list(bad_types) if not only else []
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -103,16 +116,19 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
+            records[name] = {"status": "err", "detail": f"spark: {type(e).__name__}"}
             continue
         t1 = time.monotonic()
         if name not in oracles:
             print(f"weak  {name}: {len(spdf)} rows (no oracle) [{t1-t0:.1f}s]")
+            records[name] = {"status": "weak", "rows": len(spdf), "sec": round(t1 - t0, 2)}
             continue
         try:
             opdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
+            records[name] = {"status": "err", "detail": f"duckdb: {str(e)[:160]}"}
             continue
         problems = []
         if len(spdf) != len(opdf):
@@ -133,6 +149,10 @@ def main():
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{t1-t0:.1f}s]")
             failures.append(name)
+            records[name] = {
+                "status": "fail", "rows": len(spdf),
+                "detail": "; ".join(problems)[:200], "sec": round(t1 - t0, 2),
+            }
             if sorted(spdf.columns) == sorted(opdf.columns):
                 cols = sorted(spdf.columns)
                 try:
@@ -152,6 +172,24 @@ def main():
                     pass
         else:
             print(f"ok    {name}: {len(spdf)} rows [{t1-t0:.1f}s]")
+            records[name] = {
+                "status": "ok", "rows": len(spdf),
+                "rows_match": True, "schema_match": True, "hash_match": True,
+                "sec": round(t1 - t0, 2),
+            }
+    if json_out:
+        import json
+
+        counts = {"ok": 0, "fail": 0, "err": 0, "weak": 0}
+        for r in records.values():
+            counts[r["status"]] += 1
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(records),
+                 "counts": counts, "queries": records},
+                f, indent=1,
+            )
+        print(f"wrote {json_out}: {counts}")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
 
