@@ -159,3 +159,45 @@ def test_completed_job_killed_before_unlink_is_noop(spark, world, tmp_path):
     sched2 = CrawlScheduler(sites, root, recording_runner)
     assert sched2.trigger_pending_jobs() == ["Rerun::hot"]
     assert replayed_results["Rerun::hot"].total_scheduled == 0
+
+
+def test_resume_from_every_truncation_prefix(spark, world, tmp_path):
+    """Crash-point sweep: truncating the committed state to ANY wave
+    prefix (deleting manifests > k hides later data — the torn-state
+    analog) and resuming must reproduce the uninterrupted run's
+    remaining per-wave schedule and its exact final seen set. This
+    pins the checkpoint format at every wave, not just the latest."""
+    import shutil
+
+    fetcher, robots = world
+    hot = next(s for s in _sites() if s.job_id == "hot")
+    seeds = CrawlSites([hot]).to_seeds_df(spark)
+
+    full_dir = tmp_path / "full"
+    ref = CrawlEngine(
+        spark, seeds, fetcher, robots=robots, state_dir=str(full_dir)
+    ).run()
+    ref_seen = _seen_set(ref)
+    probe = CrawlEngine(spark, seeds, fetcher, robots=robots, state_dir=str(full_dir))
+    waves = probe.store.committed_waves("frontier")
+    assert len(waves) >= 3  # sweep is vacuous on a 1-wave crawl
+
+    for k in waves[1:-1]:  # k=0 is a fresh run; last wave = drained frontier
+        d = tmp_path / f"trunc{k}"
+        shutil.copytree(full_dir, d)
+        for name in ("frontier", "seen", "documents"):
+            mdir = d / "manifests" / name
+            if not mdir.exists():
+                continue
+            for p in mdir.glob("wave=*.json"):
+                if int(p.name[5:-5]) > k:
+                    p.unlink()
+        resumed = CrawlEngine.resume(
+            spark, seeds, fetcher, robots=robots, state_dir=str(d)
+        )
+        start = resumed.waves[0].wave
+        assert 0 < start <= k
+        assert (
+            resumed.scheduled_per_wave == ref.scheduled_per_wave[start:]
+        ), f"schedule diverged resuming at truncation k={k}"
+        assert _seen_set(resumed) == ref_seen, f"seen set diverged at k={k}"
