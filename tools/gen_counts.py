@@ -49,8 +49,13 @@ PATCHES = (
     ("README.md", r"pytest suite \((\d+) tests", "pytest suite ({n_tests} tests"),
     (
         "BASELINE.md",
-        r"every `queries\(\)` entry \((\d+) as of [\d-]+\)",
-        "every `queries()` entry ({n_queries} as of 2026-08-19)",
+        r"(\d+) as of round 4",
+        "{n_queries} as of round 4",
+    ),
+    (
+        "BASELINE.md",
+        r"full suite green \((\d+) tests\)",
+        "full suite green ({n_tests} tests)",
     ),
 )
 
