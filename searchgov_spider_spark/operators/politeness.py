@@ -55,19 +55,24 @@ def schedule_wave(
         "_salt", F.pmod(F.col("url_hash"), F.lit(max(1, salt_buckets))).cast("int")
     )
     w_salted = Window.partitionBy(domain_col, "_salt").orderBy(*order)
-    pruned = (
-        salted.withColumn("_srn", F.row_number().over(w_salted))
-        .filter(F.col("_srn") <= budget_col)
-        .drop("_srn")
-    )
+    with_srn = salted.withColumn("_srn", F.row_number().over(w_salted))
+    pruned = with_srn.filter(F.col("_srn") <= budget_col).drop("_srn")
     w_exact = Window.partitionBy(domain_col).orderBy(*order)
     ranked = pruned.withColumn("fetch_rank", F.row_number().over(w_exact))
     scheduled = ranked.filter(F.col("fetch_rank") <= budget_col).drop("_salt")
-    # deferred = everything not scheduled: rows pruned in phase 1 plus rows
-    # ranked over budget in phase 2; recover by anti-join on identity
-    deferred = frontier.join(
-        scheduled.select("url_hash", "canon_url"), ["url_hash", "canon_url"], "left_anti"
+    # deferred = everything not scheduled. Both windows already computed
+    # the split, so recover it as a shuffle-free union of the two
+    # over-budget branches instead of the previous frontier-vs-scheduled
+    # left_anti join, which re-shuffled AND re-sorted the FULL frontier —
+    # the dominant table of the crawl loop — every wave. (The survivor
+    # branch additionally gets WindowGroupLimit pushed below its
+    # exchange; the dropped branch pays one plain window. Net: the
+    # anti-join's extra full-frontier exchange is gone.)
+    dropped_phase1 = with_srn.filter(F.col("_srn") > budget_col).drop("_srn", "_salt")
+    dropped_phase2 = (
+        ranked.filter(F.col("fetch_rank") > budget_col).drop("_salt", "fetch_rank")
     )
+    deferred = dropped_phase1.unionByName(dropped_phase2)
     return scheduled, deferred
 
 
