@@ -267,18 +267,41 @@ def bloom_might_contain_udf(spark, bloom: ShardedBloom):
     return might_contain
 
 
+# A suspect set up to this many rows is broadcast to probe `seen`
+# scan-side instead of shuffle-anti-joining it — ~8+40 B/row, so the
+# cap keeps the broadcast around 100 MB.
+BROADCAST_PROBE_MAX_ROWS = 2_000_000
+
+
 def dedupe_against_seen(
     candidates: DataFrame,
     seen: DataFrame,
     bloom: ShardedBloom | None = None,
     hash_col: str = "url_hash",
     url_col: str = "canon_url",
+    candidates_hint_rows: int | None = None,
+    seen_hint_rows: int | None = None,
 ) -> DataFrame:
     """D1: rows of ``candidates`` not present in ``seen``.
 
     With a bloom, candidates that *might* be seen go through the exact
     anti-join while definite-new rows skip it entirely; the union of both
     branches preserves exactness (bloom has no false negatives).
+
+    Join strategy for the exact check: the crawl loop's ``seen`` table
+    grows monotonically (10^10 rows at the design point) while a wave's
+    suspect set is politeness-budget-bounded, so a shuffle anti-join
+    re-shuffles AND re-sorts the huge side every wave for a tiny probe.
+    When the caller can bound the wave size (``candidates_hint_rows``,
+    an upper bound on |suspects|) under BROADCAST_PROBE_MAX_ROWS — and
+    ``seen`` is genuinely the big side (measured local crossover:
+    balanced 1M-vs-1M favors the shuffle, 20M-vs-0.2M favors the probe
+    1.5x and the gap grows with |seen|) — the check flips to two
+    broadcast passes with ZERO shuffles of ``seen``: semi-join ``seen``
+    against the broadcast suspects (a scan-side hash probe) to
+    materialize the confirmed-seen keys, then broadcast-anti the
+    suspects against those. Unhinted, oversized, or small-seen waves
+    keep the shuffle anti-join.
     """
     if bloom is None:
         return candidates.join(seen.select(hash_col, url_col), [hash_col, url_col], "left_anti")
@@ -286,7 +309,17 @@ def dedupe_against_seen(
     flagged = candidates.withColumn("_maybe_seen", bloom_might_contain_udf(spark, bloom)(F.col(hash_col)))
     definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    checked = suspects.join(seen.select(hash_col, url_col), [hash_col, url_col], "left_anti")
+    keys = [hash_col, url_col]
+    probe_pays = candidates_hint_rows is not None and candidates_hint_rows <= BROADCAST_PROBE_MAX_ROWS and (
+        seen_hint_rows is None or seen_hint_rows >= 4 * max(1, candidates_hint_rows)
+    )
+    if probe_pays:
+        confirmed = seen.select(*keys).join(
+            F.broadcast(suspects.select(*keys)), keys, "left_semi"
+        )
+        checked = suspects.join(F.broadcast(confirmed), keys, "left_anti")
+    else:
+        checked = suspects.join(seen.select(*keys), keys, "left_anti")
     return definite_new.unionByName(checked)
 
 

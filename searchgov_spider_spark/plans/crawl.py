@@ -421,7 +421,14 @@ class CrawlEngine:
             deduped = dedupe_intra_wave(candidates, order_cols=INTRA_WAVE_ORDER)
 
             bloom = self._maintain_bloom(seen, seen_count, scheduled, n_scheduled)
-            new_urls = dedupe_against_seen(deduped, seen, bloom)
+            # n_candidates (already counted for metrics) upper-bounds the
+            # suspect set and seen_count tracks the big side, letting
+            # steady-state waves take the broadcast-probe path that never
+            # shuffles the growing `seen` table
+            new_urls = dedupe_against_seen(
+                deduped, seen, bloom,
+                candidates_hint_rows=n_candidates, seen_hint_rows=seen_count,
+            )
 
             frontier_next = dedupe_intra_wave(
                 deferred.drop("wave_budget").unionByName(new_urls), order_cols=INTRA_WAVE_ORDER

@@ -122,6 +122,39 @@ def test_dedupe_against_seen_exact_and_bloom(spark):
     assert dedup.dedupe_against_seen(cand2, seen, bloom).count() == 1
 
 
+def test_dedupe_against_seen_broadcast_probe_equivalence(spark):
+    """The hinted broadcast-probe strategy (zero shuffles of `seen`)
+    must return exactly the shuffle anti-join's rows, including the
+    hash-collision and bloom-false-positive cases, and must only engage
+    when `seen` dominates the wave (the steady-state crawl shape)."""
+    rows = [(i, f"u{i}", 0) for i in range(200)]
+    cand = spark.createDataFrame(rows, "url_hash long, canon_url string, wave int")
+    # seen = even hashes, plus a colliding (hash, other-url) row that
+    # must not absorb candidate (7, "u7")
+    seen = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(0, 200, 2)] + [(7, "not-u7")],
+        "url_hash long, canon_url string",
+    )
+    bloom = dedup.build_bloom(seen, capacity=1000, fpp=0.01)
+    want = {r["canon_url"] for r in dedup.dedupe_against_seen(cand, seen, bloom).collect()}
+    got = {
+        r["canon_url"]
+        for r in dedup.dedupe_against_seen(
+            cand, seen, bloom, candidates_hint_rows=200, seen_hint_rows=10**9
+        ).collect()
+    }
+    assert got == want == {f"u{i}" for i in range(1, 200, 2)}
+    # probe must NOT engage for balanced sizes (seen < 4x candidates):
+    # same answer either way, asserted to pin the gate's correctness
+    got_balanced = {
+        r["canon_url"]
+        for r in dedup.dedupe_against_seen(
+            cand, seen, bloom, candidates_hint_rows=200, seen_hint_rows=101
+        ).collect()
+    }
+    assert got_balanced == want
+
+
 def test_dedupe_intra_wave_deterministic(spark):
     cand = spark.createDataFrame(
         [(7, "u", 2, 5, "late"), (7, "u", 1, 9, "early-depth"), (7, "u", 1, 3, "first")],
