@@ -1854,6 +1854,16 @@ def q_span_stats(spark, sf_dir):
     )
 
 
+def q_span_integrity(spark, sf_dir):
+    """Interleaved-span contract audit over a deterministically damaged
+    spans table (offset disorder, unknown kinds, null payloads, field
+    conflicts injected per doc_id residue classes): the validation pass
+    an ingest runs before trusting extraction output. Higher-order
+    array functions only — no explode, no shuffle."""
+    spanned = pspans.derive_spans(load(spark, sf_dir, "documents"))
+    return _longify(pspans.span_integrity(pspans.corrupt_spans(spanned)))
+
+
 def q_interleave_profile(spark, sf_dir):
     """Per-document span-kind transition counts + longest text run — the
     interleaving-structure metric; one pass of higher-order array fns,
@@ -3304,8 +3314,10 @@ def queries():
         "tokenizer_fertility": q_tokenizer_fertility,
         "lang_mixture": q_lang_mixture,
         "quantize_embeddings": q_quantize_embeddings,
-        # 58: round-4 new family (reference readschedule per-day rollup)
+        # 58+: round-4 new families (reference readschedule per-day
+        # rollup; ingest-validation / scale-diagnostics additions)
         "schedule_rollup": q_schedule_rollup,
+        "span_integrity": q_span_integrity,
         # 59+: round-3 new families (crawl health + readability)
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
@@ -3536,6 +3548,7 @@ def oracle_sql():
         "top_keywords": pstats.top_keywords_sql(k=10),
         "spans_flatten": pspans.flatten_spans_sql(),
         "span_stats": pspans.span_stats_sql(),
+        "span_integrity": pspans.span_integrity_sql(),
         "media_captions": pspans.media_captions_sql(),
         "interleave_profile": pspans.interleave_profile_sql(),
         "truncate_spans": pspans.truncate_spans_sql(),

@@ -611,3 +611,134 @@ def modality_mix_sql(table: str = "documents", target_ppm: int = 150_000) -> str
         FROM agg
         ORDER BY source
     """
+
+
+def corrupt_spans(spanned: DataFrame) -> DataFrame:
+    """Deterministically damage a slice of a spans table so the
+    integrity audit has something to find (test/gate synth, mirrored
+    bit-for-bit by ``corrupt_spans_sql_cte``). Per doc_id:
+
+    - ``% 11 == 0``: zero out every offset (breaks strict ordering for
+      any doc with >= 2 spans);
+    - ``% 13 == 0``: null the text of every text span;
+    - ``% 17 == 0``: relabel every 2nd span's kind to 'ad' (unknown);
+    - ``% 19 == 0``: give text spans a media_ref (field conflict).
+
+    Damage composes when several predicates hit the same doc.
+    """
+    did = F.col("doc_id")
+    spans = F.col("spans")
+
+    def span(kind, text, ref, off):
+        return F.struct(
+            kind.alias("kind"), text.alias("text"),
+            ref.alias("media_ref"), off.cast("int").alias("offset"),
+        )
+
+    damaged = F.transform(
+        spans,
+        lambda s, i: span(
+            F.when((did % 17 == 0) & (i % 2 == 1), F.lit("ad")).otherwise(s["kind"]),
+            F.when((did % 13 == 0) & (s["kind"] == "text"), F.lit(None).cast("string")).otherwise(s["text"]),
+            F.when((did % 19 == 0) & (s["kind"] == "text"), F.lit("https://ads.example.com/x.gif")).otherwise(s["media_ref"]),
+            F.when(did % 11 == 0, F.lit(0)).otherwise(s["offset"]),
+        ),
+    )
+    return spanned.withColumn("spans", damaged)
+
+
+def corrupt_spans_sql_cte(src: str = "sp") -> str:
+    """DuckDB CTE ``corrupted`` applying the identical damage to ``src``
+    (1-based list position p maps to the Spark lambda's 0-based i)."""
+    return f"""
+        corrupted AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(spans)), p ->
+                   {{'kind': CASE WHEN doc_id % 17 = 0 AND (p - 1) % 2 = 1
+                                  THEN 'ad' ELSE spans[p]['kind'] END,
+                     'text': CASE WHEN doc_id % 13 = 0 AND spans[p]['kind'] = 'text'
+                                  THEN NULL ELSE spans[p]['text'] END,
+                     'media_ref': CASE WHEN doc_id % 19 = 0 AND spans[p]['kind'] = 'text'
+                                       THEN 'https://ads.example.com/x.gif'
+                                       ELSE spans[p]['media_ref'] END,
+                     'offset': CASE WHEN doc_id % 11 = 0 THEN 0
+                                    ELSE spans[p]['offset'] END}}) AS spans
+          FROM {src}
+        )
+    """
+
+
+def span_integrity(spanned: DataFrame) -> DataFrame:
+    """Per-doc integrity audit of the interleaved span contract — the
+    validation pass a 100 TB ingest runs before trusting upstream
+    extraction output (the input_hint table is produced by many
+    independent crawl waves; a single bad extractor build silently
+    corrupts ordering or kind tags).
+
+    Checks, all as native higher-order array functions (no explode, no
+    shuffle — one narrow projection per doc):
+
+    - ``n_disorder``   spans whose offset is not strictly greater than
+                       the previous span's (order violations);
+    - ``n_bad_kind``   kind outside {'text','media'};
+    - ``n_text_null``  text spans with NULL text;
+    - ``n_media_null`` media spans with NULL media_ref;
+    - ``n_conflict``   text spans carrying a media_ref, or media spans
+                       carrying text;
+    - ``is_valid``     all of the above zero.
+
+    Returns (doc_id, n_spans, n_disorder, n_bad_kind, n_text_null,
+    n_media_null, n_conflict, is_valid).
+    """
+    spans = F.col("spans")
+
+    def count_where(pred):
+        return F.size(F.filter(spans, pred)).cast("long")
+
+    disorder = F.size(
+        F.filter(
+            spans,
+            lambda s, i: (i > 0) & (s["offset"] <= F.element_at(spans, i)["offset"]),
+        )
+    ).cast("long")
+    out = spanned.select(
+        "doc_id",
+        F.size(spans).cast("long").alias("n_spans"),
+        disorder.alias("n_disorder"),
+        count_where(lambda s: ~s["kind"].isin("text", "media")).alias("n_bad_kind"),
+        count_where(lambda s: (s["kind"] == "text") & s["text"].isNull()).alias("n_text_null"),
+        count_where(lambda s: (s["kind"] == "media") & s["media_ref"].isNull()).alias("n_media_null"),
+        count_where(
+            lambda s: ((s["kind"] == "text") & s["media_ref"].isNotNull())
+            | ((s["kind"] == "media") & s["text"].isNotNull())
+        ).alias("n_conflict"),
+    )
+    bad = (
+        F.col("n_disorder") + F.col("n_bad_kind") + F.col("n_text_null")
+        + F.col("n_media_null") + F.col("n_conflict")
+    )
+    return out.withColumn("is_valid", bad == 0)
+
+
+def span_integrity_sql(table: str = "documents") -> str:
+    """Oracle twin: derive -> corrupt -> audit. The Spark gate query
+    applies ``corrupt_spans`` to the same derived table."""
+    return f"""
+        WITH {derive_spans_sql_cte(table)},
+        {corrupt_spans_sql_cte('sp')},
+        audited AS (
+          SELECT doc_id,
+                 len(spans)::BIGINT AS n_spans,
+                 len(list_filter(generate_series(2, len(spans)), p ->
+                     spans[p]['offset'] <= spans[p - 1]['offset']))::BIGINT AS n_disorder,
+                 len(list_filter(spans, s -> s['kind'] NOT IN ('text', 'media')))::BIGINT AS n_bad_kind,
+                 len(list_filter(spans, s -> s['kind'] = 'text' AND s['text'] IS NULL))::BIGINT AS n_text_null,
+                 len(list_filter(spans, s -> s['kind'] = 'media' AND s['media_ref'] IS NULL))::BIGINT AS n_media_null,
+                 len(list_filter(spans, s -> (s['kind'] = 'text' AND s['media_ref'] IS NOT NULL)
+                                          OR (s['kind'] = 'media' AND s['text'] IS NOT NULL)))::BIGINT AS n_conflict
+          FROM corrupted
+        )
+        SELECT *, (n_disorder + n_bad_kind + n_text_null + n_media_null + n_conflict) = 0 AS is_valid
+        FROM audited
+        ORDER BY doc_id
+    """

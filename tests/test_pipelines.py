@@ -290,6 +290,39 @@ class TestSpans:
         assert stats[0]["n_spans"] == len(toks0)
         assert len(stats[0]["media_refs"]) == n_media
 
+    def test_span_integrity(self, spark, docs_df):
+        spanned = pspans.derive_spans(docs_df)
+        clean = {r["doc_id"]: r for r in pspans.span_integrity(spanned).collect()}
+        assert all(r["is_valid"] for r in clean.values())
+        assert all(
+            r["n_disorder"] == r["n_bad_kind"] == r["n_text_null"]
+            == r["n_media_null"] == r["n_conflict"] == 0
+            for r in clean.values()
+        )
+        # Hand-built damage: doc 0 offsets zeroed + unknown kind; doc 13
+        # null text span; doc 19 text span carrying a media_ref.
+        rows = [
+            (0, [("ad", "a", None, 0), ("text", "b", None, 0)]),
+            (13, [("text", None, None, 0), ("media", None, "m", 1)]),
+            (19, [("text", "x", "http://ads/x.gif", 0)]),
+        ]
+        df = spark.createDataFrame(
+            rows, f"doc_id long, spans {pspans.SPAN_SCHEMA}"
+        )
+        audit = {r["doc_id"]: r for r in pspans.span_integrity(df).collect()}
+        assert not audit[0]["is_valid"] and audit[0]["n_disorder"] == 1 and audit[0]["n_bad_kind"] == 1
+        assert audit[13]["n_text_null"] == 1 and audit[13]["n_media_null"] == 0
+        assert audit[19]["n_conflict"] == 1 and not audit[19]["is_valid"]
+
+    def test_corrupt_spans_damages_residue_classes(self, docs_df):
+        spanned = pspans.derive_spans(docs_df)
+        audit = {r["doc_id"]: r for r in pspans.span_integrity(pspans.corrupt_spans(spanned)).collect()}
+        # doc 0 hits %11/%13/%17/%19 simultaneously; docs 1-5 hit none.
+        assert not audit[0]["is_valid"]
+        assert audit[0]["n_disorder"] > 0 and audit[0]["n_text_null"] > 0
+        for d in (1, 2, 3, 4, 5):
+            assert audit[d]["is_valid"], d
+
     def test_media_captions_windows(self, docs_df):
         rows = pspans.media_captions(pspans.derive_spans(docs_df), window=3).collect()
         by_key = {(r["doc_id"], r["offset"]): r for r in rows}
