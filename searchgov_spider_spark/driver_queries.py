@@ -48,6 +48,7 @@ from .pipelines import sampling as psampling
 from .pipelines import temporal as ptemporal
 from .pipelines import search as psearch
 from .pipelines import similarity as psim
+from .pipelines import profiling as pprofiling
 from .pipelines import spans as pspans
 from .pipelines import textstats as pstats
 
@@ -2034,6 +2035,61 @@ _SCHEDULE_SITES_SQL = f"""
 """
 
 
+_SKEW_TIERS = [(50, 0), (75, 1), (87, 2), (93, 3), (96, 4), (98, 5)]
+
+
+def _skewed_frontier(spark, sf_dir):
+    """Synthetic hot-.gov frontier from events: halving-tier domain
+    assignment (tier 0 owns ~1/2 the rows, tier 1 ~1/4, ... tier 6 the
+    tail) — the shuffle-skew shape the crawl engine salts against."""
+    ev = load(spark, sf_dir, "events")
+    k = F.col("event_id") % 100
+    dom = F.lit(6)
+    for bound, idx in reversed(_SKEW_TIERS):
+        dom = F.when(k < bound, idx).otherwise(dom)
+    return ev.select(
+        F.concat(
+            F.lit("https://hot"), dom.cast("string"), F.lit(".gov/p/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("hot"), dom.cast("string"), F.lit(".gov")).alias("domain"),
+    )
+
+
+def _skewed_frontier_sql_cte() -> str:
+    tiers = " ".join(
+        f"WHEN event_id % 100 < {b} THEN {i}" for b, i in _SKEW_TIERS
+    )
+    return f"""
+        frontier AS (
+          SELECT 'https://hot' || dom::VARCHAR || '.gov/p/' || event_id::VARCHAR AS url,
+                 'hot' || dom::VARCHAR || '.gov' AS domain
+          FROM (SELECT event_id, CASE {tiers} ELSE 6 END AS dom FROM events)
+        )
+    """
+
+
+def q_skew_plan(spark, sf_dir):
+    """Shuffle-skew diagnosis + salting plan over the synthetic hot-.gov
+    frontier keyed on domain: exact per-key counts (one map-side-combined
+    hash-agg + broadcast 1-row total), hot tail only, integer share_ppm
+    and the ceil(cnt/target) salt factor the salted two-phase operators
+    consume (pipelines/profiling.py:skew_plan)."""
+    from .pipelines.profiling import skew_plan
+
+    return _longify(skew_plan(_skewed_frontier(spark, sf_dir), "domain", 500))
+
+
+def q_partition_plan(spark, sf_dir):
+    """Explicit frontier hash-partition layout audit (north-rule shape:
+    10^10 URLs partitioned on canonical-URL hash): per-partition rows,
+    domain spread, residual max-domain skew and integer load_ppm for
+    P=32 (pipelines/profiling.py:partition_plan)."""
+    from .pipelines.profiling import partition_plan
+
+    return _longify(partition_plan(_skewed_frontier(spark, sf_dir), 32))
+
+
 def q_schedule_rollup(spark, sf_dir):
     """A4 (second half): per-day crawl-schedule rollup — the reference's
     readschedule.py markdown tables as one groupBy(day) plan
@@ -3318,6 +3374,8 @@ def queries():
         # rollup; ingest-validation / scale-diagnostics additions)
         "schedule_rollup": q_schedule_rollup,
         "span_integrity": q_span_integrity,
+        "skew_plan": q_skew_plan,
+        "partition_plan": q_partition_plan,
         # 59+: round-3 new families (crawl health + readability)
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
@@ -3549,6 +3607,10 @@ def oracle_sql():
         "spans_flatten": pspans.flatten_spans_sql(),
         "span_stats": pspans.span_stats_sql(),
         "span_integrity": pspans.span_integrity_sql(),
+        "skew_plan": "WITH " + _skewed_frontier_sql_cte()
+        + pprofiling.skew_plan_sql("frontier", "domain", 500).replace("WITH", ",", 1),
+        "partition_plan": "WITH " + _skewed_frontier_sql_cte()
+        + pprofiling.partition_plan_sql("frontier", 32).replace("WITH", ",", 1),
         "media_captions": pspans.media_captions_sql(),
         "interleave_profile": pspans.interleave_profile_sql(),
         "truncate_spans": pspans.truncate_spans_sql(),

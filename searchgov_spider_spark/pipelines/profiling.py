@@ -15,6 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash32_col as hash32_col
+from ..functions.hashing import portable_hash32_sql as hash32_sql
+
 
 def profile_table(df: DataFrame) -> DataFrame:
     """(column, n, n_null, n_distinct) per column, one scan.
@@ -47,3 +50,123 @@ def profile_table_sql(table: str, columns: list[str]) -> str:
         for c in columns
     ]
     return " UNION ALL ".join(selects) + ' ORDER BY "column"'
+
+
+def skew_plan(
+    df: DataFrame, key_col: str, target_rows_per_task: int = 1_000_000
+) -> DataFrame:
+    """Shuffle-skew diagnosis + salting plan for a prospective
+    groupBy/join key — the pre-flight a 100 TB job runs before keying a
+    shuffle on a column like `domain` (the reference crawl's hot-.gov
+    problem: a handful of domains own most of the frontier, so one
+    reducer gets the whole key while 999 executors idle).
+
+    Returns ONE ROW PER HOT KEY (keys whose row count exceeds the
+    per-task target), with
+
+    - ``cnt``         exact rows under the key,
+    - ``share_ppm``   cnt * 1e6 DIV total (integer, engine-portable),
+    - ``salt_factor`` ceil(cnt / target): how many salted sub-keys to
+                      spread the key over (the factor `salted two-phase`
+                      aggregation/join code should use).
+
+    Plan shape: one hash-agg on the key (map-side combined) + a
+    broadcast 1-row total join — no window over all keys, output is
+    only the hot tail. At 10^10 frontier rows this is one shuffle of
+    |distinct keys| combiner rows, and the result is small enough to
+    drive a broadcast salt map.
+    """
+    t = max(int(target_rows_per_task), 1)
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    total = df.agg(F.count("*").cast("long").alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") > t)
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000 DIV _total").alias("share_ppm"),
+            F.expr(f"(cnt + {t} - 1) DIV {t}").alias("salt_factor"),
+        )
+    )
+
+
+def skew_plan_sql(table: str, key_expr: str, target_rows_per_task: int = 1_000_000) -> str:
+    t = max(int(target_rows_per_task), 1)
+    return f"""
+        WITH counts AS (
+          SELECT {key_expr} AS key, count(*)::BIGINT AS cnt FROM {table} GROUP BY 1
+        ), total AS (SELECT count(*)::BIGINT AS _total FROM {table})
+        SELECT key, cnt,
+               (cnt * 1000000 // _total)::BIGINT AS share_ppm,
+               ((cnt + {t} - 1) // {t})::BIGINT AS salt_factor
+        FROM counts, total
+        WHERE cnt > {t}
+        ORDER BY cnt DESC, key
+    """
+
+
+def partition_plan(
+    frontier: DataFrame,
+    n_partitions: int,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Explicit hash-partition layout audit for the URL frontier — the
+    north-rule contract is "scales to 10^10 URLs via explicit hash
+    partitioning on canonical-URL hash", and this is the operator that
+    PROVES a chosen partition count holds: assign every row its
+    partition id ``pmod(hash32(url), P)`` (the same deterministic
+    md5-based hash the seen-set shards on), then report per partition
+
+    - ``n_urls``           rows landing in the partition,
+    - ``n_domains``        distinct domains (politeness-budget spread),
+    - ``max_domain_rows``  the largest single domain inside it (residual
+                           intra-partition skew a salt map must absorb),
+    - ``load_ppm``         n_urls * 1e6 DIV total vs the ideal 1e6/P.
+
+    Two hash-aggs (url->pid+domain, then pid), both map-side combined;
+    output is exactly P rows. A balanced plan shows load_ppm tightly
+    around 1e6/P; a fat max_domain_rows flags the keys skew_plan would
+    salt."""
+    p = int(n_partitions)
+    pid = F.pmod(hash32_col(F.col(url_col)), F.lit(p)).cast("long")
+    per_dom = (
+        frontier.select(pid.alias("pid"), F.col(domain_col).alias("domain"))
+        .groupBy("pid", "domain")
+        .agg(F.count("*").cast("long").alias("dn"))
+    )
+    per_pid = per_dom.groupBy("pid").agg(
+        F.sum("dn").cast("long").alias("n_urls"),
+        F.count("*").cast("long").alias("n_domains"),
+        F.max("dn").cast("long").alias("max_domain_rows"),
+    )
+    total = per_pid.agg(F.sum("n_urls").cast("long").alias("_total"))
+    return per_pid.join(F.broadcast(total)).select(
+        "pid", "n_urls", "n_domains", "max_domain_rows",
+        F.expr("n_urls * 1000000 DIV _total").alias("load_ppm"),
+    )
+
+
+def partition_plan_sql(
+    table: str, n_partitions: int, url_expr: str = "url", domain_expr: str = "domain"
+) -> str:
+    p = int(n_partitions)
+    h = hash32_sql(url_expr)
+    return f"""
+        WITH rows_pid AS (
+          SELECT {h} % {p} AS pid, {domain_expr} AS domain FROM {table}
+        ), per_dom AS (
+          SELECT pid, domain, count(*)::BIGINT AS dn FROM rows_pid GROUP BY pid, domain
+        ), per_pid AS (
+          SELECT pid, sum(dn)::BIGINT AS n_urls, count(*)::BIGINT AS n_domains,
+                 max(dn)::BIGINT AS max_domain_rows
+          FROM per_dom GROUP BY pid
+        ), total AS (SELECT sum(n_urls)::BIGINT AS _total FROM per_pid)
+        SELECT pid, n_urls, n_domains, max_domain_rows,
+               (n_urls * 1000000 // _total)::BIGINT AS load_ppm
+        FROM per_pid, total
+        ORDER BY pid
+    """

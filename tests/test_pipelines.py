@@ -728,6 +728,42 @@ def test_profile_table_one_scan(spark):
     assert got["v"].n_null == 2 and got["v"].n_distinct == 2
 
 
+def test_skew_plan_hot_keys_and_salt(spark):
+    from searchgov_spider_spark.pipelines.profiling import skew_plan
+
+    rows = [("hot",)] * 25 + [("warm",)] * 11 + [("cold",)] * 4
+    df = spark.createDataFrame(rows, "domain string")
+    got = {r.key: r for r in skew_plan(df, "domain", target_rows_per_task=10).collect()}
+    # only keys with cnt > target are reported
+    assert set(got) == {"hot", "warm"}
+    assert got["hot"].cnt == 25 and got["hot"].salt_factor == 3  # ceil(25/10)
+    assert got["warm"].salt_factor == 2
+    assert got["hot"].share_ppm == 25 * 1_000_000 // 40
+
+
+def test_partition_plan_covers_all_rows(spark):
+    from searchgov_spider_spark.functions.hashing import portable_hash32
+    from searchgov_spider_spark.pipelines.profiling import partition_plan
+
+    rows = [
+        (f"https://d{i % 3}.gov/p/{i}", f"d{i % 3}.gov") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "url string, domain string")
+    got = partition_plan(df, 8).collect()
+    assert sum(r.n_urls for r in got) == 200
+    assert all(1 <= r.n_domains <= 3 for r in got)
+    assert sum(r.load_ppm for r in got) <= 1_000_000
+    # pid assignment matches the portable hash exactly
+    by_pid = {r.pid: r for r in got}
+    import collections
+
+    exp = collections.Counter(portable_hash32(u) % 8 for u, _ in rows)
+    assert {p: c for p, c in exp.items()} == {r.pid: r.n_urls for r in got}
+    assert max(r.max_domain_rows for r in got) <= max(
+        collections.Counter(d for _, d in rows).values()
+    )
+
+
 def test_overlap_join_prefix_filter_complete(spark):
     from itertools import combinations
 
