@@ -1646,6 +1646,18 @@ def q_decontaminate(spark, sf_dir):
     return _longify(pclean.decontaminate(corpus, bench))
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """BFF-style Bloom-filter decontamination probed side-by-side with
+    the exact gram join: per corpus doc, bloom vs exact hit counts and
+    the measured false-positive flag. The broadcast object is the set-
+    bit list (O(filter bits), corpus-size-independent) — the scale story
+    the exact path cannot offer (pipelines/cleaning.py:bloom_decontaminate)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return _longify(pclean.bloom_decontaminate(corpus, bench))
+
+
 _MIXTURE = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
 
 
@@ -3376,6 +3388,7 @@ def queries():
         "span_integrity": q_span_integrity,
         "skew_plan": q_skew_plan,
         "partition_plan": q_partition_plan,
+        "bloom_decontaminate": q_bloom_decontaminate,
         # 59+: round-3 new families (crawl health + readability)
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
@@ -3607,6 +3620,7 @@ def oracle_sql():
         "spans_flatten": pspans.flatten_spans_sql(),
         "span_stats": pspans.span_stats_sql(),
         "span_integrity": pspans.span_integrity_sql(),
+        "bloom_decontaminate": pclean.bloom_decontaminate_sql(),
         "skew_plan": "WITH " + _skewed_frontier_sql_cte()
         + pprofiling.skew_plan_sql("frontier", "domain", 500).replace("WITH", ",", 1),
         "partition_plan": "WITH " + _skewed_frontier_sql_cte()

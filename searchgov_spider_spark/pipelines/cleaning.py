@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash32_sql, seeded_hash32_col
 from .textstats import STOPWORDS, tokens_col, tokens_sql
 
 # Gopher-ish acceptance thresholds, tuned so the synthetic corpus (10-99
@@ -765,4 +766,160 @@ def typo_pairs_sql(min_len: int = 4, table: str = "documents") -> str:
         FROM keys a JOIN keys b ON a.k = b.k
         WHERE a.token < b.token AND levenshtein(a.token, b.token) <= 1
         ORDER BY w1, w2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (BFF-style)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 18  # filter bits
+BLOOM_K = 3        # hash functions
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination (the BFF pattern: build a
+    static Bloom filter over eval-set n-grams, probe every corpus gram
+    against it), run side-by-side with the exact gram join so the
+    filter's false-positive cost is MEASURED, not assumed.
+
+    Per corpus doc: (doc_id, n_grams, bloom_hits, exact_hits, fp_grams,
+    contaminated_bloom, contaminated_exact, false_positive).
+
+    Bloom semantics, engine-portably: position j of gram g is
+    ``hash32(j || '|' || g) % m`` (the same seeded md5 family MinHash
+    uses); g probes positive iff all k of its positions are set. An
+    exact hit always blooms positive, so fp_grams = bloom_hits -
+    exact_hits >= 0 and false_positive flags docs the filter would
+    wrongly discard.
+
+    Scale shape: the SET BIT LIST (<= k * |bench grams| distinct
+    positions — for a real eval suite, a few MB) is what broadcasts, not
+    the gram strings; at 100 TB the corpus side stays shuffle-free for
+    the probe (broadcast joins) and pays one map-side-combined hash-agg
+    per (doc, gram) + one per doc. This is why BFF-style filters win at
+    scale: the membership structure is O(bits), independent of corpus
+    size.
+    """
+    grams = _ngrams(tokens_col(F.col(text_col)), n)
+
+    def positions(gram_col):
+        return F.array(
+            *[
+                F.pmod(seeded_hash32_col(gram_col, j), F.lit(m)).cast("long")
+                for j in range(k)
+            ]
+        )
+
+    bench_pos = (
+        benchmark.select(F.explode(_ngrams(tokens_col(F.col(text_col)), n)).alias("gram"))
+        .distinct()
+        .select(F.explode(positions(F.col("gram"))).alias("pos"))
+        .distinct()
+    )
+    bench_grams = (
+        benchmark.select(F.explode(_ngrams(tokens_col(F.col(text_col)), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select("doc_id", F.explode(grams).alias("gram"))
+    bloom_gram_hits = (
+        doc_grams.select("doc_id", "gram", F.explode(positions(F.col("gram"))).alias("pos"))
+        .join(F.broadcast(bench_pos), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n_pos"))
+        .filter(F.col("n_pos") == k)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("bloom_hits"))
+    )
+    exact_hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("exact_hits"))
+    )
+    return (
+        docs.select("doc_id", F.size(grams).cast("long").alias("n_grams"))
+        .join(bloom_gram_hits, "doc_id", "left")
+        .join(exact_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("bloom_hits", F.lit(0)).cast("long").alias("bloom_hits"),
+            F.coalesce("exact_hits", F.lit(0)).cast("long").alias("exact_hits"),
+            (F.coalesce("bloom_hits", F.lit(0)) - F.coalesce("exact_hits", F.lit(0)))
+            .cast("long")
+            .alias("fp_grams"),
+            (F.coalesce("bloom_hits", F.lit(0)) > 0).alias("contaminated_bloom"),
+            (F.coalesce("exact_hits", F.lit(0)) > 0).alias("contaminated_exact"),
+            (
+                (F.coalesce("bloom_hits", F.lit(0)) > 0)
+                & (F.coalesce("exact_hits", F.lit(0)) == 0)
+            ).alias("false_positive"),
+        )
+    )
+
+
+def bloom_decontaminate_sql(
+    table: str = "documents",
+    bench_pred: str = "doc_id % 37 = 0",
+    n: int = 8,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin (same deterministic bench/corpus split as
+    ``decontaminate_sql``)."""
+    seeds = ", ".join(str(j) for j in range(k))
+
+    def pos(gram: str, j: str) -> str:
+        h = portable_hash32_sql(f"{j}::VARCHAR || '|' || {gram}")
+        return f"{h} % {m}"
+
+    return f"""
+        WITH bench AS (SELECT * FROM {table} WHERE {bench_pred}),
+        corpus AS (SELECT * FROM {table} WHERE NOT ({bench_pred})),
+        bg AS (SELECT DISTINCT gram FROM ({ngrams_rel_sql('bench', n)})),
+        bench_pos AS (
+          SELECT DISTINCT {pos('gram', 'j')} AS pos
+          FROM bg, (SELECT unnest([{seeds}]) AS j)
+        ),
+        cg AS ({ngrams_rel_sql('corpus', n)}),
+        bloom_hits AS (
+          SELECT doc_id, count(*)::BIGINT AS bloom_hits FROM (
+            SELECT doc_id, gram
+            FROM (SELECT doc_id, gram, {pos('gram', 'j')} AS pos
+                  FROM cg, (SELECT unnest([{seeds}]) AS j)) cp
+            JOIN bench_pos USING (pos)
+            GROUP BY doc_id, gram HAVING count(*) = {k}
+          ) GROUP BY doc_id
+        ),
+        exact_hits AS (
+          SELECT cg.doc_id, count(*)::BIGINT AS exact_hits
+          FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id
+        ),
+        sizes AS (
+          SELECT doc_id, count(*)::BIGINT AS n_grams FROM cg GROUP BY doc_id
+        ),
+        base AS (
+          SELECT c.doc_id,
+                 coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+                 coalesce(b.bloom_hits, 0)::BIGINT AS bloom_hits,
+                 coalesce(e.exact_hits, 0)::BIGINT AS exact_hits
+          FROM corpus c
+          LEFT JOIN sizes s USING (doc_id)
+          LEFT JOIN bloom_hits b USING (doc_id)
+          LEFT JOIN exact_hits e USING (doc_id)
+        )
+        SELECT doc_id, n_grams, bloom_hits, exact_hits,
+               (bloom_hits - exact_hits)::BIGINT AS fp_grams,
+               bloom_hits > 0 AS contaminated_bloom,
+               exact_hits > 0 AS contaminated_exact,
+               bloom_hits > 0 AND exact_hits = 0 AS false_positive
+        FROM base
+        ORDER BY doc_id
     """

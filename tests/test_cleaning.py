@@ -214,3 +214,36 @@ def test_bpe_pairs_matches_python(spark):
     # min_freq prunes the tail
     pruned = {(r.left_sym, r.right_sym) for r in bpe_pairs(docs, min_freq=3).collect()}
     assert pruned == {k for k, c in exp.items() if c >= 3}
+
+
+class TestBloomDecontaminate:
+    def test_exact_subset_of_bloom_and_fp_measured(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "one two three four five six seven eight nine ten")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (0, "one two three four five six seven eight is contaminated text"),
+                (1, "totally unrelated words nowhere near the benchmark set at all"),
+                (2, "one two three four five six seven DIFFERENT eight nine ten"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in pc.bloom_decontaminate(corpus, bench).collect()}
+        assert rows[0].contaminated_exact and rows[0].contaminated_bloom
+        assert not rows[1].contaminated_exact
+        # exact hit implies bloom hit, so fp_grams is never negative
+        assert all(r.fp_grams >= 0 for r in rows.values())
+        assert all(r.bloom_hits >= r.exact_hits for r in rows.values())
+        # doc 2 shares no full 8-gram (the inserted token breaks them)
+        assert not rows[2].contaminated_exact
+
+    def test_short_docs_have_zero_grams(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "one two three four five six seven eight nine")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame([(0, "too short")], "doc_id long, text string")
+        r = pc.bloom_decontaminate(corpus, bench).collect()[0]
+        assert r.n_grams == 0 and r.bloom_hits == 0 and not r.contaminated_bloom
