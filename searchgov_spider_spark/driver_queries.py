@@ -1646,6 +1646,17 @@ def q_decontaminate(spark, sf_dir):
     return _longify(pclean.decontaminate(corpus, bench))
 
 
+def q_heavy_keys(spark, sf_dir):
+    """Bounded-memory EXACT heavy hitters over the skewed frontier's
+    domain key: per-partition Misra-Gries candidate summaries (capacity
+    15) + broadcast exact recount — provably equal to the full GROUP BY
+    HAVING cnt*16 > N, without ever shuffling on the raw key
+    (pipelines/profiling.py:heavy_keys)."""
+    from .pipelines.profiling import heavy_keys
+
+    return _longify(heavy_keys(_skewed_frontier(spark, sf_dir), "domain", capacity=15))
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """BFF-style Bloom-filter decontamination probed side-by-side with
     the exact gram join: per corpus doc, bloom vs exact hit counts and
@@ -3389,6 +3400,7 @@ def queries():
         "skew_plan": q_skew_plan,
         "partition_plan": q_partition_plan,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "heavy_keys": q_heavy_keys,
         # 59+: round-3 new families (crawl health + readability)
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
@@ -3621,6 +3633,8 @@ def oracle_sql():
         "span_stats": pspans.span_stats_sql(),
         "span_integrity": pspans.span_integrity_sql(),
         "bloom_decontaminate": pclean.bloom_decontaminate_sql(),
+        "heavy_keys": "WITH " + _skewed_frontier_sql_cte()
+        + pprofiling.heavy_keys_sql("frontier", "domain", 15).replace("WITH", ",", 1),
         "skew_plan": "WITH " + _skewed_frontier_sql_cte()
         + pprofiling.skew_plan_sql("frontier", "domain", 500).replace("WITH", ",", 1),
         "partition_plan": "WITH " + _skewed_frontier_sql_cte()

@@ -170,3 +170,78 @@ def partition_plan_sql(
         FROM per_pid, total
         ORDER BY pid
     """
+
+
+def heavy_keys(df: DataFrame, key_col: str, capacity: int = 64) -> DataFrame:
+    """EXACT heavy hitters over a key column with bounded memory — the
+    sketch-first complement to ``skew_plan``: when the key's cardinality
+    is too large to hash-aggregate in full (every URL of a 10^10-row
+    frontier), per-partition Misra-Gries summaries of ``capacity``
+    entries find the candidates, and only the candidates are recounted
+    exactly.
+
+    Output: (key, cnt, share_ppm) for every key whose exact count
+    exceeds N / (capacity + 1), descending — IDENTICAL to the plain
+    ``GROUP BY key HAVING cnt * (capacity+1) > N`` despite the sketch:
+    Misra-Gries guarantees any key with partition-local count >
+    N_p/(c+1) survives its partition summary, and a key above the
+    global threshold must be above the local threshold in at least one
+    partition (pigeonhole over sum N_p = N). The candidate set may vary
+    with partitioning; the thresholded exact recount does not.
+
+    Scale shape: the only full-width pass is a broadcast semi-join
+    probe of the stream against <= c * n_partitions candidate keys +
+    one map-side-combined recount; nothing ever shuffles on the raw
+    key. The Misra-Gries pass is an Arrow-batched mapInPandas whose
+    per-batch work is a value_counts + a bounded Counter merge — no
+    per-row Python.
+    """
+    import pandas as pd
+
+    c = max(int(capacity), 1)
+    keys = df.select(F.col(key_col).cast("string").alias("key"))
+
+    def mg_partition(batches):
+        from collections import Counter
+
+        summary: Counter = Counter()
+        for pdf in batches:
+            summary.update(pdf["key"].value_counts().to_dict())
+            if len(summary) > c:
+                # batch Misra-Gries reduction: subtract the (c+1)-th
+                # largest weight from everyone; >= c+1 entries shrink per
+                # subtracted unit, preserving the N/(c+1) guarantee
+                d = sorted(summary.values(), reverse=True)[c]
+                summary = Counter(
+                    {t: w - d for t, w in summary.items() if w - d > 0}
+                )
+        yield pd.DataFrame({"key": list(summary.keys())})
+
+    candidates = (
+        keys.mapInPandas(mg_partition, "key string").distinct()
+    )
+    total = keys.agg(F.count("*").cast("long").alias("_total"))
+    return (
+        keys.join(F.broadcast(candidates), "key")
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") * (c + 1) > F.col("_total"))
+        .select("key", "cnt", F.expr("cnt * 1000000 DIV _total").alias("share_ppm"))
+    )
+
+
+def heavy_keys_sql(table: str, key_expr: str, capacity: int = 64) -> str:
+    """Oracle twin: the sketch-free formulation the MG path provably
+    equals."""
+    c = max(int(capacity), 1)
+    return f"""
+        WITH counts AS (
+          SELECT {key_expr}::VARCHAR AS key, count(*)::BIGINT AS cnt
+          FROM {table} GROUP BY 1
+        ), total AS (SELECT sum(cnt)::BIGINT AS _total FROM counts)
+        SELECT key, cnt, (cnt * 1000000 // _total)::BIGINT AS share_ppm
+        FROM counts, total
+        WHERE cnt * {c + 1} > _total
+        ORDER BY cnt DESC, key
+    """

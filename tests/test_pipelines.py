@@ -764,6 +764,32 @@ def test_partition_plan_covers_all_rows(spark):
     )
 
 
+def test_heavy_keys_equals_exact_group_by(spark):
+    from collections import Counter
+
+    from searchgov_spider_spark.pipelines.profiling import heavy_keys
+
+    # zipf-ish keys across many partitions; capacity far below cardinality
+    rows = [(f"k{i % (i % 7 + 1)}",) for i in range(1, 3000)]
+    df = spark.createDataFrame(rows, "domain string").repartition(16)
+    for cap in (3, 5, 10):
+        got = {(r.key, r.cnt) for r in heavy_keys(df, "domain", capacity=cap).collect()}
+        counts = Counter(k for k, in rows)
+        n = len(rows)
+        exp = {(k, c) for k, c in counts.items() if c * (cap + 1) > n}
+        assert got == exp, cap
+
+
+def test_heavy_keys_no_false_negatives_tiny_capacity(spark):
+    from searchgov_spider_spark.pipelines.profiling import heavy_keys
+
+    rows = [("hot",)] * 900 + [(f"u{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = heavy_keys(df, "k", capacity=1).collect()
+    assert [(r.key, r.cnt) for r in got] == [("hot", 900)]
+    assert got[0].share_ppm == 900 * 1_000_000 // 1200
+
+
 def test_overlap_join_prefix_filter_complete(spark):
     from itertools import combinations
 
