@@ -1657,6 +1657,54 @@ def q_heavy_keys(spark, sf_dir):
     return _longify(heavy_keys(_skewed_frontier(spark, sf_dir), "domain", capacity=15))
 
 
+_REP_LOG_SQL_CTE = """
+    fl AS (
+      SELECT 'd' || (user_id % 25)::VARCHAR || '.gov' AS domain,
+             CASE WHEN (user_id % 25) < 3 AND event_id % 2 = 0 THEN 503
+                  WHEN event_id % 17 = 0 THEN 500
+                  WHEN event_id % 11 = 0 THEN 404
+                  ELSE 200 END AS http_status,
+             event_id % 7 = 0 AS is_dup,
+             event_id % 13 = 0 AND NOT ((user_id % 25) < 3 AND event_id % 2 = 0)
+               AND event_id % 17 <> 0 AND event_id % 11 <> 0 AS is_soft404
+      FROM events
+    )
+"""
+
+
+def _rep_log_from_events(events: DataFrame) -> DataFrame:
+    """The circuit-breaker fetch-log synth extended with dedup and
+    soft-404 flags (soft-404 only on 200s, mirroring _REP_LOG_SQL_CTE)."""
+    dom_idx = F.col("user_id") % 25
+    is_503 = (dom_idx < 3) & (F.col("event_id") % 2 == 0)
+    status = (
+        F.when(is_503, F.lit(503))
+        .when(F.col("event_id") % 17 == 0, F.lit(500))
+        .when(F.col("event_id") % 11 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    return events.select(
+        F.concat(F.lit("d"), dom_idx.cast("string"), F.lit(".gov")).alias("domain"),
+        status.alias("http_status"),
+        (F.col("event_id") % 7 == 0).alias("is_dup"),
+        (
+            (F.col("event_id") % 13 == 0) & ~is_503
+            & (F.col("event_id") % 17 != 0) & (F.col("event_id") % 11 != 0)
+        ).alias("is_soft404"),
+    )
+
+
+def q_host_reputation(spark, sf_dir):
+    """Per-host composite reputation (5xx/4xx/dup/soft-404 ppm rates ->
+    weighted integer score -> tier + politeness budget multiplier): the
+    failure-adaptive budget shaping between the binary circuit breaker
+    and the reference's fixed 1 req/s delay
+    (operators/politeness.py:host_reputation)."""
+    from .operators.politeness import host_reputation
+
+    return _longify(host_reputation(_rep_log_from_events(load(spark, sf_dir, "events"))))
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """BFF-style Bloom-filter decontamination probed side-by-side with
     the exact gram join: per corpus doc, bloom vs exact hit counts and
@@ -2951,6 +2999,12 @@ def q_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longify(domain_circuit_breaker(log_df)).orderBy("domain")
 
 
+def _host_reputation_sql() -> str:
+    from .operators.politeness import host_reputation_sql
+
+    return host_reputation_sql(_REP_LOG_SQL_CTE)
+
+
 def _circuit_breaker_sql() -> str:
     from .operators.politeness import domain_circuit_breaker_sql
 
@@ -3401,6 +3455,7 @@ def queries():
         "partition_plan": q_partition_plan,
         "bloom_decontaminate": q_bloom_decontaminate,
         "heavy_keys": q_heavy_keys,
+        "host_reputation": q_host_reputation,
         # 59+: round-3 new families (crawl health + readability)
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
@@ -3633,6 +3688,7 @@ def oracle_sql():
         "span_stats": pspans.span_stats_sql(),
         "span_integrity": pspans.span_integrity_sql(),
         "bloom_decontaminate": pclean.bloom_decontaminate_sql(),
+        "host_reputation": _host_reputation_sql(),
         "heavy_keys": "WITH " + _skewed_frontier_sql_cte()
         + pprofiling.heavy_keys_sql("frontier", "domain", 15).replace("WITH", ",", 1),
         "skew_plan": "WITH " + _skewed_frontier_sql_cte()

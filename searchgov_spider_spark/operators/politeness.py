@@ -293,3 +293,111 @@ def politeness_audit_sql(
         FROM gaps GROUP BY domain
         ORDER BY domain
     """
+
+
+# --- host reputation ----------------------------------------------------------
+
+# penalty weights (tenths) and tier cut-offs for host_reputation
+REP_W_5XX, REP_W_DUP, REP_W_SOFT404, REP_W_4XX = 4, 3, 2, 1
+REP_GOOD_MIN = 900_000
+REP_DEGRADED_MIN = 600_000
+REP_MULTIPLIER_PPM = {"good": 1_000_000, "degraded": 500_000, "bad": 100_000}
+
+
+def host_reputation(fetch_log: DataFrame) -> DataFrame:
+    """Composite per-host reputation from the wave fetch log — the
+    budget-shaping signal between the binary circuit breaker (trip/ok)
+    and the fixed reference politeness: hosts that mostly serve errors,
+    duplicates, or soft-404s earn a smaller share of the next wave.
+
+    Input: (domain, http_status, is_dup: bool, is_soft404: bool) — one
+    row per completed fetch. Output per domain, all integer ppm:
+
+    - ``err5xx_ppm`` / ``err4xx_ppm`` / ``dup_ppm`` / ``soft404_ppm``
+    - ``score_ppm``  1e6 minus the weighted penalty (5xx 40%, dup 30%,
+                     soft404 20%, 4xx 10%), floored at 0
+    - ``tier``       good (>= 0.9) / degraded (>= 0.6) / bad
+    - ``budget_multiplier_ppm`` the politeness-budget scale the next
+                     wave's scheduler applies (1e6 / 5e5 / 1e5)
+
+    One map-side-combined hash-agg on domain; output is host-cardinality
+    rows, small enough to broadcast back into `schedule_wave`.
+    """
+    agg = fetch_log.groupBy(F.col("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum((F.col("http_status") >= 500).cast("long")).cast("long").alias("n_5xx"),
+        F.sum(
+            ((F.col("http_status") >= 400) & (F.col("http_status") < 500)).cast("long")
+        ).cast("long").alias("n_4xx"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup"),
+        F.sum(F.col("is_soft404").cast("long")).cast("long").alias("n_soft404"),
+    )
+    rates = agg.select(
+        "domain",
+        "n_fetches",
+        F.expr("n_5xx * 1000000 DIV n_fetches").alias("err5xx_ppm"),
+        F.expr("n_4xx * 1000000 DIV n_fetches").alias("err4xx_ppm"),
+        F.expr("n_dup * 1000000 DIV n_fetches").alias("dup_ppm"),
+        F.expr("n_soft404 * 1000000 DIV n_fetches").alias("soft404_ppm"),
+    )
+    penalty = F.expr(
+        f"({REP_W_5XX} * err5xx_ppm + {REP_W_DUP} * dup_ppm"
+        f" + {REP_W_SOFT404} * soft404_ppm + {REP_W_4XX} * err4xx_ppm) DIV 10"
+    )
+    scored = rates.withColumn(
+        "score_ppm", F.greatest(F.lit(0).cast("long"), (F.lit(1_000_000) - penalty).cast("long"))
+    )
+    tier = (
+        F.when(F.col("score_ppm") >= REP_GOOD_MIN, "good")
+        .when(F.col("score_ppm") >= REP_DEGRADED_MIN, "degraded")
+        .otherwise("bad")
+    )
+    mult = (
+        F.when(F.col("score_ppm") >= REP_GOOD_MIN, REP_MULTIPLIER_PPM["good"])
+        .when(F.col("score_ppm") >= REP_DEGRADED_MIN, REP_MULTIPLIER_PPM["degraded"])
+        .otherwise(REP_MULTIPLIER_PPM["bad"])
+    )
+    return scored.select(
+        "domain", "n_fetches", "err5xx_ppm", "err4xx_ppm", "dup_ppm", "soft404_ppm",
+        "score_ppm", tier.alias("tier"), mult.cast("long").alias("budget_multiplier_ppm"),
+    )
+
+
+def host_reputation_sql(fetch_cte: str) -> str:
+    """DuckDB twin over a CTE named ``fl`` with
+    (domain, http_status, is_dup, is_soft404)."""
+    penalty = (
+        f"({REP_W_5XX} * err5xx_ppm + {REP_W_DUP} * dup_ppm"
+        f" + {REP_W_SOFT404} * soft404_ppm + {REP_W_4XX} * err4xx_ppm) // 10"
+    )
+    return f"""
+        WITH {fetch_cte},
+        agg AS (
+          SELECT domain, count(*)::BIGINT AS n_fetches,
+                 sum(CASE WHEN http_status >= 500 THEN 1 ELSE 0 END)::BIGINT AS n_5xx,
+                 sum(CASE WHEN http_status >= 400 AND http_status < 500 THEN 1 ELSE 0 END)::BIGINT AS n_4xx,
+                 sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+                 sum(CASE WHEN is_soft404 THEN 1 ELSE 0 END)::BIGINT AS n_soft404
+          FROM fl GROUP BY domain
+        ),
+        rates AS (
+          SELECT domain, n_fetches,
+                 n_5xx * 1000000 // n_fetches AS err5xx_ppm,
+                 n_4xx * 1000000 // n_fetches AS err4xx_ppm,
+                 n_dup * 1000000 // n_fetches AS dup_ppm,
+                 n_soft404 * 1000000 // n_fetches AS soft404_ppm
+          FROM agg
+        ),
+        scored AS (
+          SELECT *, greatest(0, 1000000 - ({penalty}))::BIGINT AS score_ppm FROM rates
+        )
+        SELECT domain, n_fetches, err5xx_ppm, err4xx_ppm, dup_ppm, soft404_ppm, score_ppm,
+               CASE WHEN score_ppm >= {REP_GOOD_MIN} THEN 'good'
+                    WHEN score_ppm >= {REP_DEGRADED_MIN} THEN 'degraded'
+                    ELSE 'bad' END AS tier,
+               (CASE WHEN score_ppm >= {REP_GOOD_MIN} THEN {REP_MULTIPLIER_PPM['good']}
+                     WHEN score_ppm >= {REP_DEGRADED_MIN} THEN {REP_MULTIPLIER_PPM['degraded']}
+                     ELSE {REP_MULTIPLIER_PPM['bad']} END)::BIGINT AS budget_multiplier_ppm
+        FROM scored
+        ORDER BY domain
+    """

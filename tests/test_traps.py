@@ -219,3 +219,43 @@ def test_change_detect_states(spark):
     b = got["b.gov"]
     assert (b.n_unchanged, b.n_changed, b.n_new, b.n_gone) == (0, 0, 0, 1)
     assert b.change_ppm is None  # no co-observed pages: rate undefined, not 0
+
+
+class TestHostReputation:
+    def test_tiers_and_multipliers(self, spark):
+        from searchgov_spider_spark.operators.politeness import host_reputation
+
+        rows = (
+            # clean host: 10 perfect fetches
+            [("good.gov", 200, False, False)] * 10
+            # half the fetches 503 -> penalty 4*500000/10 = 200000 -> degraded
+            + [("flaky.gov", 503, False, False)] * 5
+            + [("flaky.gov", 200, False, False)] * 5
+            # all dup + soft404 -> penalty (3+2)*1e6/10 = 500000 -> bad
+            + [("junk.gov", 200, True, True)] * 10
+        )
+        df = spark.createDataFrame(
+            rows, "domain string, http_status int, is_dup boolean, is_soft404 boolean"
+        )
+        got = {r.domain: r for r in host_reputation(df).collect()}
+        assert got["good.gov"].tier == "good"
+        assert got["good.gov"].score_ppm == 1_000_000
+        assert got["good.gov"].budget_multiplier_ppm == 1_000_000
+        assert got["flaky.gov"].tier == "degraded"
+        assert got["flaky.gov"].score_ppm == 800_000
+        assert got["flaky.gov"].budget_multiplier_ppm == 500_000
+        assert got["junk.gov"].tier == "bad"
+        assert got["junk.gov"].score_ppm == 500_000
+        assert got["junk.gov"].budget_multiplier_ppm == 100_000
+
+    def test_score_floor_zero(self, spark):
+        from searchgov_spider_spark.operators.politeness import host_reputation
+
+        df = spark.createDataFrame(
+            [("awful.gov", 503, True, True)] * 4,
+            "domain string, http_status int, is_dup boolean, is_soft404 boolean",
+        )
+        r = host_reputation(df).collect()[0]
+        assert r.score_ppm == 100_000  # (4+3+2)*1e6/10 penalty = 900k
+        df2 = df.withColumn("is_soft404", F.lit(True)).withColumn("is_dup", F.lit(True))
+        assert host_reputation(df2).collect()[0].score_ppm >= 0
