@@ -342,7 +342,11 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", max_hamming: int 
     while keying the shuffle on (band, 8-bit value).
     """
     assert max_hamming < SIMHASH_BANDS, "band blocking complete only for hd < bands"
-    sims = simhash(docs, text_col)
+    # persist: the self-join's broadcast build side would otherwise
+    # recompute the whole signature lineage (token explode + 32
+    # conditional sums, the dominant cost) a second time — at corpus
+    # scale the signatures are what you materialize, not re-derive
+    sims = simhash(docs, text_col).persist()
     bands = F.array(
         *[
             F.struct(
