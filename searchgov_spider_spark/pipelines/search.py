@@ -167,15 +167,19 @@ def bm25_topk(
     tf = _terms(docs, text_col).groupBy("doc_id", "term").agg(
         F.count("*").alias("tf")
     )
+    # both consumers (df-per-term and scoring) need only query-term
+    # postings — semi-join down to them ONCE and persist, so the
+    # token-explode + tf aggregation lineage (the dominant scan) runs a
+    # single time instead of once per consumer; the persisted frame is
+    # |query terms| postings, tiny at any corpus size
+    tfq = tf.join(F.broadcast(qterms.select("term").distinct()), "term").persist()
     dl = docs.select(
         "doc_id", F.size(tokens_col(text_col)).cast("long").alias("dl")
     )
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    dft = tf.join(F.broadcast(qterms.select("term").distinct()), "term").groupBy(
-        "term"
-    ).agg(F.count("*").alias("dft"))
+    dft = tfq.groupBy("term").agg(F.count("*").alias("dft"))
 
     idf = F.log(
         (F.col("n_docs") - F.col("dft") + F.lit(0.5))
@@ -188,7 +192,7 @@ def bm25_topk(
     term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
 
     scored = (
-        tf.join(F.broadcast(qterms), "term")
+        tfq.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dft), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
