@@ -1837,6 +1837,15 @@ def q_pagerank(spark, sf_dir):
     return _longify(psearch.pagerank_docs(load(spark, sf_dir, "documents")))
 
 
+def q_opic(spark, sf_dir):
+    """Integer-exact OPIC (Abiteboul et al. 2003) over the same synthetic
+    link graph as pagerank: per-round cash banking + DIV-exact
+    distribution with conserved remainders — the incremental frontier-
+    priority signal a mid-crawl scheduler reads without waiting for
+    PageRank convergence (pipelines/search.py:opic)."""
+    return _longify(psearch.opic_docs(load(spark, sf_dir, "documents")))
+
+
 def q_lm_score(spark, sf_dir):
     """Unigram-LM quality scoring: add-one-smoothed avg logprob +
     perplexity per document (broadcast vocab, two hash-aggs)."""
@@ -3456,6 +3465,7 @@ def queries():
         "bloom_decontaminate": q_bloom_decontaminate,
         "heavy_keys": q_heavy_keys,
         "host_reputation": q_host_reputation,
+        "opic": q_opic,
         # 59+: round-3 new families (crawl health + readability)
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
@@ -3689,6 +3699,7 @@ def oracle_sql():
         "span_integrity": pspans.span_integrity_sql(),
         "bloom_decontaminate": pclean.bloom_decontaminate_sql(),
         "host_reputation": _host_reputation_sql(),
+        "opic": psearch.opic_docs_sql(),
         "heavy_keys": "WITH " + _skewed_frontier_sql_cte()
         + pprofiling.heavy_keys_sql("frontier", "domain", 15).replace("WITH", ",", 1),
         "skew_plan": "WITH " + _skewed_frontier_sql_cte()

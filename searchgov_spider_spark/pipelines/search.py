@@ -1072,3 +1072,139 @@ def mirror_hosts_sql(
         WHERE jaccard_ppm >= {threshold_ppm}
         ORDER BY host_a, host_b
     """
+
+
+# ---------------------------------------------------------------------------
+# OPIC — Adaptive On-line Page Importance Computation
+# ---------------------------------------------------------------------------
+
+OPIC_ITERS = 3
+OPIC_UNIT = 1_000_000  # starting micro-cash per node
+
+
+def opic(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = OPIC_ITERS,
+    unit: int = OPIC_UNIT,
+) -> DataFrame:
+    """Adaptive On-line Page Importance (Abiteboul, Preda & Cobena,
+    WWW 2003) — the frontier-priority signal PageRank cannot give
+    mid-crawl: cash flows along links as pages are (virtually) fetched
+    and accumulated ``history`` IS the importance estimate, usable
+    incrementally without waiting for convergence. This is the
+    synchronous batch round, made integer-exact so both engines agree
+    bit-for-bit:
+
+    per round, every non-dangling node banks its cash into history,
+    sends ``cash DIV outdeg`` along each out-edge and keeps the integer
+    remainder; dangling nodes hold their cash unbanked. Cash is
+    conserved exactly (no float drift, no lost remainders), so
+    ``sum(cash)`` is invariant and ``importance = history + cash`` is a
+    stable integer ranking.
+
+    Plan per round: one shuffle (hash-agg of in-flows on dst, map-side
+    combined) + broadcast-free left joins keyed on the node id — the
+    same edge-partitioned shape as the pagerank power iteration; at
+    10^10 nodes the cash vector stays a DataFrame end-to-end.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    state = nodes.select(
+        "node",
+        F.lit(int(unit)).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    )
+    for _ in range(int(n_iter)):
+        st = state.join(deg, state.node == deg.src, "left").select(
+            "node", "cash", "history", "outdeg"
+        )
+        dangling = F.col("outdeg").isNull()
+        share = F.when(dangling, F.lit(0)).otherwise(
+            F.expr("cash DIV outdeg")
+        ).cast("long")
+        banked = st.select(
+            "node",
+            share.alias("share"),
+            F.when(dangling, F.col("cash"))
+            .otherwise(F.col("cash") - share * F.col("outdeg"))
+            .cast("long")
+            .alias("residual"),
+            F.when(dangling, F.col("history"))
+            .otherwise(F.col("history") + F.col("cash"))
+            .cast("long")
+            .alias("history"),
+        )
+        inflow = (
+            edges.join(banked.select(F.col("node").alias("src"), "share"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").cast("long").alias("inflow"))
+        )
+        state = (
+            banked.join(inflow, "node", "left")
+            .select(
+                "node",
+                (F.col("residual") + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("long")
+                .alias("cash"),
+                "history",
+            )
+        )
+    return state.select(
+        "node", "history", "cash",
+        (F.col("history") + F.col("cash")).cast("long").alias("importance"),
+    )
+
+
+def opic_docs(docs: DataFrame) -> DataFrame:
+    """OPIC over the same synthetic doc_id link graph pagerank uses;
+    (doc_id, history, cash, importance)."""
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    out = opic(nodes, synthetic_edges(docs))
+    return out.select(F.col("node").alias("doc_id"), "history", "cash", "importance")
+
+
+def opic_docs_sql(
+    n_iter: int = OPIC_ITERS,
+    unit: int = OPIC_UNIT,
+    table: str = "documents",
+) -> str:
+    edge_selects = " UNION ALL ".join(
+        f"SELECT node AS src, (node * {a} + {bb}) % (SELECT n_int FROM nn) AS dst FROM nodes"
+        for a, bb in PR_EDGE_COEFFS
+    )
+    ctes = [
+        f"nodes AS (SELECT doc_id AS node FROM {table})",
+        "nn AS (SELECT count(*)::BIGINT AS n_int FROM nodes)",
+        f"edges AS ({edge_selects})",
+        "deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src)",
+        f"s0 AS (SELECT node, {int(unit)}::BIGINT AS cash, 0::BIGINT AS history FROM nodes)",
+    ]
+    prev = "s0"
+    for i in range(1, int(n_iter) + 1):
+        ctes.append(
+            f"""b{i} AS (
+              SELECT s.node,
+                     CASE WHEN d.outdeg IS NULL THEN 0
+                          ELSE s.cash // d.outdeg END::BIGINT AS share,
+                     CASE WHEN d.outdeg IS NULL THEN s.cash
+                          ELSE s.cash - (s.cash // d.outdeg) * d.outdeg END::BIGINT AS residual,
+                     CASE WHEN d.outdeg IS NULL THEN s.history
+                          ELSE s.history + s.cash END::BIGINT AS history
+              FROM {prev} s LEFT JOIN deg d ON s.node = d.src
+            )"""
+        )
+        ctes.append(
+            f"i{i} AS (SELECT dst AS node, sum(share)::BIGINT AS inflow "
+            f"FROM edges JOIN b{i} ON edges.src = b{i}.node GROUP BY dst)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT b{i}.node, "
+            f"(residual + coalesce(inflow, 0))::BIGINT AS cash, history "
+            f"FROM b{i} LEFT JOIN i{i} USING (node))"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, history, cash, (history + cash)::BIGINT AS importance "
+        f"FROM {prev} ORDER BY doc_id"
+    )

@@ -396,3 +396,51 @@ def test_mirror_hosts_random_matches_python(spark):
         if jac >= thr:
             exp[(a, b)] = (shared, len(sets[a]), len(sets[b]), jac)
     assert got == exp
+
+
+class TestOpic:
+    def test_cash_conserved_and_matches_python(self, spark):
+        from searchgov_spider_spark.pipelines.search import opic
+
+        # ring + chord graph incl. one dangling node (4 has no out-edges)
+        edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (0, 4)]
+        nodes_df = spark.createDataFrame([(i,) for i in range(5)], "node long")
+        edges_df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r for r in opic(nodes_df, edges_df, n_iter=4, unit=1000).collect()}
+
+        # pure-python oracle of the documented semantics
+        from collections import defaultdict
+
+        outs = defaultdict(list)
+        for s, d in edges:
+            outs[s].append(d)
+        cash = {i: 1000 for i in range(5)}
+        hist = {i: 0 for i in range(5)}
+        for _ in range(4):
+            share, residual = {}, {}
+            for n in range(5):
+                o = outs.get(n)
+                if not o:
+                    share[n], residual[n] = 0, cash[n]
+                else:
+                    share[n] = cash[n] // len(o)
+                    residual[n] = cash[n] - share[n] * len(o)
+                    hist[n] += cash[n]
+            nxt = dict(residual)
+            for s, d in edges:
+                nxt[d] = nxt.get(d, 0) + share[s]
+            cash = nxt
+        assert {n: r.cash for n, r in got.items()} == cash
+        assert {n: r.history for n, r in got.items()} == hist
+        # cash conservation: circulation total never changes
+        assert sum(r.cash for r in got.values()) == 5 * 1000
+        assert all(r.importance == r.history + r.cash for r in got.values())
+
+    def test_importance_ranks_hub_first(self, spark):
+        from searchgov_spider_spark.pipelines.search import opic
+
+        # star: everything points at 0
+        nodes_df = spark.createDataFrame([(i,) for i in range(6)], "node long")
+        edges_df = spark.createDataFrame([(i, 0) for i in range(1, 6)], "src long, dst long")
+        got = sorted(opic(nodes_df, edges_df).collect(), key=lambda r: -r.importance)
+        assert got[0].node == 0
