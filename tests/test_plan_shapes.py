@@ -177,3 +177,73 @@ def test_semdedup_no_cartesian_beyond_centroid_broadcast(spark):
     # intra-cluster pair join is keyed on cluster_id
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_span_integrity_is_shuffle_free(docs_df):
+    from searchgov_spider_spark.pipelines import spans as ps
+
+    df = ps.span_integrity(ps.corrupt_spans(ps.derive_spans(docs_df)))
+    assert _n_shuffles(df) == 0
+    assert "Python" not in _plan(df)
+
+
+def test_skew_plan_single_shuffle_broadcast_total(spark):
+    from searchgov_spider_spark.pipelines.profiling import skew_plan
+
+    df = spark.createDataFrame([("d%d" % (i % 3),) for i in range(30)], "domain string")
+    plan = _plan(skew_plan(df, "domain", 5))
+    # one hash-agg shuffle on the key; the 1-row total joins via broadcast
+    assert _n_shuffles(skew_plan(df, "domain", 5)) <= 2
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partition_plan_two_aggs_no_sort_join(spark):
+    from searchgov_spider_spark.pipelines.profiling import partition_plan
+
+    df = spark.createDataFrame(
+        [(f"https://d{i%3}.gov/{i}", f"d{i%3}.gov") for i in range(30)],
+        "url string, domain string",
+    )
+    plan = _plan(partition_plan(df, 8))
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan  # hash32 is JVM-side md5, not a UDF
+
+
+def test_heavy_keys_never_shuffles_raw_keys(spark):
+    from searchgov_spider_spark.pipelines.profiling import heavy_keys
+
+    df = spark.createDataFrame([("k%d" % (i % 4),) for i in range(40)], "k string")
+    plan = _plan(heavy_keys(df, "k", capacity=2))
+    # the raw stream is probed via broadcast; the only exchanges are the
+    # candidate distinct + the candidate-bounded recount
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_decontaminate_broadcast_probe(spark):
+    from searchgov_spider_spark.pipelines.cleaning import bloom_decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota") for i in range(4)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta theta")], "doc_id long, text string"
+    )
+    plan = _plan(bloom_decontaminate(docs, bench))
+    assert "BroadcastExchange" in plan  # bit list + bench grams broadcast
+    # the gram/position PROBES must be broadcast joins; the only sort-
+    # merge joins allowed are the two per-doc assembly joins on doc_id
+    # (bloom_hits / exact_hits back onto docs — both sides legitimately
+    # big at corpus scale)
+    assert len(re.findall(r"SortMergeJoin \[doc_id", plan)) == plan.count("SortMergeJoin")
+
+
+def test_opic_one_shuffle_per_round_shape(spark):
+    from searchgov_spider_spark.pipelines.search import opic
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)], "src long, dst long")
+    plan = _plan(opic(nodes, edges, n_iter=2))
+    assert "Python" not in plan  # pure DataFrame integer arithmetic
