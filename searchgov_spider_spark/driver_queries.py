@@ -2451,6 +2451,65 @@ Q_STREAM_DEDUP_SQL = """
 """
 
 
+def q_stream_breaker(spark, sf_dir):
+    """Streaming twin of the per-domain circuit breaker, run as a REAL
+    Structured Streaming query: the fetch log replays through
+    readStream.parquet, the windowed 5xx-rate aggregation trips the
+    suspension flag per (48h window, domain), drained with
+    trigger(availableNow) into a memory sink
+    (streaming/monitor.py:windowed_circuit_breaker)."""
+    from .streaming.monitor import run_to_memory, windowed_circuit_breaker
+
+    sch = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ev = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dom_idx = F.col("user_id") % 25
+    fetch_log = ev.select(
+        F.col("ts"),
+        F.concat(F.lit("d"), dom_idx.cast("string"), F.lit(".gov")).alias("domain"),
+        (
+            F.when((dom_idx < 3) & (F.col("event_id") % 2 == 0), F.lit(503))
+            .when(F.col("event_id") % 17 == 0, F.lit(500))
+            .when(F.col("event_id") % 11 == 0, F.lit(404))
+            .otherwise(F.lit(200))
+        ).alias("http_status"),
+    )
+    out = windowed_circuit_breaker(fetch_log, window="48 hours", watermark="5 minutes")
+    run_to_memory(out, "stream_breaker_drv")
+    return _longify(spark.table("stream_breaker_drv"))
+
+
+def _stream_breaker_sql() -> str:
+    from .operators.politeness import BREAKER_ERR_PPM, BREAKER_MIN_FETCHES
+
+    return f"""
+        WITH f AS (
+          SELECT ts,
+                 'd' || (user_id % 25)::VARCHAR || '.gov' AS domain,
+                 CASE WHEN (user_id % 25) < 3 AND event_id % 2 = 0 THEN 503
+                      WHEN event_id % 17 = 0 THEN 500
+                      WHEN event_id % 11 = 0 THEN 404
+                      ELSE 200 END AS http_status
+          FROM events
+        ),
+        agg AS (
+          SELECT time_bucket(INTERVAL '48 hours', ts, TIMESTAMP '1970-01-01') AS window_start,
+                 domain, count(*)::BIGINT AS n_fetches,
+                 sum(CASE WHEN http_status >= 500 THEN 1 ELSE 0 END)::BIGINT AS n_5xx
+          FROM f GROUP BY 1, 2
+        )
+        SELECT window_start, domain, n_fetches, n_5xx,
+               n_5xx * 1000000 // n_fetches AS err_ppm,
+               (n_fetches >= {BREAKER_MIN_FETCHES}
+                AND n_5xx * 1000000 // n_fetches >= {BREAKER_ERR_PPM}) AS suspended
+        FROM agg
+        ORDER BY window_start, domain
+    """
+
+
 def q_stream_sessions(spark, sf_dir):
     """Streaming twin of `sessionize`, run as a REAL Structured Streaming
     query: events replayed through readStream.parquet into the SAME
@@ -3466,6 +3525,7 @@ def queries():
         "heavy_keys": q_heavy_keys,
         "host_reputation": q_host_reputation,
         "opic": q_opic,
+        "stream_breaker": q_stream_breaker,
         # 59+: round-3 new families (crawl health + readability)
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
@@ -3700,6 +3760,7 @@ def oracle_sql():
         "bloom_decontaminate": pclean.bloom_decontaminate_sql(),
         "host_reputation": _host_reputation_sql(),
         "opic": psearch.opic_docs_sql(),
+        "stream_breaker": _stream_breaker_sql(),
         "heavy_keys": "WITH " + _skewed_frontier_sql_cte()
         + pprofiling.heavy_keys_sql("frontier", "domain", 15).replace("WITH", ",", 1),
         "skew_plan": "WITH " + _skewed_frontier_sql_cte()

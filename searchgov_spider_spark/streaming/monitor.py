@@ -120,3 +120,41 @@ def run_to_memory(stream_df: DataFrame, name: str):
 def _has_agg(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def windowed_circuit_breaker(
+    fetch_log: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    min_fetches: int | None = None,
+    err_ppm: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators.politeness.domain_circuit_breaker:
+    per-(window, domain) fetch/5xx counts, integer err ppm, and the trip
+    flag — so suspension decisions update continuously as the fetch log
+    streams in instead of once per wave. Watermarked, so per-domain
+    window state is dropped once closed (bounded state at any domain
+    cardinality)."""
+    from ..operators.politeness import BREAKER_ERR_PPM, BREAKER_MIN_FETCHES
+
+    mf = BREAKER_MIN_FETCHES if min_fetches is None else min_fetches
+    ep = BREAKER_ERR_PPM if err_ppm is None else err_ppm
+    agg = (
+        fetch_log.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("domain"))
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.sum((F.col("http_status") >= 500).cast("long")).cast("long").alias("n_5xx"),
+        )
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        "domain",
+        "n_fetches",
+        "n_5xx",
+        F.expr("n_5xx * 1000000 DIV n_fetches").alias("err_ppm"),
+        (
+            (F.col("n_fetches") >= F.lit(mf))
+            & (F.expr("n_5xx * 1000000 DIV n_fetches") >= F.lit(ep))
+        ).alias("suspended"),
+    )

@@ -149,3 +149,26 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         assert got[k]["n_events"] == batch[k]["n_events"]
         assert got[k]["session_end"] == batch[k]["session_end"]
         assert got[k]["total_value"] == batch[k]["total_value"]
+
+
+def test_windowed_circuit_breaker_trips_on_5xx_rate(spark, tmp_path):
+    from searchgov_spider_spark.streaming.monitor import windowed_circuit_breaker
+
+    rows = (
+        # bad.gov: 12 fetches, 6 of them 503 -> 50% >= 30% and >= 10 fetches
+        [(f"2024-01-01T00:00:{i:02d}", f"https://bad.gov/{i}", "bad.gov",
+          503 if i % 2 == 0 else 200, True) for i in range(12)]
+        # ok.gov: 12 fetches, one 500 -> 8.3% < 30%
+        + [(f"2024-01-01T00:00:{i:02d}", f"https://ok.gov/{i}", "ok.gov",
+            500 if i == 0 else 200, True) for i in range(12)]
+        # thin.gov: 2 fetches 100% 5xx but < min_fetches -> not suspended
+        + [(f"2024-01-01T00:00:{i:02d}", f"https://thin.gov/{i}", "thin.gov", 502, False)
+           for i in range(2)]
+    )
+    path = _write_fetch_log(tmp_path, rows)
+    stream = read_fetch_log_stream(spark, path)
+    run_to_memory(windowed_circuit_breaker(stream, window="10 minutes"), "breaker")
+    got = {r["domain"]: r for r in spark.sql("SELECT * FROM breaker").collect()}
+    assert got["bad.gov"].suspended and got["bad.gov"].err_ppm == 500_000
+    assert not got["ok.gov"].suspended
+    assert not got["thin.gov"].suspended and got["thin.gov"].err_ppm == 1_000_000
