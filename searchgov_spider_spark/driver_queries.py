@@ -2343,6 +2343,23 @@ def _dup_clusters_sql() -> str:
     return _dup_clusters_ctes() + "SELECT doc_id, cluster FROM cl ORDER BY doc_id"
 
 
+def q_keep_best(spark, sf_dir):
+    """Quality-aware near-dup survivor selection: SimHash clusters ->
+    per-cluster keep the member with the most content (n_chars, doc_id
+    tiebreak) — the keep policy that stops dedup deleting the best copy
+    of a page (pipelines/dedup.py:keep_best). One join + one cluster
+    hash-agg past the cluster resolution."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = pdedup.simhash_near_dups(docs, max_hamming=3)
+    nodes = pdedup.simhash(docs).select("doc_id")
+    clusters = pdedup.dup_clusters(pairs, nodes)
+    return _longify(pdedup.keep_best(clusters, docs.select("doc_id", "n_chars"), "n_chars"))
+
+
+def _keep_best_sql() -> str:
+    return pdedup.keep_best_sql(_dup_clusters_ctes(), "documents", "n_chars")
+
+
 _SAMPLE_SALT = "r2"
 _STRAT_FRACTIONS = {"en": 0.5, "es": 0.25, "zh": 0.1}
 
@@ -3526,6 +3543,7 @@ def queries():
         "host_reputation": q_host_reputation,
         "opic": q_opic,
         "stream_breaker": q_stream_breaker,
+        "keep_best": q_keep_best,
         # 59+: round-3 new families (crawl health + readability)
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
@@ -3761,6 +3779,7 @@ def oracle_sql():
         "host_reputation": _host_reputation_sql(),
         "opic": psearch.opic_docs_sql(),
         "stream_breaker": _stream_breaker_sql(),
+        "keep_best": _keep_best_sql(),
         "heavy_keys": "WITH " + _skewed_frontier_sql_cte()
         + pprofiling.heavy_keys_sql("frontier", "domain", 15).replace("WITH", ",", 1),
         "skew_plan": "WITH " + _skewed_frontier_sql_cte()

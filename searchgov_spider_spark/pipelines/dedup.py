@@ -1067,3 +1067,55 @@ def sketch_eval_sql(
                n_hit * 1000000 // nullif(n_candidates, 0) AS precision_ppm
         FROM n
     """
+
+
+def keep_best(
+    clusters: DataFrame, quality: DataFrame, quality_col: str = "quality"
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection — the keep policy real
+    corpus pipelines use instead of keep-first: within each dup cluster
+    the member with the highest quality survives (lowest doc_id breaks
+    ties), so dedup stops deleting the best copy of a page just because
+    a worse mirror was discovered earlier.
+
+    ``clusters``: (doc_id, cluster) from ``dup_clusters``;
+    ``quality``:  (doc_id, <quality_col>) — any integer quality signal
+    (chars, Gopher score, LM tier).
+
+    Returns one row per cluster: (cluster, n_docs, keep_doc_id,
+    best_quality). Plan: one join keyed on doc_id + one hash-agg on the
+    cluster label (max_by rides the same agg — no window over all
+    members), both map-side combinable; at 10^10 docs this is two
+    shuffles total, and only cluster-cardinality rows come out.
+    """
+    q = F.col(quality_col)
+    joined = clusters.join(quality.select("doc_id", quality_col), "doc_id")
+    return joined.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max_by("doc_id", F.struct(q.alias("q"), (-F.col("doc_id")).alias("tie")))
+        .alias("keep_doc_id"),
+        F.max(q).cast("long").alias("best_quality"),
+    )
+
+
+def keep_best_sql(clusters_with_chain: str, quality_rel: str, quality_col: str) -> str:
+    """DuckDB twin: ``clusters_with_chain`` is a complete WITH chain
+    (including the WITH keyword) ending in cl(doc_id, cluster);
+    ``quality_rel`` exposes (doc_id, quality_col)."""
+    return f"""
+        {clusters_with_chain},
+        j AS (
+          SELECT cl.doc_id, cl.cluster, q.{quality_col} AS q
+          FROM cl JOIN {quality_rel} q USING (doc_id)
+        ),
+        r AS (
+          SELECT cluster, doc_id, q,
+                 row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cluster)::BIGINT AS n_docs,
+                 max(q) OVER (PARTITION BY cluster)::BIGINT AS best_quality
+          FROM j
+        )
+        SELECT cluster, n_docs, doc_id AS keep_doc_id, best_quality
+        FROM r WHERE rn = 1
+        ORDER BY cluster
+    """

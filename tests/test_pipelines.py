@@ -790,6 +790,24 @@ def test_heavy_keys_no_false_negatives_tiny_capacity(spark):
     assert got[0].share_ppm == 900 * 1_000_000 // 1200
 
 
+def test_keep_best_prefers_quality_then_lowest_id(spark):
+    from searchgov_spider_spark.pipelines.dedup import keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, cluster long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (5, 3), (6, 3)],
+        "doc_id long, q long",
+    )
+    got = {r.cluster: r for r in keep_best(clusters, quality, "q").collect()}
+    assert got[1].keep_doc_id == 2  # highest q, tie broken by lowest id
+    assert got[1].n_docs == 3 and got[1].best_quality == 99
+    assert got[4].keep_doc_id == 4  # singleton keeps itself
+    assert got[5].keep_doc_id == 5  # exact tie -> lowest doc_id
+
+
 def test_overlap_join_prefix_filter_complete(spark):
     from itertools import combinations
 
