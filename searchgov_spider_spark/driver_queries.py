@@ -2360,6 +2360,34 @@ def _keep_best_sql() -> str:
     return pdedup.keep_best_sql(_dup_clusters_ctes(), "documents", "n_chars")
 
 
+def q_sitemap_generate(spark, sf_dir):
+    """Write side of the sitemap cycle: per-domain protocol-capped urlset
+    chunks with byte-stable XML (operators/sitemap.py:generate_sitemaps);
+    cap lowered to 7 so the sf testdata exercises multi-file chunking."""
+    from .operators.sitemap import generate_sitemaps
+
+    ev = load(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 25).cast("string"), F.lit(".gov")).alias("domain"),
+        F.concat(
+            F.lit("https://d"), (F.col("user_id") % 25).cast("string"),
+            F.lit(".gov/e/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+    )
+    return _longify(generate_sitemaps(pages, max_per_file=7))
+
+
+def _sitemap_generate_sql() -> str:
+    from .operators.sitemap import generate_sitemaps_sql
+
+    pages_cte = """pg AS (
+      SELECT 'd' || (user_id % 25)::VARCHAR || '.gov' AS domain,
+             'https://d' || (user_id % 25)::VARCHAR || '.gov/e/' || event_id::VARCHAR AS url
+      FROM events
+    )"""
+    return generate_sitemaps_sql(pages_cte, max_per_file=7)
+
+
 _SAMPLE_SALT = "r2"
 _STRAT_FRACTIONS = {"en": 0.5, "es": 0.25, "zh": 0.1}
 
@@ -3544,6 +3572,7 @@ def queries():
         "opic": q_opic,
         "stream_breaker": q_stream_breaker,
         "keep_best": q_keep_best,
+        "sitemap_generate": q_sitemap_generate,
         # 59+: round-3 new families (crawl health + readability)
         "trap_detection": q_trap_detection,
         "recrawl_priority": q_recrawl_priority,
@@ -3780,6 +3809,7 @@ def oracle_sql():
         "opic": psearch.opic_docs_sql(),
         "stream_breaker": _stream_breaker_sql(),
         "keep_best": _keep_best_sql(),
+        "sitemap_generate": _sitemap_generate_sql(),
         "heavy_keys": "WITH " + _skewed_frontier_sql_cte()
         + pprofiling.heavy_keys_sql("frontier", "domain", 15).replace("WITH", ",", 1),
         "skew_plan": "WITH " + _skewed_frontier_sql_cte()

@@ -340,3 +340,79 @@ def schedule_sitemap_urls(sitemaps: DataFrame) -> DataFrame:
         F.asc("url"),
     )
     return rows.withColumn("fetch_rank", F.row_number().over(w).cast("long"))
+
+
+SITEMAP_MAX_URLS = 50_000  # sitemaps.org protocol cap per urlset file
+
+
+def generate_sitemaps(
+    pages: DataFrame,
+    max_per_file: int = SITEMAP_MAX_URLS,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """The write side of the sitemap cycle (the reference only reads
+    sitemaps; a crawl that republishes its index needs the writer):
+    chunk each domain's canonical URLs into protocol-compliant urlset
+    files of <= ``max_per_file`` entries and render the XML.
+
+    Per (domain, file_idx): n_urls and the <urlset> body, URLs in
+    deterministic lexicographic order so re-generation is byte-stable
+    (diff-able across crawls — the sitemap_diff input on the next
+    cycle).
+
+    Plan: one window per domain (row_number, the same per-domain
+    ordering shape schedule_sitemap_urls uses) -> chunk id by integer
+    division -> one hash-agg per (domain, chunk) string_agg. Sitemap
+    files are domain-scoped by protocol, so the window key is never
+    global; a 10^10-URL corpus shuffles once on domain (salt a mega-host
+    by chunk range if one domain alone exceeds a task)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(url_col)
+    chunked = pages.select(
+        F.col(domain_col).alias("domain"),
+        F.col(url_col).alias("url"),
+        ((F.row_number().over(w) - 1) / max_per_file).cast("long").alias("file_idx"),
+    )
+    entry = F.concat(F.lit("<url><loc>"), F.col("url"), F.lit("</loc></url>"))
+    # sort by the RAW url, not the rendered entry: the '</loc>' suffix
+    # changes lexicographic order when one url is a prefix of another
+    # ('/e/88' < '/e/8802' but '88</loc>' > '8802</loc>')
+    sorted_entries = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("url").alias("u"), entry.alias("e")))),
+        lambda s: s["e"],
+    )
+    return (
+        chunked.groupBy("domain", "file_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.array_join(sorted_entries, ""),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+
+
+def generate_sitemaps_sql(
+    pages_cte: str, max_per_file: int = SITEMAP_MAX_URLS
+) -> str:
+    """DuckDB twin over a CTE named ``pg`` with (domain, url)."""
+    return f"""
+        WITH {pages_cte},
+        chunked AS (
+          SELECT domain, url,
+                 ((row_number() OVER (PARTITION BY domain ORDER BY url) - 1)
+                   // {int(max_per_file)})::BIGINT AS file_idx
+          FROM pg
+        )
+        SELECT domain, file_idx, count(*)::BIGINT AS n_urls,
+               '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                 || string_agg('<url><loc>' || url || '</loc></url>', '' ORDER BY url)
+                 || '</urlset>' AS xml
+        FROM chunked
+        GROUP BY domain, file_idx
+        ORDER BY domain, file_idx
+    """

@@ -379,3 +379,33 @@ def test_frontier_datasource_registered_scan(spark):
     row = a.filter("id = 4").collect()[0]
     assert row.url == "HTTPS://D0.gov/p/4#frag"  # id%4==0 -> hot domain 0
     assert (row.priority, row.depth, row.discovery_idx) == (4, 0, 4)
+
+
+class TestGenerateSitemaps:
+    def test_chunking_and_xml(self, spark):
+        from searchgov_spider_spark.operators.sitemap import generate_sitemaps
+
+        pages = spark.createDataFrame(
+            [("a.gov", f"https://a.gov/p/{i:03d}") for i in range(5)]
+            + [("b.gov", "https://b.gov/only")],
+            "domain string, url string",
+        )
+        got = {(r.domain, r.file_idx): r for r in generate_sitemaps(pages, max_per_file=2).collect()}
+        assert {(d, i) for d, i in got} == {("a.gov", 0), ("a.gov", 1), ("a.gov", 2), ("b.gov", 0)}
+        assert got[("a.gov", 0)].n_urls == 2 and got[("a.gov", 2)].n_urls == 1
+        xml0 = got[("a.gov", 0)].xml
+        assert xml0.startswith('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">')
+        assert xml0.endswith("</urlset>")
+        assert "<url><loc>https://a.gov/p/000</loc></url><url><loc>https://a.gov/p/001</loc></url>" in xml0
+
+    def test_prefix_urls_sort_by_raw_url(self, spark):
+        from searchgov_spider_spark.operators.sitemap import generate_sitemaps
+
+        pages = spark.createDataFrame(
+            [("a.gov", "https://a.gov/e/88"), ("a.gov", "https://a.gov/e/8802")],
+            "domain string, url string",
+        )
+        xml = generate_sitemaps(pages, max_per_file=10).collect()[0].xml
+        # '/e/88' < '/e/8802' in url order even though the rendered
+        # entries would sort the other way
+        assert xml.index("/e/88<") < xml.index("/e/8802<")
