@@ -54,6 +54,16 @@ PATCHES = (
     ),
     (
         "BASELINE.md",
+        r"all (\d+) `queries\(\)` entries carry",
+        "all {n_queries} `queries()` entries carry",
+    ),
+    (
+        "QUERIES.md",
+        r"(\d+) operator queries exposed",
+        "{n_queries} operator queries exposed",
+    ),
+    (
+        "BASELINE.md",
         r"full suite green \((\d+) tests\)",
         "full suite green ({n_tests} tests)",
     ),
