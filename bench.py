@@ -32,7 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from searchgov_spider_spark import driver_queries as dq  # noqa: E402
 from searchgov_spider_spark.functions.urls import url_hash_col, with_canonical  # noqa: E402
-from searchgov_spider_spark.operators.dedup import build_bloom, build_delta_bloom, dedupe_against_seen  # noqa: E402
+from searchgov_spider_spark.operators.dedup import build_bloom, build_bloom_from_hashes, dedupe_against_seen  # noqa: E402
 from searchgov_spider_spark.operators.politeness import schedule_wave  # noqa: E402
 from searchgov_spider_spark.session import get_spark  # noqa: E402
 
@@ -102,14 +102,22 @@ def crawl_wave_bench(spark, n: int) -> tuple[float, int, dict]:
     fresh = dedupe_against_seen(cand, seen, bloom)
     scheduled, _deferred = schedule_wave(fresh, budget=400, salt_buckets=16)
     scheduled = scheduled.persist(StorageLevel.MEMORY_AND_DISK)
-    n_sched = scheduled.count()
+    # ONE action both materializes the persisted wave and streams its
+    # 8 B/row fingerprints to the driver — the engine loop does the same
+    # fold (plans/crawl.py rides the count along the fetch stats agg);
+    # the previous count() + collect pair scanned the cache twice/wave.
+    h_tbl = scheduled.select("url_hash").toArrow()
+    n_sched = h_tbl.num_rows
     t2 = time.monotonic()
-    delta = build_delta_bloom(scheduled.select("url_hash"), bloom.spec, n_rows=n_sched)
+    delta = build_bloom_from_hashes(
+        h_tbl.column("url_hash").to_numpy(zero_copy_only=False), bloom.spec
+    )
     bloom.merge(delta)
     t3 = time.monotonic()
     # phase split for the Amdahl decomposition in BENCH.md: the first two
-    # phases scale with cores; bloom_delta is mostly serial driver work
-    # (Arrow collect of the scheduled hashes + driver-side bitmap build)
+    # phases scale with cores (dedup_schedule now includes the Arrow
+    # fingerprint transfer); bloom_delta is the serial driver-side bitmap
+    # scatter + merge only
     phases = {
         "canonicalize_persist": round(t1 - t0, 3),
         "dedup_schedule": round(t2 - t1, 3),

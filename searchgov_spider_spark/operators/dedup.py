@@ -72,20 +72,31 @@ def _empty_bits(spec: BloomSpec) -> np.ndarray:
     return np.zeros(spec.n_bits // 8, dtype=np.uint8)
 
 
+# Position batches are computed per 64k-hash chunk: the monolithic
+# (n_rows x n_hashes) intermediate for a 700k-row wave is ~70 MB of
+# DRAM-bound allocations, which measured 35% slower steady-state in the
+# live driver process than cache-resident ~3 MB chunks — and, worse,
+# intermittently 5-10x slower when the co-resident JVM is collecting
+# (both contend for memory bandwidth; small chunks bound the exposure).
+_SCATTER_CHUNK = 65536
+
+
 def _add_to_bits(bits: np.ndarray, hashes: np.ndarray, spec: BloomSpec) -> None:
-    pos = _positions(hashes, spec).ravel()
     # Dense adds (the per-wave delta path, millions of positions) go
     # through a bool scatter + packbits: ~6x faster than the unbuffered
     # np.bitwise_or.at scatter, measured at wave scale — this is the
     # dominant term of the bench's serial bloom_delta floor. Sparse adds
     # (few keys into a large spec) keep the .at path: the bool array
     # costs n_bits bytes of alloc+zero+pack regardless of len(pos).
-    if pos.size >= spec.n_bits // 512:
+    if len(hashes) * spec.n_hashes >= spec.n_bits // 512:
         dense = np.zeros(spec.n_bits, dtype=bool)
-        dense[pos] = True
+        for i in range(0, len(hashes), _SCATTER_CHUNK):
+            dense[_positions(hashes[i : i + _SCATTER_CHUNK], spec).ravel()] = True
         np.bitwise_or(bits, np.packbits(dense, bitorder="little"), out=bits)
     else:
-        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        for i in range(0, len(hashes), _SCATTER_CHUNK):
+            pos = _positions(hashes[i : i + _SCATTER_CHUNK], spec).ravel()
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
 
 
 def _contains(bits: np.ndarray, hashes: np.ndarray, spec: BloomSpec) -> np.ndarray:
@@ -224,6 +235,19 @@ def build_bloom_driver(
         .to_numpy(dtype=np.int64)
         .view(np.uint64)
     )
+    return build_bloom_from_hashes(h, spec)
+
+
+def build_bloom_from_hashes(h: np.ndarray, spec: BloomSpec) -> ShardedBloom:
+    """Driver-side bloom build from an ALREADY-COLLECTED hash array.
+
+    The per-wave fold: callers that run one Arrow action to both
+    materialize the scheduled wave and stream its 8 B/row fingerprints
+    to the driver (plans/crawl.py rides the count along the fetch stats
+    agg; bench.py's wave replica collects once for count + delta +
+    lineage) reuse that array here instead of paying a second cache
+    scan through ``build_bloom_driver``."""
+    h = np.asarray(h, dtype=np.int64).view(np.uint64)
     shards: dict[int, np.ndarray] = {}
     if spec.n_shards == 1:
         bits = _empty_bits(spec)

@@ -268,6 +268,14 @@ def test_delta_bloom_driver_path_equivalent(spark):
     assert a.spec == b.spec
     for s in range(spec.n_shards):
         assert (a.shards[s] == b.shards[s]).all()
+    # the folded-action path (pre-collected hashes, bench.py's wave) must
+    # match the DataFrame driver path bit-for-bit too
+    from searchgov_spider_spark.operators.dedup import build_bloom_from_hashes
+
+    h = df.toPandas()["url_hash"].to_numpy()
+    c = build_bloom_from_hashes(h, spec)
+    for s in range(spec.n_shards):
+        assert (b.shards[s] == c.shards[s]).all()
 
 
 def test_drain_report_ceil_div_and_eta(spark):

@@ -113,18 +113,26 @@ def test_driver_contract_integrity():
         "content_type_route", "monitor_codes", "sitemap_resolve",
         # extraction / interleaved / language
         "i14y_docs", "spans_flatten", "lang_id",
-        # dedup + similarity families
-        "exact_dedup", "minhash_pairs", "simhash_near_dups", "ngram_jaccard",
-        "embedding_near_dups", "dup_clusters", "overlap_join", "containment",
-        "ivf_ann_exact",
-        # corpus prep chain + splits
+        # dedup + similarity families (ngram_jaccard/containment moved to
+        # 51+ by the round-4 rotation; the set-similarity family stays
+        # represented in-window by minhash/simhash/overlap_join)
+        "exact_dedup", "minhash_pairs", "simhash_near_dups",
+        "embedding_near_dups", "dup_clusters", "overlap_join",
+        "ivf_ann_exact", "quantize_embeddings",
+        # corpus prep chain + splits (incl. the round-4 promotions that
+        # certify the r2/r3 oracle-typing repairs officially)
         "repetition_stats", "pack_chunks", "chunk_stats", "corpus_prep",
+        "pack_spans", "span_stats",
         "sample_split", "leakage_split",
-        # temporal / search / events / warehouse
-        "asof_join", "range_join", "rollup_hypertable",
+        # temporal / search / events / warehouse (range_join represented by
+        # asof+rollup; retention/percentiles/rolling_stats by
+        # funnel+props_rollup; scd2/profile_table by upsert+pricing)
+        "asof_join", "rollup_hypertable",
         "inverted_index", "bm25_topk", "pagerank",
-        "funnel", "retention", "percentiles", "rolling_stats",
-        "upsert", "scd2", "profile_table",
+        "funnel", "props_rollup",
+        "upsert", "compaction_plan",
+        # mixture + reference readschedule rollup (round-4 window additions)
+        "tokenizer_fertility", "lang_mixture", "schedule_rollup",
         # TPC-H analog + streaming
         "pricing_summary", "stream_dedup", "stream_monitor",
     }
