@@ -67,6 +67,11 @@ PATCHES = (
         r"full suite green \((\d+) tests\)",
         "full suite green ({n_tests} tests)",
     ),
+    (
+        "BENCH.md",
+        r"ALL OK across all (\d+) queries",
+        "ALL OK across all {n_queries} queries",
+    ),
 )
 
 
