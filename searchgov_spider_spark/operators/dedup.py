@@ -82,13 +82,18 @@ _SCATTER_CHUNK = 65536
 
 
 def _add_to_bits(bits: np.ndarray, hashes: np.ndarray, spec: BloomSpec) -> None:
-    # Dense adds (the per-wave delta path, millions of positions) go
-    # through a bool scatter + packbits: ~6x faster than the unbuffered
-    # np.bitwise_or.at scatter, measured at wave scale — this is the
-    # dominant term of the bench's serial bloom_delta floor. Sparse adds
-    # (few keys into a large spec) keep the .at path: the bool array
-    # costs n_bits bytes of alloc+zero+pack regardless of len(pos).
-    if len(hashes) * spec.n_hashes >= spec.n_bits // 512:
+    # Dense adds (position density >= 1/32) go through a bool scatter +
+    # packbits: ~6x faster than the unbuffered np.bitwise_or.at scatter
+    # when most of the bitmap is touched (the official 2M-frontier wave:
+    # 4.2M positions into 32.6M bits, 54 ms dense vs 371 ms sparse).
+    # Sparse adds keep the .at path: it touches only the n_bits/8 output
+    # bitmap, while the dense path allocates and walks an n_bits bool —
+    # at a 48M-capacity spec (390M bits, density 0.011) sparse measured
+    # 280 ms vs 500-1000 ms dense offline, and the 8x-smaller footprint
+    # bounds page-fault stalls when the box is under memory pressure
+    # (the old 1/512 threshold picked dense there and the big-wave bench
+    # recorded multi-second bloom_delta phases).
+    if len(hashes) * spec.n_hashes >= spec.n_bits // 32:
         dense = np.zeros(spec.n_bits, dtype=bool)
         for i in range(0, len(hashes), _SCATTER_CHUNK):
             dense[_positions(hashes[i : i + _SCATTER_CHUNK], spec).ravel()] = True
