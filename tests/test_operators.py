@@ -252,6 +252,37 @@ def test_playwright_fetcher_gate_and_abort_predicate():
             PlaywrightFetcher()
 
 
+def test_bloom_scatter_dense_sparse_bit_identical():
+    """The dense (bool scatter + packbits) and sparse (bitwise_or.at)
+    branches of _add_to_bits must be bit-identical on the SAME input —
+    the density threshold (1/32) is a pure speed heuristic, so a batch
+    landing on either side of it cannot change the bitmap. Exercised at
+    batch sizes straddling the crossover and the 64k chunk boundary."""
+    import numpy as np
+
+    from searchgov_spider_spark.operators import dedup as od
+
+    spec = od.BloomSpec.for_capacity(200_000, 0.02, n_shards=1)
+    rng = np.random.default_rng(7)
+    crossover = spec.n_bits // 32 // spec.n_hashes  # rows at density 1/32
+    for n in (1, crossover - 1, crossover + 1, 65_537, 200_000):
+        h = rng.integers(-(2**63), 2**63, size=n, dtype=np.int64)
+        dense = od._empty_bits(spec)
+        sparse = od._empty_bits(spec)
+        for i in range(0, n, od._SCATTER_CHUNK):
+            chunk = h[i : i + od._SCATTER_CHUNK]
+            pos = od._positions(chunk, spec).ravel()
+            d = np.zeros(spec.n_bits, dtype=bool)
+            d[pos] = True
+            np.bitwise_or(dense, np.packbits(d, bitorder="little"), out=dense)
+            np.bitwise_or.at(sparse, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        assert (dense == sparse).all()
+        # and the production kernel (whichever branch it picks) matches both
+        prod = od._empty_bits(spec)
+        od._add_to_bits(prod, h, spec)
+        assert (prod == dense).all()
+
+
 def test_delta_bloom_driver_path_equivalent(spark):
     """build_delta_bloom's driver-side small path must produce the exact
     same bitmap as the distributed partial-bitmap build."""
