@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from searchgov_spider_spark import driver_queries as dq  # noqa: E402
-from searchgov_spider_spark.functions.urls import url_hash_col, with_canonical  # noqa: E402
+from searchgov_spider_spark.functions.urls import url_hash_col, url_host_col, with_canonical  # noqa: E402
 from searchgov_spider_spark.operators.dedup import build_bloom, build_bloom_from_hashes, dedupe_against_seen  # noqa: E402
 from searchgov_spider_spark.operators.politeness import schedule_wave  # noqa: E402
 from searchgov_spider_spark.session import get_spark  # noqa: E402
@@ -90,10 +90,15 @@ def crawl_wave_bench(spark, n: int) -> tuple[float, int, dict]:
     cand = (
         # one vectorized Arrow UDF pass (see with_canonical: the JVM-native
         # fast paths were measured slower; the UDF does ~4.2M rows/s at 32
-        # cores and scales linearly with cores)
+        # cores and scales linearly with cores). The cached column set is
+        # the engine loop's (_prepare_candidates): raw url rides along for
+        # the downstream emit path, the synthetic row id does not; domain
+        # comes from the engine's url_host_col (codegen try_parse_url),
+        # which A/B-measured faster than the regexp it replaced.
         with_canonical(synthetic_frontier(spark, n), "url", "canon_url", rescan_cheap=True)
+        .select("url", "canon_url", "priority", "depth", "discovery_idx")
         .withColumn("url_hash", url_hash_col("canon_url"))
-        .withColumn("domain", F.regexp_extract("canon_url", r"^https://([^/]+)", 1))
+        .withColumn("domain", url_host_col("canon_url"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand.count()  # materialize: downstream branches must scan the cache,
