@@ -3476,6 +3476,188 @@ _FILE_SKIPPING_SQL = """
 # Registry
 # ===========================================================================
 
+# --- web-archive indexing + revalidation planning (operators/archive.py) -----
+
+_CDX_URL_CASE = """CASE event_id % 5
+        WHEN 0 THEN 'https://d' || (user_id % 25)::VARCHAR || '.gov/p/' || (event_id % 400)::VARCHAR
+        WHEN 1 THEN 'HTTPS://WWW.D' || (user_id % 25)::VARCHAR || '.GOV:443/p/' || (event_id % 400)::VARCHAR || '#frag'
+        WHEN 2 THEN 'http://sub.d' || (user_id % 25)::VARCHAR || '.gov:8080/q/' || (event_id % 400)::VARCHAR || '?a=1'
+        WHEN 3 THEN 'https://d' || (user_id % 25)::VARCHAR || '.gov/p/' || (event_id % 400)::VARCHAR
+        ELSE 'd' || (user_id % 25)::VARCHAR || '.gov?x=' || (event_id % 400)::VARCHAR
+      END"""
+
+_CDX_LOG_SQL_CTE = f"""
+    fl AS (
+      SELECT {_CDX_URL_CASE} AS url,
+             event_id::BIGINT AS fetch_ts,
+             (CASE WHEN event_id % 13 = 0 THEN 404 ELSE 200 END)::BIGINT AS http_status,
+             CASE WHEN event_id % 4 = 0 THEN 'application/pdf' ELSE 'text/html' END AS mime,
+             CASE WHEN event_id % 7 = 0 THEN 'h' || (event_id % 400)::VARCHAR
+                  ELSE 'g' || ((event_id % 400) % 40)::VARCHAR END AS digest,
+             ((event_id % 1000) + 100)::BIGINT AS n_bytes
+      FROM events
+    )
+"""
+
+
+def _cdx_log_from_events(events: DataFrame) -> DataFrame:
+    dom = (F.col("user_id") % 25).cast("string")
+    k = (F.col("event_id") % 400).cast("string")
+    m = F.col("event_id") % 5
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://d"), dom, F.lit(".gov/p/"), k))
+        .when(m == 1, F.concat(F.lit("HTTPS://WWW.D"), dom, F.lit(".GOV:443/p/"), k, F.lit("#frag")))
+        .when(m == 2, F.concat(F.lit("http://sub.d"), dom, F.lit(".gov:8080/q/"), k, F.lit("?a=1")))
+        .when(m == 3, F.concat(F.lit("https://d"), dom, F.lit(".gov/p/"), k))
+        .otherwise(F.concat(F.lit("d"), dom, F.lit(".gov?x="), k))
+    )
+    digest = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("h"), k)
+    ).otherwise(F.concat(F.lit("g"), ((F.col("event_id") % 400) % 40).cast("string")))
+    return events.select(
+        url.alias("url"),
+        F.col("event_id").cast("long").alias("fetch_ts"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(404)).otherwise(F.lit(200)).cast("long").alias("http_status"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("application/pdf")).otherwise(F.lit("text/html")).alias("mime"),
+        digest.alias("digest"),
+        ((F.col("event_id") % 1000) + 100).cast("long").alias("n_bytes"),
+    )
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index keyed by SURT over a synthetic fetch log
+    whose URL shapes exercise the whole SURT spec (scheme/userinfo/case
+    folding, default vs non-default ports, www-stripping, fragment
+    drop, empty-path query) — shapes 0/1/3 of the same (domain, k)
+    collapse to ONE surt, proving the key canonicalizes across
+    variants; ``is_revisit`` flags digest-unchanged recaptures via the
+    per-surt lag window (operators/archive.py:cdx_index)."""
+    from .operators.archive import cdx_index
+
+    log_df = _cdx_log_from_events(load(spark, sf_dir, "events"))
+    return _longify(cdx_index(log_df)).orderBy("surt", "fetch_ts", "url")
+
+
+def _cdx_index_sql() -> str:
+    from .operators.archive import cdx_index_sql
+
+    return cdx_index_sql(_CDX_LOG_SQL_CTE)
+
+
+_COND_CAND_SQL_CTE = """
+    cand AS (
+      SELECT 'https://d' || (doc_id % 25)::VARCHAR || '.gov/doc/' || doc_id::VARCHAR AS url,
+             'd' || (doc_id % 25)::VARCHAR || '.gov' AS domain,
+             'c' || (doc_id % 97)::VARCHAR AS cur_digest
+      FROM documents
+    )
+"""
+
+_COND_PRIOR_SQL_CTE = """
+    prior AS (
+      SELECT 'https://d' || (doc_id % 25)::VARCHAR || '.gov/doc/' || doc_id::VARCHAR AS url,
+             CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 'e' || doc_id::VARCHAR END AS etag,
+             CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'lm' || doc_id::VARCHAR END AS last_modified,
+             CASE WHEN doc_id % 2 = 0 THEN 'c' || (doc_id % 97)::VARCHAR ELSE 'x' END AS digest,
+             n_chars::BIGINT AS n_bytes
+      FROM documents
+      WHERE doc_id % 3 <> 0
+    )
+"""
+
+
+def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain conditional-fetch (ETag/Last-Modified revalidation)
+    savings plan: two-thirds of the recrawl set has a prior capture,
+    validator nullability varies by doc_id mod (doc_id % 20 == 0 rows
+    have NEITHER validator → full fetch despite a prior), and half the
+    revalidations hit an unchanged digest → expected 304s + bytes_saved
+    (operators/archive.py:conditional_fetch_plan)."""
+    from .operators.archive import conditional_fetch_plan
+
+    docs = load(spark, sf_dir, "documents")
+    dom = (F.col("doc_id") % 25).cast("string")
+    url = F.concat(F.lit("https://d"), dom, F.lit(".gov/doc/"), F.col("doc_id").cast("string"))
+    cand = docs.select(
+        url.alias("url"),
+        F.concat(F.lit("d"), dom, F.lit(".gov")).alias("domain"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 97).cast("string")).alias("cur_digest"),
+    )
+    prior = docs.filter(F.col("doc_id") % 3 != 0).select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("e"), F.col("doc_id").cast("string"))).alias("etag"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("lm"), F.col("doc_id").cast("string"))).alias("last_modified"),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("c"), (F.col("doc_id") % 97).cast("string")))
+        .otherwise(F.lit("x")).alias("digest"),
+        F.col("n_chars").cast("long").alias("n_bytes"),
+    )
+    return _longify(conditional_fetch_plan(cand, prior)).orderBy("domain")
+
+
+def _conditional_fetch_sql() -> str:
+    from .operators.archive import conditional_fetch_plan_sql
+
+    return conditional_fetch_plan_sql(_COND_CAND_SQL_CTE.strip(), _COND_PRIOR_SQL_CTE.strip())
+
+
+def q_wave_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-worker wave makespan forecast: 200 synthetic domains
+    hash-assigned to the reference's 5 scrapyd workers; eta is the max
+    of the politeness floor (hottest domain x 1 s delay) and the
+    worker's aggregate request-capacity floor
+    (operators/politeness.py:wave_eta)."""
+    from .operators.politeness import wave_eta
+
+    ev = load(spark, sf_dir, "events")
+    sched = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 200).cast("string"), F.lit(".gov")).alias("domain")
+    )
+    return _longify(wave_eta(sched)).orderBy("worker")
+
+
+def _wave_eta_sql() -> str:
+    from .operators.politeness import wave_eta_sql
+
+    cte = (
+        "sched AS (SELECT 'd' || (user_id % 200)::VARCHAR || '.gov' AS domain FROM events)"
+    )
+    return wave_eta_sql(cte)
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 1/2) source-mixture shares over the
+    documents table — sqrt is the one IEEE-correctly-rounded power, so
+    the fixed-point integer weights are bit-identical cross-engine
+    (pipelines/sampling.py:mixture_temperature)."""
+    from .pipelines.sampling import mixture_temperature
+
+    return _longify(mixture_temperature(load(spark, sf_dir, "documents"))).orderBy("source")
+
+
+def _mixture_temperature_sql() -> str:
+    from .pipelines.sampling import mixture_temperature_sql
+
+    return mixture_temperature_sql("documents")
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register build over events.user_id with the portable
+    hash — open, oracle-checkable registers (bucket, max_rho) plus the
+    per-bucket exact distinct count for sketch-vs-truth comparison
+    (pipelines/profiling.py:hll_registers)."""
+    from .pipelines.profiling import hll_registers
+
+    return _longify(hll_registers(load(spark, sf_dir, "events"), "user_id")).orderBy("bucket")
+
+
+def _hll_registers_sql() -> str:
+    from .pipelines.profiling import hll_registers_sql
+
+    return hll_registers_sql("events", "user_id")
+
+
 def queries():
     """Dict ORDER IS LOAD-BEARING: the driver's correctness gate
     evaluates entries in dict order and may stop at a count or time
@@ -3551,6 +3733,15 @@ def queries():
         "stream_dedup": q_stream_dedup,
         "stream_monitor": q_stream_monitor,
         # ==== 51+: variants and breadth ================================
+        # 51-55: round-4 additions — web-archive indexing (SURT/CDX),
+        # revalidation planning, per-worker wave ETA, temperature
+        # mixture, open HLL registers. Queued directly after the gate
+        # window so any window extension certifies them first.
+        "cdx_index": q_cdx_index,
+        "conditional_fetch": q_conditional_fetch,
+        "wave_eta": q_wave_eta,
+        "mixture_temperature": q_mixture_temperature,
+        "hll_registers": q_hll_registers,
         # 51-58: family variants displaced from the gate window by the
         # round-4 promotions above — each family keeps an in-window
         # representative (jaccard/containment by the four other dedup
@@ -3831,6 +4022,11 @@ def oracle_sql():
         "stratified_sample": _stratified_sample_sql(),
         "leakage_split": _leakage_split_sql(),
         "stream_monitor": _stream_monitor_sql(),
+        "cdx_index": _cdx_index_sql(),
+        "conditional_fetch": _conditional_fetch_sql(),
+        "wave_eta": _wave_eta_sql(),
+        "mixture_temperature": _mixture_temperature_sql(),
+        "hll_registers": _hll_registers_sql(),
         "stream_dedup": Q_STREAM_DEDUP_SQL,
         "i14y_docs": Q_I14Y_DOCS_SQL,
         "i14y_html": Q_I14Y_HTML_SQL,

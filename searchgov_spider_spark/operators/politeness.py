@@ -401,3 +401,101 @@ def host_reputation_sql(fetch_cte: str) -> str:
         FROM scored
         ORDER BY domain
     """
+
+
+# --- per-worker wave ETA ------------------------------------------------------
+
+WAVE_WORKERS = 5  # reference: 5 concurrent scrapyd processes (scrapy_scheduler.py)
+WORKER_RPS_CAP = 20  # per-worker aggregate request capacity (req/s)
+
+
+def wave_eta(
+    scheduled: DataFrame,
+    n_workers: int = WAVE_WORKERS,
+    delay_s: int = DOWNLOAD_DELAY_S,
+    rps_cap: int = WORKER_RPS_CAP,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Per-worker wave makespan forecast for a scheduled wave.
+
+    The reference runs a fixed pool of crawler processes
+    (scrapy_scheduler.py's scrapyd slots) where each process crawls many
+    domains concurrently but every domain is throttled to one request
+    per ``delay_s`` (settings.py DOWNLOAD_DELAY). A wave's wall time per
+    worker is therefore bounded below by BOTH:
+
+      - the politeness floor: the slowest single domain assigned to the
+        worker needs ``n_urls_in_domain * delay_s`` seconds regardless
+        of capacity, and
+      - the capacity floor: the worker can issue at most ``rps_cap``
+        requests/second across all its domains, so all assigned URLs
+        need ``ceil(n_urls / rps_cap)`` seconds.
+
+    Domains are assigned to workers by a deterministic hash (the same
+    stable assignment a distributed fetch tier would use so per-domain
+    connection/robots state never migrates mid-wave). Output one row per
+    worker: ``(worker, n_domains, n_urls, politeness_floor_s,
+    capacity_floor_s, eta_s = greatest of the floors)``. All-integer.
+
+    Scale shape: one map-side-combinable hash agg to (domain) — output
+    bounded by domain cardinality — then a second tiny agg to
+    (worker). The wave ETA drives budget reallocation before the fetch
+    tier is committed, so it must not scan fetched content: the input is
+    the scheduled wave's 1-column domain projection.
+    """
+    from ..functions.hashing import portable_hash32_col
+
+    per_dom = (
+        scheduled.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .withColumn(
+            "worker",
+            F.pmod(
+                portable_hash32_col(F.concat(F.lit("worker|"), F.col("domain"))),
+                F.lit(n_workers),
+            ).cast("long"),
+        )
+    )
+    return (
+        per_dom.groupBy("worker")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_domains"),
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            (F.max("n_urls") * delay_s).cast("long").alias("politeness_floor_s"),
+        )
+        .withColumn(
+            "capacity_floor_s", F.expr(f"(n_urls + {rps_cap - 1}) DIV {rps_cap}")
+        )
+        .withColumn("eta_s", F.greatest("politeness_floor_s", "capacity_floor_s"))
+    )
+
+
+def wave_eta_sql(
+    scheduled_cte: str,
+    n_workers: int = WAVE_WORKERS,
+    delay_s: int = DOWNLOAD_DELAY_S,
+    rps_cap: int = WORKER_RPS_CAP,
+) -> str:
+    """DuckDB twin over a CTE named ``sched`` with a ``domain`` column."""
+    from ..functions.hashing import portable_hash32_sql
+
+    h = portable_hash32_sql("'worker|' || domain")
+    return f"""
+        WITH {scheduled_cte},
+        per_dom AS (
+          SELECT domain, count(*)::BIGINT AS n_urls,
+                 ({h} % {n_workers})::BIGINT AS worker
+          FROM sched GROUP BY domain
+        ),
+        per_worker AS (
+          SELECT worker, count(*)::BIGINT AS n_domains,
+                 sum(n_urls)::BIGINT AS n_urls,
+                 (max(n_urls) * {delay_s})::BIGINT AS politeness_floor_s
+          FROM per_dom GROUP BY worker
+        )
+        SELECT worker, n_domains, n_urls, politeness_floor_s,
+               (n_urls + {rps_cap - 1}) // {rps_cap} AS capacity_floor_s,
+               greatest(politeness_floor_s, (n_urls + {rps_cap - 1}) // {rps_cap}) AS eta_s
+        FROM per_worker
+        ORDER BY worker
+    """

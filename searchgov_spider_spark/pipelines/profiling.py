@@ -245,3 +245,90 @@ def heavy_keys_sql(table: str, key_expr: str, capacity: int = 64) -> str:
         WHERE cnt * {c + 1} > _total
         ORDER BY cnt DESC, key
     """
+
+
+# --- HyperLogLog register build ----------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers — small enough to eyeball, shape generalizes
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
+    """Distributed HyperLogLog register build over ``df[key_col]``.
+
+    The engine's cardinality sketch for frontier/seen-set accounting
+    (Spark's own approx_count_distinct is HLL++ but its registers are
+    opaque and not oracle-checkable). This builds the registers openly
+    with the portable hash so DuckDB reproduces them bit-for-bit:
+
+      h       = portable 32-bit md5 hash of the key
+      bucket  = h % 2^p                (register index)
+      w       = h DIV 2^p             (remaining 32-p bits)
+      rho(w)  = position of the highest set bit counted from the MSB of
+                the (32-p)-bit window + 1; w = 0 → 32-p+1
+
+    Output one row per register: ``(bucket, max_rho, n_hashes)`` plus
+    ``n_exact`` (exact distinct keys hashing into the bucket) so a test
+    can compare the sketch against truth per register. The estimate
+    itself (alpha_m * m^2 / sum(2^-rho), a float) is deliberately NOT a
+    column — register state is the exact-integer, mergeable part: at
+    100 TB each executor's partial registers combine by max() in one
+    map-side-combinable agg, which is exactly how the sketch merges
+    across a 1000-executor cluster (and across waves: max of register
+    tables IS the union sketch).
+
+    rho is computed from the binary-string position of the first '1'
+    (``instr(lpad(bin(w), 32-p, '0'), '1')``) — pure codegen, no UDF,
+    identical in DuckDB (strpos/bin/lpad).
+    """
+    from ..functions.hashing import portable_hash32_col
+
+    m = 1 << p
+    width = 32 - p
+    h = portable_hash32_col(F.concat(F.lit("hll|"), F.col(key_col).cast("string")))
+    keyed = df.select(
+        F.col(key_col).alias("_k"),
+        F.pmod(h, F.lit(m)).cast("long").alias("bucket"),
+        (h.cast("long") / F.lit(m)).cast("long").alias("_w"),
+    ).withColumn(
+        "_rho",
+        F.when(F.col("_w") == 0, F.lit(width + 1))
+        .otherwise(F.expr(f"instr(lpad(bin(_w), {width}, '0'), '1')"))
+        .cast("long"),
+    )
+    return (
+        keyed.groupBy("bucket")
+        .agg(
+            F.max("_rho").alias("max_rho"),
+            F.count(F.lit(1)).cast("long").alias("n_hashes"),
+            F.countDistinct("_k").cast("long").alias("n_exact"),
+        )
+    )
+
+
+def hll_registers_sql(table: str, key_expr: str, p: int = HLL_P) -> str:
+    """DuckDB twin building the identical registers."""
+    from ..functions.hashing import portable_hash32_sql
+
+    m = 1 << p
+    width = 32 - p
+    h = portable_hash32_sql(f"'hll|' || CAST({key_expr} AS VARCHAR)")
+    return f"""
+        WITH keyed AS (
+          SELECT {key_expr} AS k,
+                 ({h} % {m})::BIGINT AS bucket,
+                 ({h} // {m})::BIGINT AS w
+          FROM {table}
+        ),
+        rho AS (
+          SELECT k, bucket,
+                 (CASE WHEN w = 0 THEN {width + 1}
+                       ELSE strpos(lpad(bin(w), {width}, '0'), '1') END)::BIGINT AS rho
+          FROM keyed
+        )
+        SELECT bucket, max(rho)::BIGINT AS max_rho,
+               count(*)::BIGINT AS n_hashes,
+               count(DISTINCT k)::BIGINT AS n_exact
+        FROM rho
+        GROUP BY bucket
+        ORDER BY bucket
+    """

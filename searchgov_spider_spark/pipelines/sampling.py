@@ -472,3 +472,67 @@ def epoch_shuffle_sql(
         FROM {table}
         ORDER BY {key}
     """
+
+
+# --- temperature-scaled source mixture ---------------------------------------
+
+
+def mixture_temperature(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) sampling shares per source.
+
+    Multilingual / multi-source LLM training mixes rarely sample
+    proportionally to corpus size: raw proportions drown low-resource
+    sources, uniform sampling over-repeats tiny ones. The standard
+    compromise samples source i with probability proportional to
+    ``p_i^alpha`` (mBERT/XLM-R exponent smoothing; DoReMi's static
+    baseline). alpha is fixed at 1/2 because sqrt is the one power IEEE
+    754 guarantees correctly rounded — both engines produce the
+    bit-identical double, so the floor'd fixed-point weight below is
+    deterministic cross-engine (an arbitrary ``pow(x, a)`` is NOT
+    correctly rounded and could flip a floor boundary).
+
+    Per source: ``(source, n_docs, n_bytes, w_sqrt =
+    floor(1e3 * sqrt(n_bytes)), share_ppm = w_sqrt * 1e6 DIV
+    sum(w_sqrt))`` — integer outputs only. The fixed-point scale is 1e3,
+    not 1e6: at 100 TB a source can hold ~1e14 bytes, so w_sqrt stays
+    <= ~1e10 and the ppm numerator <= ~1e16 — comfortably inside BIGINT
+    in both engines (a 1e6 scale would overflow Spark's long). One
+    map-side-combinable hash agg + a broadcast 1-row total join; output
+    bounded by source cardinality.
+    """
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_bytes"),
+    )
+    w = F.floor(F.lit(1_000.0) * F.sqrt(F.col("n_bytes").cast("double"))).cast("long")
+    weighted = per_src.withColumn("w_sqrt", w)
+    total = weighted.agg(F.sum("w_sqrt").alias("_w_total"))
+    return (
+        weighted.join(F.broadcast(total))
+        .select(
+            "source", "n_docs", "n_bytes", "w_sqrt",
+            F.expr("w_sqrt * 1000000 DIV _w_total").alias("share_ppm"),
+        )
+    )
+
+
+def mixture_temperature_sql(table: str = "documents", source_expr: str = "source") -> str:
+    """DuckDB twin (identical sqrt fixed-point arithmetic)."""
+    return f"""
+        WITH per_src AS (
+          SELECT {source_expr} AS source,
+                 count(*)::BIGINT AS n_docs,
+                 sum(length(text))::BIGINT AS n_bytes
+          FROM {table} GROUP BY {source_expr}
+        ),
+        weighted AS (
+          SELECT *, CAST(floor(1000.0 * sqrt(n_bytes::DOUBLE)) AS BIGINT) AS w_sqrt
+          FROM per_src
+        )
+        SELECT source, n_docs, n_bytes, w_sqrt,
+               -- ::BIGINT: sum() promotes to HUGEINT in DuckDB and the
+               -- division inherits it; the driver's canonicalizer needs int64
+               (w_sqrt * 1000000 // (SELECT sum(w_sqrt) FROM weighted))::BIGINT AS share_ppm
+        FROM weighted
+        ORDER BY source
+    """

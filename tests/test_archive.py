@@ -1,0 +1,121 @@
+"""Web-archive operators: SURT keys, CDX index, conditional-fetch plan,
+wave ETA, temperature mixture, HLL registers."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from searchgov_spider_spark.operators.archive import (
+    cdx_index,
+    conditional_fetch_plan,
+    surt_key_col,
+)
+from searchgov_spider_spark.operators.politeness import wave_eta
+from searchgov_spider_spark.pipelines.profiling import hll_registers
+from searchgov_spider_spark.pipelines.sampling import mixture_temperature
+
+
+def test_surt_key_golden(spark):
+    cases = {
+        "https://WWW2.Sub.Example.GOV:443/A/b?x=1#f": "gov,example,sub)/a/b?x=1",
+        "http://example.gov": "gov,example)/",
+        "HTTPS://User:pw@Www.agency.GOV:80/path/": "gov,agency)/path/",
+        "example.gov?q=2": "gov,example)/?q=2",
+        "https://svc.example.gov:8080/Y?b=2&a=1": "gov,example,svc:8080)/y?b=2&a=1",
+        "https://a.b.c.d.gov/x#frag": "gov,d,c,b,a)/x",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["surt"] for r in df.select("url", surt_key_col("url").alias("surt")).collect()}
+    assert got == cases
+
+
+def test_cdx_index_revisit(spark):
+    # three captures of one surt (two spellings), digest unchanged on the
+    # 2nd capture (revisit), changed on the 3rd; a second surt with one capture
+    rows = [
+        ("https://a.gov/x", 1, 200, "text/html", "d1", 10),
+        ("HTTPS://WWW.A.GOV/x", 2, 200, "text/html", "d1", 10),
+        ("https://a.gov/x", 3, 200, "text/html", "d2", 12),
+        ("https://b.gov/y", 1, 404, "text/html", "d9", 5),
+    ]
+    log = spark.createDataFrame(
+        rows, "url string, fetch_ts long, http_status long, mime string, digest string, n_bytes long"
+    )
+    out = {(r["surt"], r["fetch_ts"]): r["is_revisit"] for r in cdx_index(log).collect()}
+    assert out[("gov,a)/x", 1)] is False
+    assert out[("gov,a)/x", 2)] is True  # www spelling collapses to same surt
+    assert out[("gov,a)/x", 3)] is False  # digest changed
+    assert out[("gov,b)/y", 1)] is False
+
+
+def test_conditional_fetch_plan(spark):
+    cand = spark.createDataFrame(
+        [
+            ("u1", "d.gov", "c1"),  # prior with etag, digest unchanged -> 304
+            ("u2", "d.gov", "c2"),  # prior with lm, digest changed -> revalidate, no 304
+            ("u3", "d.gov", "c3"),  # prior without validators -> full
+            ("u4", "d.gov", "c4"),  # no prior -> full
+        ],
+        "url string, domain string, cur_digest string",
+    )
+    prior = spark.createDataFrame(
+        [
+            ("u1", "e1", None, "c1", 100),
+            ("u2", None, "lm2", "x", 50),
+            ("u3", None, None, "c3", 7),
+        ],
+        "url string, etag string, last_modified string, digest string, n_bytes long",
+    )
+    [r] = conditional_fetch_plan(cand, prior).collect()
+    assert (r["n_candidates"], r["n_full"], r["n_revalidate"]) == (4, 2, 2)
+    assert (r["n_not_modified"], r["bytes_saved"]) == (1, 100)
+
+
+def test_wave_eta_floors(spark):
+    # single hot domain: politeness floor dominates; many cold domains on
+    # another worker: capacity floor dominates
+    rows = [("hot.gov",)] * 100 + [(f"c{i}.gov",) for i in range(50) for _ in range(4)]
+    sched = spark.createDataFrame(rows, "domain string")
+    out = wave_eta(sched, n_workers=1, delay_s=1, rps_cap=10).collect()
+    [r] = out
+    assert r["n_urls"] == 300
+    assert r["politeness_floor_s"] == 100  # hot.gov: 100 urls x 1s
+    assert r["capacity_floor_s"] == 30  # 300 urls / 10 rps
+    assert r["eta_s"] == 100
+
+
+def test_mixture_temperature_shares(spark):
+    docs = spark.createDataFrame(
+        [(i, "x" * (1600 if i % 3 == 0 else 100), "s%d" % (i % 3)) for i in range(30)],
+        "doc_id long, text string, source string",
+    ).withColumn("lang", F.lit("en")).withColumn("n_chars", F.length("text"))
+    out = {r["source"]: r for r in mixture_temperature(docs).collect()}
+    assert set(out) == {"s0", "s1", "s2"}
+    total_share = sum(r["share_ppm"] for r in out.values())
+    assert 999_000 <= total_share <= 1_000_000  # floor-div rounds down only
+    # s0 holds the 1000-char docs -> more bytes -> larger share, but sqrt
+    # compresses: share ratio must be far below the byte ratio
+    byte_ratio = out["s0"]["n_bytes"] / out["s1"]["n_bytes"]
+    share_ratio = out["s0"]["share_ppm"] / out["s1"]["share_ppm"]
+    assert 1 < share_ratio < byte_ratio
+
+
+def test_hll_registers_match_python(spark):
+    n = 500
+    df = spark.createDataFrame([(i % 137,) for i in range(n)], "user_id long")
+    got = {r["bucket"]: (r["max_rho"], r["n_hashes"], r["n_exact"]) for r in hll_registers(df, "user_id").collect()}
+    # pure-Python reference
+    exp: dict[int, list] = {}
+    seen_keys: dict[int, set] = {}
+    for i in range(n):
+        k = i % 137
+        h = int(hashlib.md5(f"hll|{k}".encode()).hexdigest()[:8], 16)
+        bucket, w = h % 64, h // 64
+        rho = 27 if w == 0 else 26 - w.bit_length() + 1
+        cur = exp.setdefault(bucket, [0, 0])
+        cur[0] = max(cur[0], rho)
+        cur[1] += 1
+        seen_keys.setdefault(bucket, set()).add(k)
+    assert got == {b: (v[0], v[1], len(seen_keys[b])) for b, v in exp.items()}

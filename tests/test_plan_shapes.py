@@ -247,3 +247,58 @@ def test_opic_one_shuffle_per_round_shape(spark):
     edges = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)], "src long, dst long")
     plan = _plan(opic(nodes, edges, n_iter=2))
     assert "Python" not in plan  # pure DataFrame integer arithmetic
+
+
+def test_surt_cdx_single_window_shuffle(spark):
+    from searchgov_spider_spark.operators.archive import cdx_index
+
+    log = spark.createDataFrame(
+        [("https://a.gov/x", 1, 200, "text/html", "d1", 10)],
+        "url string, fetch_ts long, http_status long, mime string, digest string, n_bytes long",
+    )
+    df = cdx_index(log)
+    plan = _plan(df)
+    assert _n_shuffles(df) == 1  # exactly the per-surt lag window exchange
+    assert "Python" not in plan  # SURT is pure codegen, no UDF
+
+
+def test_conditional_fetch_no_cartesian(spark):
+    from searchgov_spider_spark.operators.archive import conditional_fetch_plan
+
+    cand = spark.createDataFrame(
+        [("u1", "d.gov", "c1")], "url string, domain string, cur_digest string"
+    )
+    prior = spark.createDataFrame(
+        [("u1", "e", "lm", "c1", 9)],
+        "url string, etag string, last_modified string, digest string, n_bytes long",
+    )
+    plan = _plan(conditional_fetch_plan(cand, prior))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Python" not in plan
+
+
+def test_wave_eta_two_bounded_aggs(spark):
+    from searchgov_spider_spark.operators.politeness import wave_eta
+
+    sched = spark.createDataFrame([("d.gov",)], "domain string")
+    df = wave_eta(sched)
+    assert _n_shuffles(df) <= 2  # domain agg + worker agg, both map-side combined
+    assert "Python" not in _plan(df)
+
+
+def test_mixture_temperature_broadcast_total(docs_df):
+    from searchgov_spider_spark.pipelines.sampling import mixture_temperature
+
+    plan = _plan(mixture_temperature(docs_df))
+    assert "Broadcast" in plan  # 1-row total joins broadcast, never sort-merge
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_hll_registers_no_python_no_join(spark):
+    from searchgov_spider_spark.pipelines.profiling import hll_registers
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    plan = _plan(hll_registers(df, "user_id"))
+    assert "Python" not in plan  # rho via bin/lpad/instr codegen
+    assert "Join" not in plan  # registers + exact counts in one agg tree
