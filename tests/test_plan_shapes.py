@@ -302,3 +302,13 @@ def test_hll_registers_no_python_no_join(spark):
     plan = _plan(hll_registers(df, "user_id"))
     assert "Python" not in plan  # rho via bin/lpad/instr codegen
     assert "Join" not in plan  # registers + exact counts in one agg tree
+
+
+def test_quantile_sketch_broadcast_stats_no_global_sort(spark):
+    from searchgov_spider_spark.pipelines.profiling import quantile_sketch
+
+    ev = spark.createDataFrame([("t", 1.0)], "event_type string, value double")
+    plan = _plan(quantile_sketch(ev))
+    assert "Broadcast" in plan  # per-group stats broadcast back
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan

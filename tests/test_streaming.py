@@ -172,3 +172,47 @@ def test_windowed_circuit_breaker_trips_on_5xx_rate(spark, tmp_path):
     assert got["bad.gov"].suspended and got["bad.gov"].err_ppm == 500_000
     assert not got["ok.gov"].suspended
     assert not got["thin.gov"].suspended and got["thin.gov"].err_ppm == 1_000_000
+
+
+def test_streaming_budget_gate(spark, tmp_path):
+    """Stateful P2: the per-domain budget counter persists across
+    micro-batches — a domain that used k slots in batch 1 gets only
+    budget-k in batch 2; fetch_rank is cumulative; within a batch the
+    ts order picks the winners."""
+    import os
+
+    from searchgov_spider_spark.streaming.budget import streaming_budget_gate
+    from searchgov_spider_spark.streaming.dedup import DISCOVERED_SCHEMA
+
+    p = tmp_path / "disc_budget"
+    p.mkdir()
+
+    def row(ts, h, dom):
+        return {"ts": ts, "url_hash": h, "url": f"https://{dom}/{h}", "domain": dom, "wave": 0}
+
+    batches = [
+        # batch 1: a.gov has 3 candidates for budget 4 -> all pass, ranks
+        # follow ts order (hash 11 has the earliest ts -> rank 1)
+        [row("2024-01-01T00:00:05", 10, "a.gov"), row("2024-01-01T00:00:01", 11, "a.gov"),
+         row("2024-01-01T00:00:09", 12, "a.gov"), row("2024-01-01T00:00:02", 20, "b.gov")],
+        # batch 2: a.gov has 3 more but only 1 slot left; earliest ts wins it
+        [row("2024-01-01T00:01:00", 13, "a.gov"), row("2024-01-01T00:00:59", 14, "a.gov"),
+         row("2024-01-01T00:01:01", 15, "a.gov"), row("2024-01-01T00:01:02", 21, "b.gov")],
+    ]
+    for i, rows in enumerate(batches):
+        f = p / f"b{i}.json"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(f, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(DISCOVERED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(p))
+    )
+    run_to_memory(streaming_budget_gate(stream, budget=4, order_cols=("ts",)), "stream_budget_t")
+    out = spark.sql("SELECT * FROM stream_budget_t").collect()
+    a = sorted([r for r in out if r["domain"] == "a.gov"], key=lambda r: r["fetch_rank"])
+    b = sorted([r for r in out if r["domain"] == "b.gov"], key=lambda r: r["fetch_rank"])
+    assert [r["url_hash"] for r in a] == [11, 10, 12, 14]  # ts order; 14 wins the last slot
+    assert [r["fetch_rank"] for r in a] == [1, 2, 3, 4]  # cumulative across batches
+    assert [r["url_hash"] for r in b] == [20, 21] and [r["fetch_rank"] for r in b] == [1, 2]
