@@ -3658,6 +3658,24 @@ def _hll_registers_sql() -> str:
     return hll_registers_sql("events", "user_id")
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
+    CCMatrix alignment criterion) between the parity sides of the
+    embeddings table: forward top-k + backward neighborhoods, margin
+    emitted as integer ppm (pipelines/similarity.py:bitext_mine)."""
+    from .pipelines.similarity import bitext_mine
+
+    return _longify(bitext_mine(load(spark, sf_dir, "embeddings"))).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _bitext_mine_sql() -> str:
+    from .pipelines.similarity import bitext_mine_sql
+
+    return bitext_mine_sql("embeddings")
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Mergeable equi-width histogram quantile sketch per event type —
     all-integer bucket/rank arithmetic in exact cents, the oracle-
@@ -3816,6 +3834,7 @@ def queries():
         "mixture_temperature": q_mixture_temperature,
         "hll_registers": q_hll_registers,
         "quantile_sketch": q_quantile_sketch,
+        "bitext_mine": q_bitext_mine,
         "stream_budget": q_stream_budget,
         # 51-58: family variants displaced from the gate window by the
         # round-4 promotions above — each family keeps an in-window
@@ -4103,6 +4122,7 @@ def oracle_sql():
         "mixture_temperature": _mixture_temperature_sql(),
         "hll_registers": _hll_registers_sql(),
         "quantile_sketch": _quantile_sketch_sql(),
+        "bitext_mine": _bitext_mine_sql(),
         "stream_budget": Q_STREAM_BUDGET_SQL,
         "stream_dedup": Q_STREAM_DEDUP_SQL,
         "i14y_docs": Q_I14Y_DOCS_SQL,

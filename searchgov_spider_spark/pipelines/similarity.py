@@ -622,3 +622,162 @@ def semdedup_sql(
         FROM assigned a LEFT JOIN dup d ON a.id = d.id
         ORDER BY vec_id
     """
+
+
+# --- margin-based bitext mining ----------------------------------------------
+
+BITEXT_K = 4
+BITEXT_MARGIN_PPM = 1_020_000  # accept pairs whose ratio margin >= 1.02
+
+
+def bitext_mine(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = BITEXT_K,
+    margin_ppm: int = BITEXT_MARGIN_PPM,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding "sides"
+    (Artetxe & Schwenk ratio margin — the CCMatrix/LASER alignment
+    criterion for mining translation pairs from comparable corpora).
+
+    Sides are the deterministic parity split of the id (even = source
+    side A, odd = target side B — in production this is the language
+    column). For each of the first ``n_queries`` A-vectors:
+
+      margin(a, b) = cos(a, b) / ((avgNN_a + avgNN_b) / 2)
+
+    where avgNN_x is the mean cosine of x to its k nearest neighbors on
+    the OTHER side — a pair scores high only if a and b are closer to
+    each other than to their respective neighborhoods, which suppresses
+    hub vectors that are near everything. Pairs with integer
+    ``margin_ppm`` >= the threshold are emitted with their per-query
+    margin rank.
+
+    Numerics are the module's engine-proof idiom: cosines rounded to 6
+    (cosine_topk precedent), the margin emitted as an INTEGER ppm via
+    floor(x + 0.5) (quantize_embeddings precedent), never a raw double
+    ratio. Denominator <= 0 (possible on adversarial vectors) is
+    filtered identically in both engines.
+
+    Scale shape: two broadcast-queries passes, mirror images of
+    cosine_topk's — (1) broadcast the bounded query set against side B
+    for the forward top-k, (2) broadcast the candidate set (<= nq * k
+    rows, distinct forward neighbors) against side A for the backward
+    neighborhoods. The corpus sides never shuffle; at 100 TB both passes
+    swap in the LSH/IVF bucketed kernels (lsh_ann_topk / ivf_ann) as
+    the candidate generators, same as the ANN family.
+    """
+    e = emb.select(F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    a_side = e.filter(F.col("id") % 2 == 0)
+    b_side = e.filter(F.col("id") % 2 == 1)
+    queries = a_side.filter(F.col("id") < 2 * n_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    fwd = (
+        b_side.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            F.col("id").alias("pair_id"),
+            F.round(cosine_col(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("pair_id"))
+    fwd_k = fwd.withColumn("rank_f", F.row_number().over(w_f)).filter(F.col("rank_f") <= k)
+    avg_a = fwd_k.groupBy("query_id").agg(F.round(F.avg("cos_sim"), 6).alias("avg_nn_a"))
+
+    cand = fwd_k.select(F.col("pair_id").alias("id")).distinct().join(b_side, "id").select(
+        F.col("id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    bwd = (
+        a_side.crossJoin(F.broadcast(cand))
+        .select(
+            "cand_id",
+            F.col("id").alias("nbr_id"),
+            F.round(cosine_col(F.col("cv"), F.col("v")), 6).alias("cos_nb"),
+        )
+    )
+    w_b = Window.partitionBy("cand_id").orderBy(F.desc("cos_nb"), F.asc("nbr_id"))
+    avg_b = (
+        bwd.withColumn("rank_b", F.row_number().over(w_b))
+        .filter(F.col("rank_b") <= k)
+        .groupBy("cand_id")
+        .agg(F.round(F.avg("cos_nb"), 6).alias("avg_nn_b"))
+    )
+
+    scored = (
+        fwd_k.join(avg_a, "query_id")
+        .join(avg_b, fwd_k["pair_id"] == avg_b["cand_id"])
+        .filter(F.col("avg_nn_a") + F.col("avg_nn_b") > 0)
+        .select(
+            "query_id",
+            "pair_id",
+            "cos_sim",
+            F.floor(
+                F.col("cos_sim") * 2_000_000 / (F.col("avg_nn_a") + F.col("avg_nn_b")) + 0.5
+            ).cast("long").alias("margin_ppm"),
+        )
+        .filter(F.col("margin_ppm") >= margin_ppm)
+    )
+    w_m = Window.partitionBy("query_id").orderBy(F.desc("margin_ppm"), F.asc("pair_id"))
+    return scored.withColumn("rank", F.row_number().over(w_m))
+
+
+def bitext_mine_sql(
+    table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = BITEXT_K,
+    margin_ppm: int = BITEXT_MARGIN_PPM,
+) -> str:
+    """DuckDB twin with the identical split / rounding / ppm arithmetic."""
+    cos_f = cosine_sql("q.qv", "b.v")
+    cos_b = cosine_sql("c.cv", "a.v")
+    return f"""
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM {table}),
+        a_side AS (SELECT * FROM e WHERE id % 2 = 0),
+        b_side AS (SELECT * FROM e WHERE id % 2 = 1),
+        q AS (SELECT id AS query_id, v AS qv FROM a_side WHERE id < {2 * n_queries}),
+        fwd AS (
+          SELECT q.query_id, b.id AS pair_id, round({cos_f}, 6) AS cos_sim
+          FROM q JOIN b_side b ON true
+        ),
+        fwd_k AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, pair_id ASC) AS rank_f
+            FROM fwd
+          ) WHERE rank_f <= {k}
+        ),
+        avg_a AS (
+          SELECT query_id, round(avg(cos_sim), 6) AS avg_nn_a FROM fwd_k GROUP BY query_id
+        ),
+        cand AS (
+          SELECT b.id AS cand_id, b.v AS cv
+          FROM (SELECT DISTINCT pair_id FROM fwd_k) p JOIN b_side b ON b.id = p.pair_id
+        ),
+        bwd AS (
+          SELECT c.cand_id, a.id AS nbr_id, round({cos_b}, 6) AS cos_nb
+          FROM cand c JOIN a_side a ON true
+        ),
+        avg_b AS (
+          SELECT cand_id, round(avg(cos_nb), 6) AS avg_nn_b FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY cand_id ORDER BY cos_nb DESC, nbr_id ASC) AS rank_b
+            FROM bwd
+          ) WHERE rank_b <= {k} GROUP BY cand_id
+        ),
+        scored AS (
+          SELECT f.query_id, f.pair_id, f.cos_sim,
+                 CAST(floor(f.cos_sim * 2000000 / (aa.avg_nn_a + ab.avg_nn_b) + 0.5) AS BIGINT) AS margin_ppm
+          FROM fwd_k f
+          JOIN avg_a aa ON f.query_id = aa.query_id
+          JOIN avg_b ab ON f.pair_id = ab.cand_id
+          WHERE aa.avg_nn_a + ab.avg_nn_b > 0
+        )
+        SELECT query_id, pair_id, cos_sim, margin_ppm,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY margin_ppm DESC, pair_id ASC) AS rank
+        FROM scored WHERE margin_ppm >= {margin_ppm}
+        ORDER BY query_id, rank
+    """

@@ -152,3 +152,26 @@ def test_quantile_sketch_merges(spark):
     half = spark.createDataFrame(rows[1::2] + rows[0::2], "event_type string, value double")
     [h] = quantile_sketch(half).collect()
     assert w.asDict() == h.asDict()
+
+
+def test_bitext_mine_finds_planted_pair(spark):
+    """A planted near-identical cross-side pair must mine at rank 1 with
+    the highest margin; unrelated noise vectors must not beat it."""
+    import random
+
+    from searchgov_spider_spark.pipelines.similarity import bitext_mine
+
+    rng = random.Random(7)
+    dim = 16
+
+    def noise():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    planted = [1.0] * dim
+    rows = [(0, planted), (1, [v + 0.01 for v in planted])]  # ids 0 (A) / 1 (B)
+    rows += [(i, noise()) for i in range(2, 40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = bitext_mine(emb, n_queries=1, k=3, margin_ppm=1_000_000).collect()
+    best = min(out, key=lambda r: r["rank"])
+    assert (best["query_id"], best["pair_id"], best["rank"]) == (0, 1, 1)
+    assert best["margin_ppm"] > 1_000_000

@@ -312,3 +312,14 @@ def test_quantile_sketch_broadcast_stats_no_global_sort(spark):
     assert "Broadcast" in plan  # per-group stats broadcast back
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_bitext_mine_broadcasts_bounded_sides(spark):
+    from searchgov_spider_spark.pipelines.similarity import bitext_mine
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    plan = _plan(bitext_mine(emb, n_queries=2, k=2))
+    assert "CartesianProduct" not in plan  # only broadcast nested-loop fans out
+    assert "Python" not in plan  # cosine is higher-order codegen, no UDF
