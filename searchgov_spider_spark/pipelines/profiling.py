@@ -367,6 +367,10 @@ def quantile_sketch(
     Scale shape: one agg for (min, max, count), broadcast back; one agg
     to bucket counts (output <= groups x n_buckets); the cumulative
     window and the final agg run over that bounded table, not the data.
+    The stats broadcast assumes group cardinality is dashboard-sized
+    (event types, sources); for a high-cardinality group key drop the
+    F.broadcast hint and let the stats join shuffle on the same key as
+    the histogram agg — the plan gains one exchange and nothing else.
     """
     g = F.col(group_col)
     cents = F.round(F.col(value_col) * 100).cast("long")
