@@ -2446,6 +2446,24 @@ def _leakage_split_sql() -> str:
     )
 
 
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark, sf_dir: str):
+    """events table as a file-source stream; one parquet file -> one
+    micro-batch (the determinism anchor of all stream_* oracles). The
+    glob filter keeps sibling tables with other schemas out of the
+    directory listing."""
+    return (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def q_stream_dedup(spark, sf_dir):
     """D1 streaming twin, executed as a REAL Structured Streaming query:
     events replayed through readStream.parquet, first-ever occurrence
@@ -2457,14 +2475,7 @@ def q_stream_dedup(spark, sf_dir):
     from .streaming.dedup import streaming_seen_dedup
     from .streaming.monitor import run_to_memory
 
-    sch = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    # the file stream source needs a directory; glob-filter to the events
-    # table so sibling tables with other schemas stay out of the listing
-    ev = (
-        spark.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev = _events_stream(spark, sf_dir)
     h = F.col("event_id") % 300
     disc = ev.select(
         F.col("ts"),
@@ -2505,12 +2516,7 @@ def q_stream_breaker(spark, sf_dir):
     (streaming/monitor.py:windowed_circuit_breaker)."""
     from .streaming.monitor import run_to_memory, windowed_circuit_breaker
 
-    sch = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    ev = (
-        spark.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev = _events_stream(spark, sf_dir)
     dom_idx = F.col("user_id") % 25
     fetch_log = ev.select(
         F.col("ts"),
@@ -2567,15 +2573,7 @@ def q_stream_sessions(spark, sf_dir):
     drain (the watermark path is exercised in tests/test_streaming.py)."""
     from .streaming.monitor import run_to_memory
 
-    sch = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    )
-    ev = (
-        spark.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev = _events_stream(spark, sf_dir)
     out = pevents.sessionize(ev.withWatermark("ts", "0 seconds"))
     run_to_memory(out, "stream_sessions_drv")
     return _longify(spark.table("stream_sessions_drv"))
@@ -2589,15 +2587,7 @@ def q_stream_hopping(spark, sf_dir):
     verbatim."""
     from .streaming.monitor import run_to_memory
 
-    sch = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    )
-    ev = (
-        spark.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev = _events_stream(spark, sf_dir)
     out = pevents.hopping_counts(ev.withWatermark("ts", "0 seconds"))
     run_to_memory(out, "stream_hopping_drv")
     return _longify(spark.table("stream_hopping_drv"))
@@ -3705,12 +3695,7 @@ def q_stream_budget(spark, sf_dir):
     from .streaming.budget import streaming_budget_gate
     from .streaming.monitor import run_to_memory
 
-    sch = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    ev = (
-        spark.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev = _events_stream(spark, sf_dir)
     dom_id = F.when(F.col("event_id") % 4 == 0, F.lit(0)).otherwise(F.col("user_id") % 50)
     disc = ev.select(
         F.col("ts"),
@@ -3824,10 +3809,12 @@ def queries():
         "stream_dedup": q_stream_dedup,
         "stream_monitor": q_stream_monitor,
         # ==== 51+: variants and breadth ================================
-        # 51-55: round-4 additions — web-archive indexing (SURT/CDX),
-        # revalidation planning, per-worker wave ETA, temperature
-        # mixture, open HLL registers. Queued directly after the gate
-        # window so any window extension certifies them first.
+        # 51-58: round-4 late additions — web-archive indexing
+        # (SURT/CDX), revalidation planning, per-worker wave ETA,
+        # temperature mixture, open HLL registers, histogram quantile
+        # sketch, bitext mining, and the streaming budget gate. Queued
+        # directly after the gate window so any window extension
+        # certifies them first.
         "cdx_index": q_cdx_index,
         "conditional_fetch": q_conditional_fetch,
         "wave_eta": q_wave_eta,
@@ -3836,7 +3823,7 @@ def queries():
         "quantile_sketch": q_quantile_sketch,
         "bitext_mine": q_bitext_mine,
         "stream_budget": q_stream_budget,
-        # 51-58: family variants displaced from the gate window by the
+        # 59-66: family variants displaced from the gate window by the
         # round-4 promotions above — each family keeps an in-window
         # representative (jaccard/containment by the four other dedup
         # rows, range_join by asof+rollup, retention/percentiles/

@@ -285,10 +285,15 @@ def hll_registers(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
     m = 1 << p
     width = 32 - p
     h = portable_hash32_col(F.concat(F.lit("hll|"), F.col(key_col).cast("string")))
+    # _w via integer DIV, not float division: h/m happens to be exact in
+    # double only because m is a power of two — DIV states the intended
+    # integer op and stays correct for any future hash width / m
     keyed = df.select(
-        F.col(key_col).alias("_k"),
-        F.pmod(h, F.lit(m)).cast("long").alias("bucket"),
-        (h.cast("long") / F.lit(m)).cast("long").alias("_w"),
+        F.col(key_col).alias("_k"), h.alias("_h")
+    ).select(
+        "_k",
+        F.pmod(F.col("_h"), F.lit(m)).cast("long").alias("bucket"),
+        F.expr(f"_h DIV {m}").cast("long").alias("_w"),
     ).withColumn(
         "_rho",
         F.when(F.col("_w") == 0, F.lit(width + 1))
@@ -384,12 +389,14 @@ def quantile_sketch(
         base.join(F.broadcast(stats), "grp")
         .withColumn("bucket", F.expr(f"((c - min_c) * {n_buckets}) DIV (max_c - min_c + 1)"))
     )
-    hist = bucketed.groupBy("grp", "bucket").agg(
+    # n/min_c/max_c are functional on grp, so carrying them as grouping
+    # keys costs nothing and avoids a SECOND stats join (which would
+    # re-run the min/max/count scan — review finding)
+    hist = bucketed.groupBy("grp", "n", "min_c", "max_c", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("bn")
     )
     w = Window.partitionBy("grp").orderBy("bucket")
     cum = hist.withColumn("cum", F.sum("bn").over(w))
-    cum = cum.join(F.broadcast(stats), "grp")
 
     def est(q_pct: int):
         # nearest-rank k = ceil(q * n / 100); first bucket with cum >= k;

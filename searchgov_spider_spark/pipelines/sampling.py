@@ -502,7 +502,7 @@ def mixture_temperature(docs: DataFrame, source_col: str = "source") -> DataFram
     """
     per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.length("text")).cast("long").alias("n_bytes"),
+        F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
     )
     w = F.floor(F.lit(1_000.0) * F.sqrt(F.col("n_bytes").cast("double"))).cast("long")
     weighted = per_src.withColumn("w_sqrt", w)
@@ -522,7 +522,9 @@ def mixture_temperature_sql(table: str = "documents", source_expr: str = "source
         WITH per_src AS (
           SELECT {source_expr} AS source,
                  count(*)::BIGINT AS n_docs,
-                 sum(length(text))::BIGINT AS n_bytes
+                 -- strlen = UTF-8 byte count in DuckDB (octet_length is BLOB-only);
+                 -- matches Spark's octet_length on strings
+                 sum(strlen(text))::BIGINT AS n_bytes
           FROM {table} GROUP BY {source_expr}
         ),
         weighted AS (

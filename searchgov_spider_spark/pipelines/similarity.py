@@ -654,11 +654,15 @@ def bitext_mine(
     ``margin_ppm`` >= the threshold are emitted with their per-query
     margin rank.
 
-    Numerics are the module's engine-proof idiom: cosines rounded to 6
-    (cosine_topk precedent), the margin emitted as an INTEGER ppm via
-    floor(x + 0.5) (quantize_embeddings precedent), never a raw double
-    ratio. Denominator <= 0 (possible on adversarial vectors) is
-    filtered identically in both engines.
+    Numerics are the module's engine-proof idiom taken one step
+    further: cosines are rounded to 6 (cosine_topk precedent) and the
+    neighborhood aggregate is the SUM of those cosines in integer
+    micros — integer addition is order-independent, so no engine's
+    float summation order can flip a rounded average on a half
+    boundary — and the margin is a pure integer floor division
+    (2k * cos_micros * 1e6) DIV (sum_a + sum_b). Denominator <= 0
+    (possible on adversarial vectors) is filtered identically in both
+    engines.
 
     Scale shape: two broadcast-queries passes, mirror images of
     cosine_topk's — (1) broadcast the bounded query set against side B
@@ -685,7 +689,12 @@ def bitext_mine(
     )
     w_f = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("pair_id"))
     fwd_k = fwd.withColumn("rank_f", F.row_number().over(w_f)).filter(F.col("rank_f") <= k)
-    avg_a = fwd_k.groupBy("query_id").agg(F.round(F.avg("cos_sim"), 6).alias("avg_nn_a"))
+    # sum the 6-rounded cosines as integer MICROS: integer addition is
+    # order-independent, so the neighborhood aggregate (and the margin
+    # below) cannot drift with engine summation order — round(avg(float))
+    # could flip by 1e-6 on a half boundary (review finding)
+    micros = F.round(F.col("cos_sim") * 1_000_000).cast("long")
+    avg_a = fwd_k.groupBy("query_id").agg(F.sum(micros).alias("sum_nn_a"))
 
     cand = fwd_k.select(F.col("pair_id").alias("id")).distinct().join(b_side, "id").select(
         F.col("id").alias("cand_id"), F.col("v").alias("cv")
@@ -703,20 +712,23 @@ def bitext_mine(
         bwd.withColumn("rank_b", F.row_number().over(w_b))
         .filter(F.col("rank_b") <= k)
         .groupBy("cand_id")
-        .agg(F.round(F.avg("cos_nb"), 6).alias("avg_nn_b"))
+        .agg(F.sum(F.round(F.col("cos_nb") * 1_000_000).cast("long")).alias("sum_nn_b"))
     )
 
     scored = (
         fwd_k.join(avg_a, "query_id")
         .join(avg_b, fwd_k["pair_id"] == avg_b["cand_id"])
-        .filter(F.col("avg_nn_a") + F.col("avg_nn_b") > 0)
+        .filter(F.col("sum_nn_a") + F.col("sum_nn_b") > 0)
         .select(
             "query_id",
             "pair_id",
             "cos_sim",
-            F.floor(
-                F.col("cos_sim") * 2_000_000 / (F.col("avg_nn_a") + F.col("avg_nn_b")) + 0.5
-            ).cast("long").alias("margin_ppm"),
+            # margin = cos / ((avg_a + avg_b) / 2) = 2k*cos / (sum_a + sum_b),
+            # all-integer in micros: floor division, no float ratio
+            F.expr(
+                f"(2 * {k} * 1000000 * CAST(round(cos_sim * 1000000) AS BIGINT))"
+                f" DIV (sum_nn_a + sum_nn_b)"
+            ).alias("margin_ppm"),
         )
         .filter(F.col("margin_ppm") >= margin_ppm)
     )
@@ -750,7 +762,9 @@ def bitext_mine_sql(
           ) WHERE rank_f <= {k}
         ),
         avg_a AS (
-          SELECT query_id, round(avg(cos_sim), 6) AS avg_nn_a FROM fwd_k GROUP BY query_id
+          SELECT query_id,
+                 sum(CAST(round(cos_sim * 1000000) AS BIGINT)) AS sum_nn_a
+          FROM fwd_k GROUP BY query_id
         ),
         cand AS (
           SELECT b.id AS cand_id, b.v AS cv
@@ -761,7 +775,8 @@ def bitext_mine_sql(
           FROM cand c JOIN a_side a ON true
         ),
         avg_b AS (
-          SELECT cand_id, round(avg(cos_nb), 6) AS avg_nn_b FROM (
+          SELECT cand_id,
+                 sum(CAST(round(cos_nb * 1000000) AS BIGINT)) AS sum_nn_b FROM (
             SELECT *, row_number() OVER (
               PARTITION BY cand_id ORDER BY cos_nb DESC, nbr_id ASC) AS rank_b
             FROM bwd
@@ -769,13 +784,14 @@ def bitext_mine_sql(
         ),
         scored AS (
           SELECT f.query_id, f.pair_id, f.cos_sim,
-                 CAST(floor(f.cos_sim * 2000000 / (aa.avg_nn_a + ab.avg_nn_b) + 0.5) AS BIGINT) AS margin_ppm
+                 (2 * {k} * 1000000 * CAST(round(f.cos_sim * 1000000) AS BIGINT))
+                   // (aa.sum_nn_a + ab.sum_nn_b) AS margin_ppm
           FROM fwd_k f
           JOIN avg_a aa ON f.query_id = aa.query_id
           JOIN avg_b ab ON f.pair_id = ab.cand_id
-          WHERE aa.avg_nn_a + ab.avg_nn_b > 0
+          WHERE aa.sum_nn_a + ab.sum_nn_b > 0
         )
-        SELECT query_id, pair_id, cos_sim, margin_ppm,
+        SELECT query_id, pair_id, cos_sim, margin_ppm::BIGINT AS margin_ppm,
                row_number() OVER (
                  PARTITION BY query_id ORDER BY margin_ppm DESC, pair_id ASC) AS rank
         FROM scored WHERE margin_ppm >= {margin_ppm}
