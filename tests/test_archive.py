@@ -194,3 +194,40 @@ def test_hll_estimate_accuracy(spark):
     s = sum(2.0 ** -regs.get(b, 0) for b in range(m))
     est = alpha * m * m / s
     assert abs(est - true_n) / true_n < 0.25, est
+
+
+def test_cdx_job_sort_on_write(spark, tmp_path):
+    """jobs/cdx_job.py end-to-end: builds the index, writes it
+    range-partitioned + sorted by (surt, fetch_ts, url), and the
+    revisit stats line matches the batch operator."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import cdx_job
+
+    log_rows = [
+        (f"https://d{i % 5}.gov/p/{i % 20}", i, 200, "text/html", f"g{i % 7}", 100 + i)
+        for i in range(200)
+    ]
+    log = spark.createDataFrame(
+        log_rows,
+        "url string, fetch_ts long, http_status long, mime string, digest string, n_bytes long",
+    )
+    src = str(tmp_path / "fl")
+    out = str(tmp_path / "cdx")
+    log.write.parquet(src)
+    stats = cdx_job.main(["--fetch-log", src, "--out", out, "--partitions", "3"])
+    assert stats["captures"] == 200
+    expected_revisits = sum(
+        1 for r in cdx_index(log).collect() if r["is_revisit"]
+    )
+    assert stats["revisits"] == expected_revisits
+    # each written file is internally sorted by (surt, fetch_ts, url)
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    for f in globmod.glob(out + "/part-*.parquet"):
+        t = pq.read_table(f).to_pylist()
+        keys = [(r["surt"], r["fetch_ts"], r["url"]) for r in t]
+        assert keys == sorted(keys)
