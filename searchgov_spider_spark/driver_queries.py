@@ -3648,6 +3648,25 @@ def _hll_registers_sql() -> str:
     return hll_registers_sql("events", "user_id")
 
 
+def q_media_resize(spark, sf_dir):
+    """Aspect-preserving resize + letterbox plan for the image slice of
+    the multimodal table: attach_binary -> fake decode (mapInPandas, the
+    stubbed codec stage with REAL batch plumbing) -> integer-exact
+    geometry plan; the oracle reconstructs the fake decoder's dims
+    numerically (pipelines/multimodal.py:resize_plan)."""
+    import searchgov_spider_spark.pipelines.multimodal as pmm2
+
+    media = pmm2.attach_binary(load(spark, sf_dir, "documents"))
+    feats = pmm2.decode_media(media)
+    return _longify(pmm2.resize_plan(feats)).orderBy("doc_id")
+
+
+def _media_resize_sql() -> str:
+    import searchgov_spider_spark.pipelines.multimodal as pmm2
+
+    return pmm2.resize_plan_sql("documents")
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
     CCMatrix alignment criterion) between the parity sides of the
@@ -3822,6 +3841,7 @@ def queries():
         "hll_registers": q_hll_registers,
         "quantile_sketch": q_quantile_sketch,
         "bitext_mine": q_bitext_mine,
+        "media_resize": q_media_resize,
         "stream_budget": q_stream_budget,
         # 59-66: family variants displaced from the gate window by the
         # round-4 promotions above — each family keeps an in-window
@@ -4110,6 +4130,7 @@ def oracle_sql():
         "hll_registers": _hll_registers_sql(),
         "quantile_sketch": _quantile_sketch_sql(),
         "bitext_mine": _bitext_mine_sql(),
+        "media_resize": _media_resize_sql(),
         "stream_budget": Q_STREAM_BUDGET_SQL,
         "stream_dedup": Q_STREAM_DEDUP_SQL,
         "i14y_docs": Q_I14Y_DOCS_SQL,

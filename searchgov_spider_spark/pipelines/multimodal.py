@@ -122,3 +122,78 @@ def frame_sample(features: DataFrame, every_n: int = 30) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("frames") - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+RESIZE_TARGET = 224  # canonical vision-encoder input side
+
+
+def resize_plan(features: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Aspect-preserving resize + letterbox plan for image rows.
+
+    The pixel resample itself belongs to the stubbed decoder stage
+    (PIL/ffmpeg outside this sandbox); everything a batch resizer needs
+    to be TOLD is exact integer arithmetic and computed here natively:
+
+      out_w = max(1, (width  * target) DIV max(width, height))
+      out_h = max(1, (height * target) DIV max(width, height))
+      pads  = target - out_{w,h}, split left/right and top/bottom
+              (extra pixel goes to the right/bottom, the PIL convention)
+      scale_ppm = target * 1e6 DIV max(width, height)
+
+    One narrow projection, no UDF, no shuffle — the plan column rides
+    with the frame/image work items into the decode stage, so executors
+    never re-derive geometry per batch.
+    """
+    imgs = features.filter(F.col("modality") == "image")
+    fitted = imgs.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(width * {target}) DIV greatest(width, height)"),
+        ).alias("out_w"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(height * {target}) DIV greatest(width, height)"),
+        ).alias("out_h"),
+    )
+    return fitted.select(
+        "doc_id", "width", "height", "out_w", "out_h",
+        F.expr(f"({target} - out_w) DIV 2").alias("pad_left"),
+        F.expr(f"{target} - out_w - ({target} - out_w) DIV 2").alias("pad_right"),
+        F.expr(f"({target} - out_h) DIV 2").alias("pad_top"),
+        F.expr(f"{target} - out_h - ({target} - out_h) DIV 2").alias("pad_bottom"),
+        F.expr(f"{target} * 1000000 DIV greatest(width, height)").alias("scale_ppm"),
+    )
+
+
+def resize_plan_sql(table: str = "documents", target: int = RESIZE_TARGET) -> str:
+    """Oracle: reconstructs the fake-decoder image geometry (width =
+    16 + n % 1024, height = 16 + 7n % 1024, n = payload octets) for the
+    image-modality slice, then the identical integer resize plan."""
+    return f"""
+        WITH media AS (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS n
+          FROM {table} WHERE doc_id % 3 = 0  -- image slice of attach_binary
+        ),
+        dims AS (
+          SELECT doc_id, (16 + n % 1024)::BIGINT AS width,
+                 (16 + (n * 7) % 1024)::BIGINT AS height
+          FROM media
+        ),
+        fitted AS (
+          SELECT *, greatest(width, height) AS long_side,
+                 greatest(1, (width * {target}) // greatest(width, height)) AS out_w,
+                 greatest(1, (height * {target}) // greatest(width, height)) AS out_h
+          FROM dims
+        )
+        SELECT doc_id, width, height, out_w, out_h,
+               (({target} - out_w) // 2)::BIGINT AS pad_left,
+               ({target} - out_w - ({target} - out_w) // 2)::BIGINT AS pad_right,
+               (({target} - out_h) // 2)::BIGINT AS pad_top,
+               ({target} - out_h - ({target} - out_h) // 2)::BIGINT AS pad_bottom,
+               ({target} * 1000000 // long_side)::BIGINT AS scale_ppm
+        FROM fitted
+        ORDER BY doc_id
+    """

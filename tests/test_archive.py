@@ -231,3 +231,25 @@ def test_cdx_job_sort_on_write(spark, tmp_path):
         t = pq.read_table(f).to_pylist()
         keys = [(r["surt"], r["fetch_ts"], r["url"]) for r in t]
         assert keys == sorted(keys)
+
+
+def test_resize_plan_geometry(spark):
+    """Resize-plan invariants: output fits the target box, the long side
+    fills it exactly, pads reassemble the box, aspect preserved to the
+    integer floor."""
+    from searchgov_spider_spark.pipelines.multimodal import resize_plan
+
+    feats = spark.createDataFrame(
+        [(1, "image", 640, 480), (2, "image", 100, 2000), (3, "image", 10, 10),
+         (4, "video", 999, 999)],
+        "doc_id long, modality string, width long, height long",
+    )
+    rows = {r["doc_id"]: r for r in resize_plan(feats, target=224).collect()}
+    assert 4 not in rows  # non-image rows excluded
+    for r in rows.values():
+        assert max(r["out_w"], r["out_h"]) == 224  # long side fills the box
+        assert 1 <= r["out_w"] <= 224 and 1 <= r["out_h"] <= 224
+        assert r["pad_left"] + r["out_w"] + r["pad_right"] == 224
+        assert r["pad_top"] + r["out_h"] + r["pad_bottom"] == 224
+    assert rows[2]["out_w"] == (100 * 224) // 2000  # extreme aspect floors, never 0... 
+    assert rows[2]["out_w"] >= 1
