@@ -3667,6 +3667,33 @@ def _media_resize_sql() -> str:
     return pmm2.resize_plan_sql("documents")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan over the multimodal decode chain: one
+    row per sampled frame index (every 30th), the per-frame work-item
+    expansion the distributed decoder consumes; oracle reconstructs the
+    fake decoder's frame counts and the sequence expansion
+    (pipelines/multimodal.py:frame_sample)."""
+    import searchgov_spider_spark.pipelines.multimodal as pmm2
+
+    media = pmm2.attach_binary(load(spark, sf_dir, "documents"))
+    feats = pmm2.decode_media(media)
+    return _longify(pmm2.frame_sample(feats)).orderBy("doc_id", "frame_idx")
+
+
+def _frame_sample_sql() -> str:
+    # video slice of attach_binary: doc_id % 3 = 2; frames = 1 + n % 2400
+    return """
+        WITH media AS (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS n
+          FROM documents WHERE doc_id % 3 = 2
+        ),
+        vids AS (SELECT doc_id, (1 + n % 2400)::BIGINT AS frames FROM media)
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
+        FROM vids, unnest(range(0, frames, 30)) AS u(f)
+        ORDER BY doc_id, frame_idx
+    """
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
     CCMatrix alignment criterion) between the parity sides of the
@@ -3842,6 +3869,7 @@ def queries():
         "quantile_sketch": q_quantile_sketch,
         "bitext_mine": q_bitext_mine,
         "media_resize": q_media_resize,
+        "frame_sample": q_frame_sample,
         "stream_budget": q_stream_budget,
         # 59-66: family variants displaced from the gate window by the
         # round-4 promotions above — each family keeps an in-window
@@ -4131,6 +4159,7 @@ def oracle_sql():
         "quantile_sketch": _quantile_sketch_sql(),
         "bitext_mine": _bitext_mine_sql(),
         "media_resize": _media_resize_sql(),
+        "frame_sample": _frame_sample_sql(),
         "stream_budget": Q_STREAM_BUDGET_SQL,
         "stream_dedup": Q_STREAM_DEDUP_SQL,
         "i14y_docs": Q_I14Y_DOCS_SQL,
