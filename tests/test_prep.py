@@ -65,3 +65,36 @@ def test_corpus_prep_survivors_pass_gopher(corpus, bench):
         for r in pc.gopher_stats(corpus).where(F.col("keep")).collect()
     }
     assert {r["doc_id"] for r in out.collect()} <= keep_ids
+
+
+def test_prep_job_end_to_end(spark, tmp_path):
+    """jobs/prep_job.py: runs the flagship chain from a parquet documents
+    table, writes split/shard-partitioned placement, and the stats line
+    is consistent with what was written."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import prep_job
+
+    # per-doc-unique tokens interleaved with stopwords: passes the Gopher
+    # rules, and every 8-gram contains a doc-specific token so the
+    # default benchmark slice only decontaminates itself
+    word = lambda j: F.concat(F.lit(f"w{j}x"), F.col("id").cast("string"))  # noqa: E731
+    parts = []
+    for j in range(34):
+        parts.append(F.lit("the " if j % 3 == 0 else ("and " if j % 3 == 1 else "for ")))
+        parts.append(word(j))
+        parts.append(F.lit(" "))
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"), F.concat(*parts).alias("text")
+    )
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "packed")
+    docs.write.parquet(src)
+    stats = prep_job.main(["--documents", src, "--out", out, "--shards", "4"])
+    assert stats["docs_in"] == 300
+    assert 0 < stats["docs_packed"] <= 300
+    assert set(stats["splits"]) <= {"train", "val", "test"}
+    written = spark.read.parquet(out)
+    assert written.count() == stats["docs_packed"]
+    assert {r["shard"] for r in written.select("shard").distinct().collect()} <= set(range(4))
