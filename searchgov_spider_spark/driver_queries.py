@@ -3787,14 +3787,17 @@ def queries():
     hold ONE representative per operator family — the full SURVEY §2
     crawl surface, extraction/i14y, every dedup + ANN family, the
     packing/prep chain, splits, temporal, search, events, warehouse,
-    one TPC-H analog, and both streaming runs. Near-duplicate variants,
-    breadth queries, and twins of already-proven machinery follow,
-    cheapest first."""
+    the web-archive family (SURT/CDX/conditional-fetch), wave ETA,
+    mixture/sketch/bitext/multimodal reps, and all three streaming
+    runs. Near-duplicate variants, breadth queries, and twins of
+    already-proven machinery follow, cheapest first."""
     return {
-        # -- 1-16: crawl core (SURVEY §2 S/F/L2/D/P/A/C/O rows) --------
+        # -- 1-14: crawl core (SURVEY §2 S/F/L2/D/P/A/C/O rows).
+        #    expire_recrawl (D1 twin of dedup_seen) and endpoint_batches
+        #    (A3 twin of batch_accounting) rotated out to 51+ in round 5
+        #    to make room for the round-4 families below ---------------
         "frontier_schedule": q_frontier_schedule,
         "dedup_seen": q_dedup_seen,
-        "expire_recrawl": q_expire_recrawl,
         "sitemap_diff": q_sitemap_diff,
         "url_canonicalize": q_url_canonicalize,
         "prefetch_filters": q_prefetch_filters,
@@ -3805,14 +3808,13 @@ def queries():
         "sitemap_resolve": q_sitemap_resolve,
         "sitemap_discovery": q_sitemap_discovery,
         "sitemap_report": q_sitemap_report,
-        "endpoint_batches": q_endpoint_batches,
         "summarize": q_summarize,
         "scalar_text_dates": q_scalar_text_dates,
-        # -- 17-19: extraction contract (L4/O3), spans, language (C3) ---
+        # -- 15-17: extraction contract (L4/O3), spans, language (C3) ---
         "i14y_docs": q_i14y_docs,
         "spans_flatten": q_spans_flatten,
         "lang_id": q_lang_id,
-        # -- 20-27: one per dedup / set-similarity / ANN family ---------
+        # -- 18-25: one per dedup / set-similarity / ANN family ---------
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_near_dups": q_simhash_near_dups,
@@ -3821,46 +3823,31 @@ def queries():
         "overlap_join": q_overlap_join,
         "ivf_ann_exact": q_ivf_ann_exact,
         "quantize_embeddings": q_quantize_embeddings,
-        # -- 28-33: corpus prep + interleaved packing chain (the r2/r3
-        #    hash-fail repairs: integer-exact Spark side + ::BIGINT /
-        #    array_join oracle typing, certified here officially) -------
+        # -- 26-28: corpus prep + packing chain reps (chunk_stats /
+        #    pack_spans / span_stats rotated to 51+; pack_chunks and
+        #    spans_flatten keep the family seats) ----------------------
         "repetition_stats": q_repetition_stats,
         "pack_chunks": q_pack_chunks,
-        "chunk_stats": q_chunk_stats,
         "corpus_prep": q_corpus_prep,
-        "pack_spans": q_pack_spans,
-        "span_stats": q_span_stats,
-        # -- 34-35: splits --------------------------------------------
+        # -- 29-30: splits ---------------------------------------------
         "sample_split": q_sample_split,
         "leakage_split": q_leakage_split,
-        # -- 36-37: temporal -------------------------------------------
+        # -- 31-32: temporal -------------------------------------------
         "asof_join": q_asof_join,
         "rollup_hypertable": q_rollup_hypertable,
-        # -- 38-40: search/graph ---------------------------------------
+        # -- 33-35: search/graph ---------------------------------------
         "inverted_index": q_inverted_index,
         "bm25_topk": q_bm25_topk,
         "pagerank": q_pagerank,
-        # -- 41-42: event analytics ------------------------------------
+        # -- 36-38: events rep, warehouse rep, readschedule rollup -----
         "funnel": q_funnel,
-        "props_rollup": q_props_rollup,
-        # -- 43-45: warehouse + TPC-H analog ---------------------------
         "upsert": q_upsert,
-        "compaction_plan": q_compaction_plan,
-        "pricing_summary": q_pricing_summary,
-        # -- 46-48: corpus mixture + reference readschedule rollup -----
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "lang_mixture": q_lang_mixture,
         "schedule_rollup": q_schedule_rollup,
-        # -- 49-50: real Structured Streaming runs ---------------------
-        "stream_dedup": q_stream_dedup,
-        "stream_monitor": q_stream_monitor,
-        # ==== 51+: variants and breadth ================================
-        # 51-58: round-4 late additions — web-archive indexing
-        # (SURT/CDX), revalidation planning, per-worker wave ETA,
-        # temperature mixture, open HLL registers, histogram quantile
-        # sketch, bitext mining, and the streaming budget gate. Queued
-        # directly after the gate window so any window extension
-        # certifies them first.
+        # -- 39-47: round-4 families promoted into the gate window in
+        #    round 5 — web-archive indexing (SURT/CDX), revalidation
+        #    planning, per-worker wave ETA, temperature mixture, open
+        #    HLL registers, histogram quantile sketch, bitext mining,
+        #    and multimodal resize / frame-sample planning -------------
         "cdx_index": q_cdx_index,
         "conditional_fetch": q_conditional_fetch,
         "wave_eta": q_wave_eta,
@@ -3870,14 +3857,36 @@ def queries():
         "bitext_mine": q_bitext_mine,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
+        # -- 48-50: real Structured Streaming runs (budget gate
+        #    promoted alongside its batch siblings) --------------------
         "stream_budget": q_stream_budget,
-        # 59-66: family variants displaced from the gate window by the
-        # round-4 promotions above — each family keeps an in-window
-        # representative (jaccard/containment by the four other dedup
-        # rows, range_join by asof+rollup, retention/percentiles/
-        # rolling_stats by funnel+props_rollup, scd2/profile_table by
-        # upsert+pricing_summary); all stay green in the full-surface
-        # artifact and are queued first for any window extension.
+        "stream_dedup": q_stream_dedup,
+        "stream_monitor": q_stream_monitor,
+        # ==== 51+: variants and breadth ================================
+        # 51-60: the ten twice-certified variants rotated OUT of the
+        # gate window by the round-5 promotions — every family keeps an
+        # in-window representative (expire_recrawl by dedup_seen,
+        # endpoint_batches by batch_accounting, chunk_stats/pack_spans/
+        # span_stats by pack_chunks+spans_flatten, props_rollup by
+        # funnel, compaction_plan/pricing_summary/scd2 by upsert,
+        # tokenizer_fertility/lang_mixture by mixture_temperature); all
+        # stay green in the full-surface artifact and are queued first
+        # for any window extension.
+        "expire_recrawl": q_expire_recrawl,
+        "endpoint_batches": q_endpoint_batches,
+        "chunk_stats": q_chunk_stats,
+        "pack_spans": q_pack_spans,
+        "span_stats": q_span_stats,
+        "props_rollup": q_props_rollup,
+        "compaction_plan": q_compaction_plan,
+        "pricing_summary": q_pricing_summary,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "lang_mixture": q_lang_mixture,
+        # 61-68: earlier family variants — each family keeps an
+        # in-window representative (jaccard/containment by the four
+        # other dedup rows, range_join by asof+rollup, retention/
+        # percentiles/rolling_stats by funnel, scd2/profile_table by
+        # upsert); all green in the full-surface artifact.
         "ngram_jaccard": q_ngram_jaccard,
         "containment": q_containment,
         "range_join": q_range_join,
