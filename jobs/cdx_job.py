@@ -32,13 +32,20 @@ import argparse
 import json
 
 
+def positive_int(value):
+    n = int(value)
+    if n <= 0:
+        raise argparse.ArgumentTypeError(f"must be a positive integer, got {value!r}")
+    return n
+
+
 def parse_args(argv=None):
     ap = argparse.ArgumentParser(description="searchgov_spider_spark CDX index builder")
     ap.add_argument("--fetch-log", required=True, help="fetch log parquet")
     ap.add_argument("--out", required=True, help="output dir for the sorted CDX parquet")
     ap.add_argument(
         "--partitions",
-        type=int,
+        type=positive_int,
         default=None,
         help="range-partition count (default: Spark decides via AQE)",
     )
@@ -62,7 +69,7 @@ def main(argv=None):
     # sort-on-write: global range partitioning on the SURT, then an
     # intra-partition sort — one exchange, and the window inside
     # cdx_index already shuffled on the same key family
-    if args.partitions:
+    if args.partitions is not None:
         cdx = cdx.repartitionByRange(args.partitions, "surt", "fetch_ts")
     else:
         cdx = cdx.repartitionByRange("surt", "fetch_ts")
@@ -76,7 +83,8 @@ def main(argv=None):
         F.sum(F.col("is_revisit").cast("long")).alias("revisits"),
         F.sum("n_bytes").alias("bytes"),
     ).collect()[0]
-    print(json.dumps({k: int(v) for k, v in stats.asDict().items()}))
+    # sum() over an empty log aggregates to NULL — render as 0
+    print(json.dumps({k: int(v or 0) for k, v in stats.asDict().items()}))
 
     if args.prior:
         prior = spark.read.parquet(args.prior)

@@ -72,8 +72,16 @@ def main(argv=None):
     stats_row = written.agg(
         F.count(F.lit(1)).alias("docs_packed"),
         F.sum("n_tokens").alias("tokens"),
-        (F.max("last_chunk") + 1).alias("chunks_hi"),
     ).collect()[0]
+    # real chunk count: chunk indexes restart per (split, shard), so the
+    # total is the sum over shards of (max(last_chunk) + 1); NULL-safe
+    # (empty output -> 0)
+    chunks_row = (
+        written.groupBy("split", "shard")
+        .agg((F.max("last_chunk") + 1).alias("n_chunks"))
+        .agg(F.sum("n_chunks").alias("chunks"))
+        .collect()[0]
+    )
     splits = {
         r["split"]: int(r["n"])
         for r in written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -81,7 +89,8 @@ def main(argv=None):
     stats = {
         "docs_in": docs.count(),
         "docs_packed": int(stats_row["docs_packed"]),
-        "tokens": int(stats_row["tokens"]),
+        "tokens": int(stats_row["tokens"] or 0),
+        "chunks": int(chunks_row["chunks"] or 0),
         "splits": splits,
     }
     print(json.dumps(stats))

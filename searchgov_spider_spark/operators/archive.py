@@ -197,7 +197,25 @@ def conditional_fetch_plan(
 
     One left join on url + one hash agg on domain; both sides hash-
     partition on url, co-located with the frontier layout at scale.
+
+    ``prior`` must carry at most ONE row per url (the latest capture's
+    validators) — a multi-capture CDX-style history would fan out the
+    left join and inflate every count. When ``prior`` has a
+    ``fetch_ts`` column the reduction to the latest capture is applied
+    here (row_number per url, newest first, digest tie-break);
+    otherwise the one-row-per-url shape is the caller's contract.
     """
+    if "fetch_ts" in prior.columns:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(
+            F.col("fetch_ts").desc(), F.col("digest").desc()
+        )
+        prior = (
+            prior.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     p = prior.select(
         F.col("url").alias("p_url"),
         "etag", "last_modified",

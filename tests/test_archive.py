@@ -73,6 +73,31 @@ def test_conditional_fetch_plan(spark):
     assert (r["n_not_modified"], r["bytes_saved"]) == (1, 100)
 
 
+def test_conditional_fetch_plan_multi_capture_prior(spark):
+    """A CDX-style prior history (several captures per url) must NOT fan
+    out the left join: when prior carries fetch_ts, the operator reduces
+    it to the latest capture per url before joining."""
+    cand = spark.createDataFrame(
+        [("u1", "d.gov", "c-new")],
+        "url string, domain string, cur_digest string",
+    )
+    prior = spark.createDataFrame(
+        [
+            # three captures of u1; only the newest (ts=30, digest c-new,
+            # 300 bytes) may count — a fan-out would give n_candidates=3
+            ("u1", "e1", None, "c-old", 100, 10),
+            ("u1", "e1", None, "c-mid", 200, 20),
+            ("u1", "e1", None, "c-new", 300, 30),
+        ],
+        "url string, etag string, last_modified string, digest string,"
+        " n_bytes long, fetch_ts long",
+    )
+    [r] = conditional_fetch_plan(cand, prior).collect()
+    assert r["n_candidates"] == 1
+    assert (r["n_revalidate"], r["n_not_modified"]) == (1, 1)
+    assert r["bytes_saved"] == 300
+
+
 def test_wave_eta_floors(spark):
     # single hot domain: politeness floor dominates; many cold domains on
     # another worker: capacity floor dominates
@@ -231,6 +256,33 @@ def test_cdx_job_sort_on_write(spark, tmp_path):
         t = pq.read_table(f).to_pylist()
         keys = [(r["surt"], r["fetch_ts"], r["url"]) for r in t]
         assert keys == sorted(keys)
+
+
+def test_cdx_job_empty_log_and_bad_partitions(spark, tmp_path):
+    """Edge cases: an empty fetch log must produce a zero stats line
+    (sum() aggregates to NULL) rather than crash, and --partitions 0 is
+    rejected at parse time instead of silently meaning 'unset'."""
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "jobs")
+    import cdx_job
+
+    empty = spark.createDataFrame(
+        [],
+        "url string, fetch_ts long, http_status long, mime string,"
+        " digest string, n_bytes long",
+    )
+    src = str(tmp_path / "empty_fl")
+    out = str(tmp_path / "empty_cdx")
+    empty.write.parquet(src)
+    stats = cdx_job.main(["--fetch-log", src, "--out", out, "--partitions", "2"])
+    assert int(stats["captures"] or 0) == 0
+    assert int(stats["bytes"] or 0) == 0
+
+    with _pytest.raises(SystemExit):
+        cdx_job.parse_args(["--fetch-log", src, "--out", out, "--partitions", "0"])
 
 
 def test_resize_plan_geometry(spark):

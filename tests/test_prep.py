@@ -97,4 +97,13 @@ def test_prep_job_end_to_end(spark, tmp_path):
     assert set(stats["splits"]) <= {"train", "val", "test"}
     written = spark.read.parquet(out)
     assert written.count() == stats["docs_packed"]
+    # "chunks" is a real chunk count: sum over (split, shard) of
+    # (max(last_chunk) + 1), since chunk indexes restart per shard
+    expected_chunks = sum(
+        r["n"]
+        for r in written.groupBy("split", "shard")
+        .agg((F.max("last_chunk") + 1).alias("n"))
+        .collect()
+    )
+    assert stats["chunks"] == expected_chunks > 0
     assert {r["shard"] for r in written.select("shard").distinct().collect()} <= set(range(4))
