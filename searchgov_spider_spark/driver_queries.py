@@ -3592,6 +3592,41 @@ def _conditional_fetch_sql() -> str:
     return conditional_fetch_plan_sql(_COND_CAND_SQL_CTE.strip(), _COND_PRIOR_SQL_CTE.strip())
 
 
+_WARC_LOG_SQL_CTE = _CDX_LOG_SQL_CTE.replace("fl AS (", "fl_base AS (", 1) + """,
+    fl AS (
+      SELECT *, url || '|' || repeat('b', (n_bytes % 37 + 5)::INT) AS body
+      FROM fl_base
+    )
+"""
+
+
+def q_warc_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-style archive placement manifest over the same synthetic
+    fetch log as cdx_index, with a deterministic per-capture payload:
+    every capture is serialized as a byte-stable WARC record (fixed
+    header order, CRLF separators), hash-assigned to a shard-NNNNN.warc
+    file by SURT, and given the exact (offset, length) where it lands —
+    the offsets the CDX rows would point at. The oracle recomputes the
+    full serialization and running byte offsets cell-for-cell
+    (operators/archive.py:warc_records)."""
+    from .operators.archive import warc_records
+
+    log_df = _cdx_log_from_events(load(spark, sf_dir, "events")).withColumn(
+        "body",
+        F.concat(
+            F.col("url"), F.lit("|"),
+            F.expr("repeat('b', CAST(n_bytes % 37 + 5 AS INT))"),
+        ),
+    )
+    return _longify(warc_records(log_df, n_files=8)).orderBy("warc_file", "offset")
+
+
+def _warc_manifest_sql() -> str:
+    from .operators.archive import warc_records_sql
+
+    return warc_records_sql(_WARC_LOG_SQL_CTE, n_files=8)
+
+
 def q_wave_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-worker wave makespan forecast: 200 synthetic domains
     hash-assigned to the reference's 5 scrapyd workers; eta is the max
@@ -3792,10 +3827,12 @@ def queries():
     runs. Near-duplicate variants, breadth queries, and twins of
     already-proven machinery follow, cheapest first."""
     return {
-        # -- 1-14: crawl core (SURVEY §2 S/F/L2/D/P/A/C/O rows).
-        #    expire_recrawl (D1 twin of dedup_seen) and endpoint_batches
-        #    (A3 twin of batch_accounting) rotated out to 51+ in round 5
-        #    to make room for the round-4 families below ---------------
+        # -- 1-13: crawl core (SURVEY §2 S/F/L2/D/P/A/C/O rows).
+        #    expire_recrawl (D1 twin of dedup_seen), endpoint_batches
+        #    (A3 twin of batch_accounting) and monitor_codes (A1 batch
+        #    twin of the in-window stream_monitor) rotated out to 51+
+        #    in round 5 to make room for the round-4 families and the
+        #    new warc_manifest below --------------------------------
         "frontier_schedule": q_frontier_schedule,
         "dedup_seen": q_dedup_seen,
         "sitemap_diff": q_sitemap_diff,
@@ -3804,7 +3841,6 @@ def queries():
         "robots_eval": q_robots_eval,
         "content_type_route": q_content_type_route,
         "batch_accounting": q_batch_accounting,
-        "monitor_codes": q_monitor_codes,
         "sitemap_resolve": q_sitemap_resolve,
         "sitemap_discovery": q_sitemap_discovery,
         "sitemap_report": q_sitemap_report,
@@ -3850,6 +3886,7 @@ def queries():
         #    and multimodal resize / frame-sample planning -------------
         "cdx_index": q_cdx_index,
         "conditional_fetch": q_conditional_fetch,
+        "warc_manifest": q_warc_manifest,
         "wave_eta": q_wave_eta,
         "mixture_temperature": q_mixture_temperature,
         "hll_registers": q_hll_registers,
@@ -3863,10 +3900,11 @@ def queries():
         "stream_dedup": q_stream_dedup,
         "stream_monitor": q_stream_monitor,
         # ==== 51+: variants and breadth ================================
-        # 51-60: the ten twice-certified variants rotated OUT of the
+        # 51-61: the eleven twice-certified variants rotated OUT of the
         # gate window by the round-5 promotions — every family keeps an
         # in-window representative (expire_recrawl by dedup_seen,
-        # endpoint_batches by batch_accounting, chunk_stats/pack_spans/
+        # endpoint_batches by batch_accounting, monitor_codes by the
+        # real-streaming stream_monitor, chunk_stats/pack_spans/
         # span_stats by pack_chunks+spans_flatten, props_rollup by
         # funnel, compaction_plan/pricing_summary/scd2 by upsert,
         # tokenizer_fertility/lang_mixture by mixture_temperature); all
@@ -3874,6 +3912,7 @@ def queries():
         # for any window extension.
         "expire_recrawl": q_expire_recrawl,
         "endpoint_batches": q_endpoint_batches,
+        "monitor_codes": q_monitor_codes,
         "chunk_stats": q_chunk_stats,
         "pack_spans": q_pack_spans,
         "span_stats": q_span_stats,
@@ -4162,6 +4201,7 @@ def oracle_sql():
         "stream_monitor": _stream_monitor_sql(),
         "cdx_index": _cdx_index_sql(),
         "conditional_fetch": _conditional_fetch_sql(),
+        "warc_manifest": _warc_manifest_sql(),
         "wave_eta": _wave_eta_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
         "hll_registers": _hll_registers_sql(),

@@ -269,3 +269,182 @@ def conditional_fetch_plan_sql(candidates_cte: str, prior_cte: str) -> str:
         GROUP BY domain
         ORDER BY domain
     """
+
+
+# ---------------------------------------------------------------------------
+# WARC-style record serialization + archive placement
+# ---------------------------------------------------------------------------
+
+_WARC_CRLF = "\r\n"
+
+
+def warc_records(
+    fetch_log: DataFrame,
+    body_col: str = "body",
+    n_files: int = 16,
+) -> DataFrame:
+    """Byte-stable WARC-style record serialization + archive placement.
+
+    Closes the archive loop that :func:`cdx_index` opened: the CDX rows
+    index captures, this operator produces the records those rows point
+    at — each capture rendered as one deterministic WARC-style record
+    string, assigned to an archive file, and given the exact byte
+    ``(offset, length)`` where it lands inside that file. The analog of
+    the reference's batched ES record upload
+    (search_gov_crawler/elasticsearch/es_batch_upload.py:25-134), recast
+    as a sort-on-write archive layout.
+
+    Input: the :func:`cdx_index` fetch-log columns ``(url, fetch_ts,
+    http_status, mime, digest)`` plus a ``body_col`` string payload.
+    Output, one row per capture::
+
+        (warc_file, offset, length, surt, fetch_ts, url, digest, record)
+
+    Serialization (fixed header order, CRLF separators, byte lengths —
+    mirrored exactly by :func:`warc_records_sql`)::
+
+        WARC/1.0\\r\\n
+        WARC-Type: response\\r\\n
+        WARC-Target-URI: <url>\\r\\n
+        WARC-Date: <fetch_ts>\\r\\n
+        WARC-Payload-Digest: <digest>\\r\\n
+        Content-Type: <mime>\\r\\n
+        Content-Length: <octet_length(body)>\\r\\n
+        \\r\\n
+        <body>\\r\\n\\r\\n
+
+    Placement: ``warc_file = shard-<portable_hash32(surt) % n_files>
+    .warc`` keeps every capture of a SURT in one file (host locality,
+    like the CDX sort order); within a file records are laid out in
+    ``(surt, fetch_ts, url)`` order and ``offset`` is the running byte
+    sum of the preceding records (one keyed window — the same shuffle
+    key the file is physically written in, so the sink's
+    sortWithinPartitions reuses this exchange).
+
+    Scale shape: pure codegen (concat/length) + one window per file
+    key; no UDFs, no driver state. ``n_files`` is the archive fan-out —
+    at 100 TB you size it so each .warc lands near the 1 GB archive
+    convention.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash32_col
+
+    body = F.col(body_col)
+    record = F.concat(
+        F.lit("WARC/1.0" + _WARC_CRLF),
+        F.lit("WARC-Type: response" + _WARC_CRLF),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(_WARC_CRLF),
+        F.lit("WARC-Date: "), F.col("fetch_ts").cast("string"), F.lit(_WARC_CRLF),
+        F.lit("WARC-Payload-Digest: "), F.col("digest"), F.lit(_WARC_CRLF),
+        F.lit("Content-Type: "), F.col("mime"), F.lit(_WARC_CRLF),
+        F.lit("Content-Length: "), F.octet_length(body).cast("string"),
+        F.lit(_WARC_CRLF + _WARC_CRLF),
+        body,
+        F.lit(_WARC_CRLF + _WARC_CRLF),
+    )
+    keyed = (
+        fetch_log.withColumn("surt", surt_key_col("url"))
+        .withColumn(
+            "warc_file",
+            F.concat(
+                F.lit("shard-"),
+                F.lpad((portable_hash32_col("surt") % n_files).cast("string"), 5, "0"),
+                F.lit(".warc"),
+            ),
+        )
+        .withColumn("record", record)
+        .withColumn("length", F.octet_length("record").cast("long"))
+    )
+    w = (
+        Window.partitionBy("warc_file")
+        .orderBy("surt", "fetch_ts", "url")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return keyed.select(
+        "warc_file",
+        F.coalesce(F.sum("length").over(w), F.lit(0)).cast("long").alias("offset"),
+        "length", "surt", "fetch_ts", "url", "digest", "record",
+    )
+
+
+def warc_records_sql(fetch_log_cte: str, body_expr: str = "body", n_files: int = 16) -> str:
+    """DuckDB oracle twin over a CTE named ``fl`` carrying the fetch-log
+    columns; ``body_expr`` names the payload column inside ``fl``.
+    ``strlen`` is DuckDB's VARCHAR byte length (octet_length is
+    BLOB-only); ``chr(13)||chr(10)`` renders CRLF without escape-syntax
+    divergence."""
+    from ..functions.hashing import portable_hash32_sql
+
+    crlf = "(chr(13) || chr(10))"
+    record = (
+        f"('WARC/1.0' || {crlf} || 'WARC-Type: response' || {crlf} || "
+        f"'WARC-Target-URI: ' || url || {crlf} || "
+        f"'WARC-Date: ' || fetch_ts::VARCHAR || {crlf} || "
+        f"'WARC-Payload-Digest: ' || digest || {crlf} || "
+        f"'Content-Type: ' || mime || {crlf} || "
+        f"'Content-Length: ' || strlen({body_expr})::VARCHAR || {crlf} || {crlf} || "
+        f"{body_expr} || {crlf} || {crlf})"
+    )
+    return f"""
+        WITH {fetch_log_cte},
+        normed AS (
+          SELECT *, {surt_nos_sql("url")} AS nos FROM fl
+        ),
+        keyed AS (
+          SELECT url, fetch_ts, mime, digest,
+                 {surt_key_sql("nos")} AS surt,
+                 {record} AS record
+          FROM normed
+        ),
+        placed AS (
+          SELECT 'shard-' || lpad(({portable_hash32_sql("surt")} % {n_files})::VARCHAR, 5, '0') || '.warc' AS warc_file,
+                 surt, fetch_ts, url, digest, record,
+                 strlen(record)::BIGINT AS length
+          FROM keyed
+        )
+        SELECT warc_file,
+               coalesce(sum(length) OVER (
+                 PARTITION BY warc_file ORDER BY surt, fetch_ts, url
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)::BIGINT AS "offset",
+               length, surt, fetch_ts, url, digest, record
+        FROM placed
+        ORDER BY warc_file, "offset"
+    """
+
+
+def write_warc_files(records: DataFrame, out_dir: str) -> None:
+    """Physically write :func:`warc_records` output as .warc files whose
+    byte layout matches the manifest exactly: seek(offset) + read
+    (length) of any manifest row yields that row's serialized record.
+
+    Distributed shape: one hash exchange on ``warc_file`` (reused from
+    the operator's window), records sorted inside each partition, then
+    a per-partition streaming writer that appends each file's records
+    in manifest order — no driver collect, O(1) memory per task. The
+    sandbox writer targets a POSIX path; on a cluster the same pattern
+    writes through the Hadoop FileSystem API.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    placed = records.select("warc_file", "offset", "record").repartition(
+        "warc_file"
+    ).sortWithinPartitions("warc_file", "offset")
+
+    def _write(rows):
+        cur_name, handle = None, None
+        try:
+            for r in rows:
+                if r["warc_file"] != cur_name:
+                    if handle is not None:
+                        handle.close()
+                    cur_name = r["warc_file"]
+                    handle = open(os.path.join(out_dir, cur_name), "wb")
+                handle.write(r["record"].encode("UTF-8"))
+        finally:
+            if handle is not None:
+                handle.close()
+
+    placed.foreachPartition(_write)

@@ -305,3 +305,46 @@ def test_resize_plan_geometry(spark):
         assert r["pad_top"] + r["out_h"] + r["pad_bottom"] == 224
     assert rows[2]["out_w"] == (100 * 224) // 2000  # extreme aspect floors, never 0... 
     assert rows[2]["out_w"] >= 1
+
+
+def test_warc_records_byte_roundtrip(spark, tmp_path):
+    """The archive loop closes physically: write_warc_files lays records
+    out exactly as the manifest says — seek(offset)+read(length) of any
+    row yields that row's serialized record, offsets are dense within
+    each file, and Content-Length counts BYTES (multi-byte UTF-8 body
+    included to pin octet semantics)."""
+    import os
+
+    from searchgov_spider_spark.operators.archive import warc_records, write_warc_files
+
+    log = spark.createDataFrame(
+        [
+            ("https://a.gov/x", 1, 200, "text/html", "d1", "hello"),
+            ("https://a.gov/x", 2, 200, "text/html", "d1", "hello again"),
+            ("https://b.gov/y", 1, 404, "text/html", "d2", "café — café"),
+            ("https://c.gov/z?q=1", 3, 200, "application/pdf", "d3", "%PDF-1.4 fake"),
+        ],
+        "url string, fetch_ts long, http_status long, mime string, digest string, body string",
+    )
+    recs = warc_records(log, n_files=2)
+    rows = recs.collect()
+    out = str(tmp_path / "warc")
+    write_warc_files(recs, out)
+
+    per_file = {}
+    for r in rows:
+        data = open(os.path.join(out, r["warc_file"]), "rb").read()
+        chunk = data[r["offset"] : r["offset"] + r["length"]]
+        assert chunk == r["record"].encode("UTF-8")
+        body = r["record"].split("\r\n\r\n", 1)[1].rsplit("\r\n\r\n", 1)[0]
+        clen = int(r["record"].split("Content-Length: ")[1].split("\r\n")[0])
+        assert clen == len(body.encode("UTF-8"))
+        per_file.setdefault(r["warc_file"], []).append((r["offset"], r["length"]))
+    # dense layout: offsets tile each file exactly, no gaps or overlaps
+    for name, spans in per_file.items():
+        spans.sort()
+        pos = 0
+        for off, ln in spans:
+            assert off == pos
+            pos += ln
+        assert pos == os.path.getsize(os.path.join(out, name))
