@@ -498,16 +498,26 @@ Q_PREFETCH_FILTERS_SQL = f"""
 
 
 def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7: longest-prefix robots evaluation via the real broadcast join +
-    higher-order exprs; oracle restates the rule logic directly."""
+    """S7: RFC 9309 robots evaluation via the real broadcast join +
+    higher-order exprs. h.gov exercises classic longest-prefix rules;
+    w.gov exercises the REP wildcard grammar Scrapy's Protego honors —
+    ``*`` spanning any octets, a trailing ``$`` end-anchor, and an
+    allow rule out-speccing a shorter disallow (``/search/about$`` vs
+    ``/search*``). The oracle restates each fixed path's outcome
+    directly (operators/robots.py:rule_regex_col)."""
     docs = load(spark, sf_dir, "documents")
-    host = F.when(F.col("doc_id") % 7 < 5, F.lit("h.gov")).otherwise(F.lit("open.gov"))
+    m7 = F.col("doc_id") % 7
+    host = (
+        F.when(m7 < 4, F.lit("h.gov"))
+        .when(m7 < 6, F.lit("w.gov"))
+        .otherwise(F.lit("open.gov"))
+    )
     path = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit("/private/x"))
-        .when(F.col("doc_id") % 5 == 1, F.lit("/private/pub/y"))
-        .when(F.col("doc_id") % 5 == 2, F.lit("/pub/z"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("/"))
-        .otherwise(F.lit("/private/"))
+        F.when(F.col("doc_id") % 5 == 0, F.when(host == "w.gov", F.lit("/doc/a.pdf")).otherwise(F.lit("/private/x")))
+        .when(F.col("doc_id") % 5 == 1, F.when(host == "w.gov", F.lit("/doc/a.pdfx")).otherwise(F.lit("/private/pub/y")))
+        .when(F.col("doc_id") % 5 == 2, F.when(host == "w.gov", F.lit("/search/about")).otherwise(F.lit("/pub/z")))
+        .when(F.col("doc_id") % 5 == 3, F.when(host == "w.gov", F.lit("/search/qq")).otherwise(F.lit("/")))
+        .otherwise(F.when(host == "w.gov", F.lit("/open")).otherwise(F.lit("/private/")))
     )
     cand = docs.select(
         F.col("doc_id"),
@@ -517,7 +527,9 @@ def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = spark.sql("""
         SELECT * FROM VALUES
           ('h.gov', 'usasearch', array('/private/pub/'), array('/private/'),
-           2.0D, CAST(array() AS ARRAY<STRING>))
+           2.0D, CAST(array() AS ARRAY<STRING>)),
+          ('w.gov', 'usasearch', array('/search/about$'), array('/*.pdf$', '/search*'),
+           1.0D, CAST(array() AS ARRAY<STRING>))
         AS t(domain, user_agent, allow_prefixes, disallow_prefixes, crawl_delay, sitemap_urls)
     """)
     out = apply_robots(cand, robots, "usasearch", host_col="domain")
@@ -527,22 +539,44 @@ def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ROBOTS_EVAL_SQL = """
     WITH cand AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 7 < 5 THEN 'h.gov' ELSE 'open.gov' END AS host,
-             CASE doc_id % 5
-               WHEN 0 THEN '/private/x'
-               WHEN 1 THEN '/private/pub/y'
-               WHEN 2 THEN '/pub/z'
-               WHEN 3 THEN '/'
-               ELSE '/private/'
-             END AS path
+             CASE WHEN doc_id % 7 < 4 THEN 'h.gov'
+                  WHEN doc_id % 7 < 6 THEN 'w.gov'
+                  ELSE 'open.gov' END AS host,
+             doc_id % 5 AS m5
       FROM documents
+    ), pathed AS (
+      SELECT doc_id, host,
+             CASE WHEN host = 'w.gov' THEN
+               CASE m5 WHEN 0 THEN '/doc/a.pdf'
+                       WHEN 1 THEN '/doc/a.pdfx'
+                       WHEN 2 THEN '/search/about'
+                       WHEN 3 THEN '/search/qq'
+                       ELSE '/open' END
+             ELSE
+               CASE m5 WHEN 0 THEN '/private/x'
+                       WHEN 1 THEN '/private/pub/y'
+                       WHEN 2 THEN '/pub/z'
+                       WHEN 3 THEN '/'
+                       ELSE '/private/' END
+             END AS path, m5
+      FROM cand
     )
     SELECT doc_id, 'https://' || host || path AS url,
-           CASE WHEN host = 'h.gov' THEN 2.0 ELSE NULL END AS crawl_delay
-    FROM cand
-    WHERE host <> 'h.gov'
-       OR NOT prefix(path, '/private/')
-       OR prefix(path, '/private/pub/')
+           CASE WHEN host = 'h.gov' THEN 2.0
+                WHEN host = 'w.gov' THEN 1.0
+                ELSE NULL END AS crawl_delay
+    FROM pathed
+    WHERE (host = 'open.gov')
+       -- h.gov: longest-prefix classic rules
+       OR (host = 'h.gov' AND (NOT prefix(path, '/private/')
+                               OR prefix(path, '/private/pub/')))
+       -- w.gov RFC 9309 outcomes per fixed path:
+       --   /doc/a.pdf    blocked by /*.pdf$      (wildcard + end anchor)
+       --   /doc/a.pdfx   allowed  ($ anchor does not match)
+       --   /search/about allowed  (/search/about$ out-specs /search*)
+       --   /search/qq    blocked by /search*
+       --   /open         allowed  (no rule matches)
+       OR (host = 'w.gov' AND m5 IN (1, 2, 4))
     ORDER BY doc_id
 """
 

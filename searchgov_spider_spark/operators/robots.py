@@ -8,13 +8,20 @@ small ``robots`` table (FIXTURES.md §4):
     robots(domain, user_agent, allow_prefixes, disallow_prefixes,
            crawl_delay, sitemap_urls)
 
-Evaluation is the standard longest-match rule: among all allow/disallow
-prefixes that prefix-match the URL path, the longest wins; ties and no-match
-default to allow; a missing robots row allows everything.
+Evaluation is RFC 9309 (REP) matching — the semantics Scrapy's Protego
+parser applies for the reference's ROBOTSTXT_OBEY=True. Rules are
+path patterns where ``*`` matches any character sequence (including
+``/``) and a trailing ``$`` anchors the end of the path; all other
+octets are literal. Among the allow/disallow rules that match, the one
+with the most octets (pattern length) wins; an allow/disallow tie and
+no-match both default to allow; a missing robots row allows everything.
 
 Implementation: broadcast join on domain (the robots table is tiny), then
 pure higher-order array expressions — F.filter + F.aggregate compute the
-longest matching prefix lengths JVM-side, no UDF.
+longest matching pattern lengths JVM-side, no UDF. Plain prefixes (the
+overwhelmingly common rule shape) stay on a startswith fast path;
+patterns containing ``*``/``$`` are translated to an anchored Java regex
+by pure string expressions and matched with rlike.
 """
 
 from __future__ import annotations
@@ -24,11 +31,44 @@ from pyspark.sql import functions as F
 
 from ..functions.urls import url_host_col, url_path_col
 
+# regex metacharacters that must be escaped when an RFC 9309 pattern is
+# translated to a Java regex ('*' is excluded: it becomes '.*'; a
+# TRAILING '$' is the end anchor, any interior '$' is literal)
+_META_CLASS = r"[.?+(){}\[\]\\|^$]"
 
-def _longest_match(path: Column, prefixes: Column) -> Column:
-    """Length of the longest prefix in ``prefixes`` matching ``path`` (0 if none)."""
-    matching = F.filter(prefixes, lambda p: path.startswith(p))
-    return F.aggregate(matching, F.lit(0), lambda acc, p: F.greatest(acc, F.length(p)))
+
+def rule_regex_col(p: Column) -> Column:
+    """Translate an RFC 9309 path pattern to an equivalent Java regex,
+    as a pure string-expression column: ``^`` + pattern with regex
+    metachars escaped and ``*`` -> ``.*``, plus a ``$`` anchor iff the
+    pattern ends with one. rlike's find semantics then give exactly the
+    REP rule: anchored at the path start, free to end anywhere unless
+    ``$``-anchored."""
+    ends = p.endswith("$")
+    body = F.when(ends, F.substr(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+    esc = F.regexp_replace(body, _META_CLASS, "\\\\$0")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), wild, F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def _rule_matches(path: Column, p: Column) -> Column:
+    """Does rule pattern ``p`` match ``path`` (RFC 9309 §2.2.2)?
+    Wildcard-free patterns short-circuit to startswith so the common
+    case never compiles a regex."""
+    has_wild = p.contains("*") | p.endswith("$")
+    return F.when(has_wild, F.rlike(path, rule_regex_col(p))).otherwise(
+        path.startswith(p)
+    )
+
+
+def _longest_match(path: Column, patterns: Column) -> Column:
+    """Octet length of the most specific (longest) pattern matching
+    ``path`` (0 if none) — RFC 9309 §2.2.2 picks the match with the
+    most octets."""
+    matching = F.filter(patterns, lambda p: _rule_matches(path, p))
+    return F.aggregate(
+        matching, F.lit(0), lambda acc, p: F.greatest(acc, F.octet_length(p))
+    )
 
 
 def select_agent_rules(robots: DataFrame, user_agent: str = "usasearch") -> DataFrame:

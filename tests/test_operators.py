@@ -232,6 +232,49 @@ def test_robots(spark):
     assert delays["https://c.gov/anything"] is None
 
 
+def test_robots_rfc9309_wildcards(spark):
+    """RFC 9309 pattern grammar (the semantics Scrapy's Protego applies
+    for the reference's ROBOTSTXT_OBEY): '*' spans any octets including
+    '/', a trailing '$' anchors the path end, other regex metachars are
+    literal, and the longest (most-octets) matching rule wins with
+    allow breaking ties."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (path, allow, disallow, expected_allowed)
+        ("/doc/a.pdf", [], ["/*.pdf$"], False),
+        ("/doc/a.pdfx", [], ["/*.pdf$"], True),        # $ anchor misses
+        ("/search/about", ["/search/about$"], ["/search*"], True),
+        ("/search/qq", ["/search/about$"], ["/search*"], False),
+        ("/fish.php", [], ["/fish*.php"], False),
+        ("/fishheads/catfish.php?p=1", [], ["/fish*.php"], False),
+        ("/Fish.PHP", [], ["/fish*.php"], True),       # case-sensitive
+        ("/a", [], ["/a$"], False),                    # exact end match
+        ("/ab", [], ["/a$"], True),
+        ("/a$b", [], ["/a$"], True),                   # trailing $ is anchor
+        ("/x(1).htm", [], ["/x(1).htm$"], False),      # metachars literal
+        ("/x[1].htm", [], ["/x[1].htm"], False),
+        ("/p", ["/p"], ["/"], True),                   # longest octets wins
+        ("/page", ["/p"], ["/page"], False),           # disallow longer
+        ("/", ["/p"], ["/"], False),
+    ]
+    df = spark.createDataFrame(
+        [(p, a, d) for p, a, d, _ in cases],
+        "path string, allow array<string>, deny array<string>",
+    )
+    got = {
+        r["path"]: r["ok"]
+        for r in df.select(
+            "path",
+            robots.robots_allowed_col(
+                F.col("path"), F.col("allow"), F.col("deny")
+            ).alias("ok"),
+        ).collect()
+    }
+    for p, _a, _d, expect in cases:
+        assert got[p] is expect, (p, got[p], expect)
+
+
 def test_playwright_fetcher_gate_and_abort_predicate():
     """S4 JS leg: the abort predicate matches domain_spider_js.py:11-14,
     and the fetcher fails fast on the driver when playwright is absent."""
