@@ -27,11 +27,11 @@ ordering; across micro-batches arrival order wins, which is the
 streaming contract. ``state_ttl_ms`` arms a processing-time timeout
 that clears the counter — an idle domain's budget refills, the
 streaming analog of the next wave's fresh budget. Processing-time
-timeouts fire between micro-batches of a CONTINUOUS trigger; a
+timeouts fire between micro-batches of a CONTINUOUS trigger (a
 trigger(availableNow) drain ends before idle timeouts get a chance to
-run, so TTL refill is a long-running-query feature, not something a
-bounded replay can exercise (which is why the pytest coverage pins the
-counter semantics, and the TTL arm mirrors streaming/dedup.py's).
+run); tests/test_streaming.py:test_streaming_budget_ttl_refills runs
+this gate under a 250 ms processing-time trigger long enough for the
+timeout to fire and pins the refill (fetch_rank restarts at 1).
 """
 
 from __future__ import annotations

@@ -216,3 +216,83 @@ def test_streaming_budget_gate(spark, tmp_path):
     assert [r["url_hash"] for r in a] == [11, 10, 12, 14]  # ts order; 14 wins the last slot
     assert [r["fetch_rank"] for r in a] == [1, 2, 3, 4]  # cumulative across batches
     assert [r["url_hash"] for r in b] == [20, 21] and [r["fetch_rank"] for r in b] == [1, 2]
+
+
+def test_streaming_budget_ttl_refills(spark, tmp_path):
+    """The TTL arm for real: under a short processing-time trigger the
+    idle-domain timeout fires between micro-batches, clears the budget
+    counter, and the domain's budget refills — late arrivals emit with
+    fetch_rank restarting at 1. Dropping the TTL arm leaves the counter
+    exhausted and this test times out waiting for phase 2."""
+    import time
+
+    from searchgov_spider_spark.streaming.budget import streaming_budget_gate
+    from searchgov_spider_spark.streaming.dedup import DISCOVERED_SCHEMA
+
+    p = tmp_path / "disc_ttl"
+    p.mkdir()
+
+    def row(ts, h, dom):
+        return {"ts": ts, "url_hash": h, "url": f"https://{dom}/{h}", "domain": dom, "wave": 0}
+
+    (p / "b0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                row("2024-01-01T00:00:01", 1, "a.gov"),
+                row("2024-01-01T00:00:02", 2, "a.gov"),
+                row("2024-01-01T00:00:03", 3, "a.gov"),  # over budget, dropped
+            ]
+        )
+        + "\n"
+    )
+    stream = (
+        spark.readStream.schema(DISCOVERED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(p))
+    )
+    gated = streaming_budget_gate(
+        stream, budget=2, order_cols=("ts",), state_ttl_ms=1000
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("ttl_budget_t")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ttl_ck"))
+        .start()
+    )
+    try:
+        def rows():
+            return spark.sql(
+                "SELECT url_hash, fetch_rank FROM ttl_budget_t ORDER BY url_hash"
+            ).collect()
+
+        deadline = time.time() + 60
+        while time.time() < deadline and len(rows()) < 2:
+            time.sleep(0.3)
+        got1 = [(r["url_hash"], r["fetch_rank"]) for r in rows()]
+        assert got1 == [(1, 1), (2, 2)], got1  # budget 2 of 3 spent
+
+        # idle past the 1 s TTL so the processing-time timeout fires and
+        # removes the counter state
+        time.sleep(4)
+        (p / "b1.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    row("2024-01-01T00:02:01", 4, "a.gov"),
+                    row("2024-01-01T00:02:02", 5, "a.gov"),
+                ]
+            )
+            + "\n"
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline and len(rows()) < 4:
+            time.sleep(0.3)
+        got2 = [(r["url_hash"], r["fetch_rank"]) for r in rows()]
+        # refilled: the late arrivals rank 1..2 again, not 3..4 / nothing
+        assert got2 == [(1, 1), (2, 2), (4, 1), (5, 2)], got2
+        assert q.exception() is None
+    finally:
+        q.stop()
