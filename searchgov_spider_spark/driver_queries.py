@@ -3663,26 +3663,40 @@ def _warc_manifest_sql() -> str:
 
 def q_wave_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-worker wave makespan forecast: 200 synthetic domains
-    hash-assigned to the reference's 5 scrapyd workers; eta is the max
-    of the politeness floor (hottest domain x 1 s delay) and the
-    worker's aggregate request-capacity floor
-    (operators/politeness.py:wave_eta)."""
+    hash-assigned to the reference's 5 scrapyd workers, each carrying
+    the per-domain robots crawl-delay the budget actually enforces
+    (0.5 s / 2.5 s / NULL→global 1 s by domain mod); eta is the max of
+    the politeness floor (hottest n_urls x delay_ms product, integer
+    milliseconds throughout) and the worker's aggregate
+    request-capacity floor (operators/politeness.py:wave_eta)."""
     from .operators.politeness import wave_eta
 
     ev = load(spark, sf_dir, "events")
-    sched = ev.select(
-        F.concat(F.lit("d"), (F.col("user_id") % 200).cast("string"), F.lit(".gov")).alias("domain")
+    dom_id = F.col("user_id") % 200
+    delay = (
+        F.when(dom_id % 3 == 0, F.lit(0.5))
+        .when(dom_id % 3 == 1, F.lit(2.5))
+        .otherwise(F.lit(None).cast("double"))
     )
-    return _longify(wave_eta(sched)).orderBy("worker")
+    sched = ev.select(
+        F.concat(F.lit("d"), dom_id.cast("string"), F.lit(".gov")).alias("domain"),
+        delay.alias("crawl_delay"),
+    )
+    return _longify(wave_eta(sched, delay_col="crawl_delay")).orderBy("worker")
 
 
 def _wave_eta_sql() -> str:
     from .operators.politeness import wave_eta_sql
 
-    cte = (
-        "sched AS (SELECT 'd' || (user_id % 200)::VARCHAR || '.gov' AS domain FROM events)"
-    )
-    return wave_eta_sql(cte)
+    cte = """
+        sched AS (
+          SELECT 'd' || (user_id % 200)::VARCHAR || '.gov' AS domain,
+                 CASE (user_id % 200) % 3
+                   WHEN 0 THEN 0.5 WHEN 1 THEN 2.5 ELSE NULL
+                 END AS crawl_delay
+          FROM events
+        )"""
+    return wave_eta_sql(cte.strip(), with_delay_col=True)
 
 
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -415,6 +415,7 @@ def wave_eta(
     delay_s: int = DOWNLOAD_DELAY_S,
     rps_cap: int = WORKER_RPS_CAP,
     domain_col: str = "domain",
+    delay_col: str | None = None,
 ) -> DataFrame:
     """Per-worker wave makespan forecast for a scheduled wave.
 
@@ -437,31 +438,59 @@ def wave_eta(
     worker: ``(worker, n_domains, n_urls, politeness_floor_s,
     capacity_floor_s, eta_s = greatest of the floors)``. All-integer.
 
+    ``delay_col`` names an optional per-domain crawl-delay column
+    (seconds, double, NULL ⇒ the global ``delay_s`` default) carried on
+    the scheduled rows — the robots crawl_delay that apply_robots
+    attaches, or the adaptive budget's derived delay — so the forecast
+    uses the SAME per-domain floor the budget actually enforces.
+    Delays convert to integer milliseconds via the engine-proof
+    ``floor(x*1000 + 0.5)`` before any arithmetic, keeping the whole
+    plan integer-exact; the floor becomes ``ceil(max_domain(n_urls *
+    delay_ms) / 1000)``.
+
     Scale shape: one map-side-combinable hash agg to (domain) — output
     bounded by domain cardinality — then a second tiny agg to
     (worker). The wave ETA drives budget reallocation before the fetch
     tier is committed, so it must not scan fetched content: the input is
-    the scheduled wave's 1-column domain projection.
+    the scheduled wave's 1-2 column projection.
     """
     from ..functions.hashing import portable_hash32_col
 
-    per_dom = (
-        scheduled.groupBy(F.col(domain_col).alias("domain"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
-        .withColumn(
-            "worker",
-            F.pmod(
-                portable_hash32_col(F.concat(F.lit("worker|"), F.col("domain"))),
-                F.lit(n_workers),
-            ).cast("long"),
+    if delay_col is not None:
+        delay_ms = F.coalesce(
+            F.floor(F.col(delay_col) * 1000 + F.lit(0.5)).cast("long"),
+            F.lit(int(delay_s) * 1000),
         )
+        per_dom = (
+            scheduled.groupBy(F.col(domain_col).alias("domain"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_urls"),
+                F.max(delay_ms).cast("long").alias("delay_ms"),
+            )
+        )
+        dom_cost_ms = (F.col("n_urls") * F.col("delay_ms")).alias("dom_cost_ms")
+        per_dom = per_dom.select("domain", "n_urls", dom_cost_ms)
+    else:
+        per_dom = (
+            scheduled.groupBy(F.col(domain_col).alias("domain"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+            .withColumn("dom_cost_ms", (F.col("n_urls") * (int(delay_s) * 1000)).cast("long"))
+        )
+    per_dom = per_dom.withColumn(
+        "worker",
+        F.pmod(
+            portable_hash32_col(F.concat(F.lit("worker|"), F.col("domain"))),
+            F.lit(n_workers),
+        ).cast("long"),
     )
     return (
         per_dom.groupBy("worker")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_domains"),
             F.sum("n_urls").cast("long").alias("n_urls"),
-            (F.max("n_urls") * delay_s).cast("long").alias("politeness_floor_s"),
+            F.expr("CAST((max(dom_cost_ms) + 999) DIV 1000 AS BIGINT)").alias(
+                "politeness_floor_s"
+            ),
         )
         .withColumn(
             "capacity_floor_s", F.expr(f"(n_urls + {rps_cap - 1}) DIV {rps_cap}")
@@ -475,22 +504,39 @@ def wave_eta_sql(
     n_workers: int = WAVE_WORKERS,
     delay_s: int = DOWNLOAD_DELAY_S,
     rps_cap: int = WORKER_RPS_CAP,
+    with_delay_col: bool = False,
 ) -> str:
-    """DuckDB twin over a CTE named ``sched`` with a ``domain`` column."""
+    """DuckDB twin over a CTE named ``sched`` with a ``domain`` column
+    (plus a ``crawl_delay`` double column when ``with_delay_col``)."""
     from ..functions.hashing import portable_hash32_sql
 
     h = portable_hash32_sql("'worker|' || domain")
-    return f"""
-        WITH {scheduled_cte},
+    if with_delay_col:
+        delay_ms = (
+            f"coalesce(floor(crawl_delay * 1000 + 0.5)::BIGINT, {int(delay_s) * 1000})"
+        )
+        per_dom = f"""
         per_dom AS (
           SELECT domain, count(*)::BIGINT AS n_urls,
+                 (count(*) * max({delay_ms}))::BIGINT AS dom_cost_ms,
                  ({h} % {n_workers})::BIGINT AS worker
           FROM sched GROUP BY domain
-        ),
+        )"""
+    else:
+        per_dom = f"""
+        per_dom AS (
+          SELECT domain, count(*)::BIGINT AS n_urls,
+                 (count(*) * {int(delay_s) * 1000})::BIGINT AS dom_cost_ms,
+                 ({h} % {n_workers})::BIGINT AS worker
+          FROM sched GROUP BY domain
+        )"""
+    return f"""
+        WITH {scheduled_cte},
+        {per_dom.strip()},
         per_worker AS (
           SELECT worker, count(*)::BIGINT AS n_domains,
                  sum(n_urls)::BIGINT AS n_urls,
-                 (max(n_urls) * {delay_s})::BIGINT AS politeness_floor_s
+                 ((max(dom_cost_ms) + 999) // 1000)::BIGINT AS politeness_floor_s
           FROM per_dom GROUP BY worker
         )
         SELECT worker, n_domains, n_urls, politeness_floor_s,

@@ -111,6 +111,29 @@ def test_wave_eta_floors(spark):
     assert r["eta_s"] == 100
 
 
+def test_wave_eta_per_domain_delay(spark):
+    """delay_col threads the robots crawl-delay through the politeness
+    floor: a 0.5 s domain needs half the global-1s forecast, a 2.5 s
+    domain 2.5x, NULL falls back to the global default — all in integer
+    milliseconds with ceil-to-seconds at the end."""
+    rows = (
+        [("fast.gov", 0.5)] * 100   # 100 * 500ms = 50 s
+        + [("slow.gov", 2.5)] * 30  # 30 * 2500ms = 75 s  <- hottest
+        + [("dflt.gov", None)] * 60  # 60 * 1000ms = 60 s
+    )
+    sched = spark.createDataFrame(rows, "domain string, crawl_delay double")
+    [r] = wave_eta(
+        sched, n_workers=1, delay_s=1, rps_cap=1000, delay_col="crawl_delay"
+    ).collect()
+    assert r["n_urls"] == 190
+    assert r["politeness_floor_s"] == 75
+    assert r["eta_s"] == 75
+    # without the delay column the forecast overstates the same wave:
+    # hottest by count (fast.gov, 100 urls) x global 1 s = 100 s
+    [r0] = wave_eta(sched, n_workers=1, delay_s=1, rps_cap=1000).collect()
+    assert r0["politeness_floor_s"] == 100
+
+
 def test_mixture_temperature_shares(spark):
     docs = spark.createDataFrame(
         [(i, "x" * (1600 if i % 3 == 0 else 100), "s%d" % (i % 3)) for i in range(30)],
