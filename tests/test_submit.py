@@ -107,34 +107,40 @@ def test_driver_contract_integrity():
     assert set(qs) == set(oracles), "every query needs an oracle twin"
     first50 = set(list(qs)[:50])
     required = {
-        # crawl core
-        "frontier_schedule", "dedup_seen", "expire_recrawl", "sitemap_diff",
+        # crawl core (round-5 rotation: expire_recrawl -> dedup_seen,
+        # endpoint_batches -> batch_accounting, monitor_codes -> the
+        # real-streaming stream_monitor keep the families covered)
+        "frontier_schedule", "dedup_seen", "sitemap_diff",
         "url_canonicalize", "prefetch_filters", "robots_eval",
-        "content_type_route", "monitor_codes", "sitemap_resolve",
+        "content_type_route", "batch_accounting", "sitemap_resolve",
+        "sitemap_discovery", "sitemap_report", "summarize",
+        "scalar_text_dates",
         # extraction / interleaved / language
         "i14y_docs", "spans_flatten", "lang_id",
-        # dedup + similarity families (ngram_jaccard/containment moved to
-        # 51+ by the round-4 rotation; the set-similarity family stays
-        # represented in-window by minhash/simhash/overlap_join)
+        # dedup + similarity families (ngram_jaccard/containment at 51+
+        # since round 4; the set-similarity family stays represented
+        # in-window by minhash/simhash/overlap_join)
         "exact_dedup", "minhash_pairs", "simhash_near_dups",
         "embedding_near_dups", "dup_clusters", "overlap_join",
         "ivf_ann_exact", "quantize_embeddings",
-        # corpus prep chain + splits (incl. the round-4 promotions that
-        # certify the r2/r3 oracle-typing repairs officially)
-        "repetition_stats", "pack_chunks", "chunk_stats", "corpus_prep",
-        "pack_spans", "span_stats",
+        # corpus prep chain reps + splits (chunk_stats/pack_spans/
+        # span_stats at 51+ — pack_chunks + spans_flatten hold the seats)
+        "repetition_stats", "pack_chunks", "corpus_prep",
         "sample_split", "leakage_split",
-        # temporal / search / events / warehouse (range_join represented by
-        # asof+rollup; retention/percentiles/rolling_stats by
-        # funnel+props_rollup; scd2/profile_table by upsert+pricing)
+        # temporal / search / events / warehouse (range_join represented
+        # by asof+rollup; retention/percentiles/rolling_stats/props_rollup
+        # by funnel; scd2/compaction_plan/pricing_summary by upsert;
+        # tokenizer_fertility/lang_mixture by mixture_temperature)
         "asof_join", "rollup_hypertable",
         "inverted_index", "bm25_topk", "pagerank",
-        "funnel", "props_rollup",
-        "upsert", "compaction_plan",
-        # mixture + reference readschedule rollup (round-4 window additions)
-        "tokenizer_fertility", "lang_mixture", "schedule_rollup",
-        # TPC-H analog + streaming
-        "pricing_summary", "stream_dedup", "stream_monitor",
+        "funnel", "upsert", "schedule_rollup",
+        # round-4 families promoted into the window in round 5
+        "cdx_index", "conditional_fetch", "warc_manifest", "wave_eta",
+        "mixture_temperature", "hll_registers", "quantile_sketch",
+        "bitext_mine", "media_resize", "frame_sample",
+        # all three real Structured Streaming runs
+        "stream_budget", "stream_dedup", "stream_monitor",
     }
     missing = required - first50
     assert not missing, f"family representatives fell out of the gate window: {missing}"
+    assert len(required) == 50 and first50 == required
