@@ -581,6 +581,101 @@ Q_ROBOTS_EVAL_SQL = """
 """
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 input-format parity: parse raw robots.txt file bodies into the
+    rules table apply_robots consumes, exercising the full RFC 9309
+    grammar — comments, orphan rules before any group (ignored),
+    multi-UA groups, same-UA group merge across the file, empty
+    Disallow (no rule), numeric + junk Crawl-delay, wildcard patterns
+    passed through verbatim, and file-scoped Sitemap lines — over 37
+    synthetic .gov robots files (operators/robots.py:parse_robots_txt)."""
+    from .operators.robots import parse_robots_txt
+
+    docs = load(spark, sf_dir, "documents")
+    doms = docs.select((F.col("doc_id") % 37).alias("dom_id")).distinct()
+    d = F.col("dom_id").cast("string")
+    v = F.col("dom_id") % 4
+    txt = (
+        F.when(v == 0, F.concat_ws(
+            "\n",
+            F.lit("# seed robots"),
+            F.lit("Disallow: /orphan"),
+            F.lit("User-agent: usasearch"),
+            F.lit("Allow: /pub/"),
+            F.lit("Disallow: /private/"),
+            F.concat(F.lit("Crawl-delay: "), (F.col("dom_id") % 7).cast("string")),
+            F.lit("User-agent: *"),
+            F.lit("Disallow: /"),
+            F.concat(F.lit("Sitemap: https://d"), d, F.lit(".gov/sitemap.xml")),
+        ))
+        .when(v == 1, F.concat_ws(
+            "\n",
+            F.lit("User-agent: googlebot"),
+            F.lit("User-agent: usasearch"),
+            F.lit("Disallow: /search*"),
+            F.lit("Allow: /search/about$"),
+            F.lit("Disallow:"),
+        ))
+        .when(v == 2, F.concat_ws(
+            "\n",
+            F.lit("User-agent: *"),
+            F.lit("Disallow: /a/"),
+            F.lit("Crawl-delay: fast"),
+            F.lit("User-agent: *"),
+            F.lit("Disallow: /b/"),
+            F.lit("Crawl-delay: 3.5"),
+        ))
+        .otherwise(F.concat_ws(
+            "\n",
+            F.lit("User-agent: usasearch"),
+            F.lit("Crawl-delay: 2.5"),
+            F.lit("Disallow: /cgi-bin/*.cgi$"),
+            F.concat(F.lit("Sitemap: https://d"), d, F.lit(".gov/s1.xml")),
+        ))
+    )
+    rb = doms.select(
+        F.concat(F.lit("d"), d, F.lit(".gov")).alias("domain"), txt.alias("robots_txt")
+    )
+    parsed = parse_robots_txt(rb)
+    return _longify(
+        parsed.select(
+            "domain", "user_agent",
+            F.array_join("allow_prefixes", "|").alias("allow_str"),
+            F.array_join("disallow_prefixes", "|").alias("disallow_str"),
+            "crawl_delay",
+            F.array_join("sitemap_urls", "|").alias("sitemaps_str"),
+        )
+    ).orderBy("domain", "user_agent")
+
+
+def _robots_parse_sql() -> str:
+    from .operators.robots import parse_robots_txt_sql
+
+    cte = """
+        rb AS (
+          SELECT 'd' || dom_id::VARCHAR || '.gov' AS domain,
+                 CASE dom_id % 4
+                   WHEN 0 THEN concat_ws(chr(10), '# seed robots',
+                     'Disallow: /orphan', 'User-agent: usasearch',
+                     'Allow: /pub/', 'Disallow: /private/',
+                     'Crawl-delay: ' || (dom_id % 7)::VARCHAR,
+                     'User-agent: *', 'Disallow: /',
+                     'Sitemap: https://d' || dom_id::VARCHAR || '.gov/sitemap.xml')
+                   WHEN 1 THEN concat_ws(chr(10), 'User-agent: googlebot',
+                     'User-agent: usasearch', 'Disallow: /search*',
+                     'Allow: /search/about$', 'Disallow:')
+                   WHEN 2 THEN concat_ws(chr(10), 'User-agent: *',
+                     'Disallow: /a/', 'Crawl-delay: fast',
+                     'User-agent: *', 'Disallow: /b/', 'Crawl-delay: 3.5')
+                   ELSE concat_ws(chr(10), 'User-agent: usasearch',
+                     'Crawl-delay: 2.5', 'Disallow: /cgi-bin/*.cgi$',
+                     'Sitemap: https://d' || dom_id::VARCHAR || '.gov/s1.xml')
+                 END AS robots_txt
+          FROM (SELECT DISTINCT doc_id % 37 AS dom_id FROM documents)
+        )"""
+    return parse_robots_txt_sql(cte.strip())
+
+
 def q_content_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: content-type validity + first-match simple type per target."""
     docs = load(spark, sf_dir, "documents")
@@ -3948,7 +4043,10 @@ def queries():
         "stream_dedup": q_stream_dedup,
         "stream_monitor": q_stream_monitor,
         # ==== 51+: variants and breadth ================================
-        # 51-61: the eleven twice-certified variants rotated OUT of the
+        # 51: round-5 NEW family — robots.txt file parsing (S7 input
+        # format); queued first so any window extension certifies it.
+        "robots_parse": q_robots_parse,
+        # 52-62: the eleven twice-certified variants rotated OUT of the
         # gate window by the round-5 promotions — every family keeps an
         # in-window representative (expire_recrawl by dedup_seen,
         # endpoint_batches by batch_accounting, monitor_codes by the
@@ -4098,6 +4196,7 @@ def oracle_sql():
         "url_canonicalize": Q_URL_CANONICALIZE_SQL,
         "prefetch_filters": Q_PREFETCH_FILTERS_SQL,
         "robots_eval": Q_ROBOTS_EVAL_SQL,
+        "robots_parse": _robots_parse_sql(),
         "content_type_route": _ctype_sql(),
         "batch_accounting": Q_BATCH_ACCOUNTING_SQL,
         "monitor_codes": Q_MONITOR_CODES_SQL,

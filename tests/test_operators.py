@@ -385,3 +385,89 @@ def test_politeness_audit_gaps_and_violations(spark):
     assert (a.n_fetches, a.min_gap_ms, a.violations) == (3, 400, 1)
     b = got["b.gov"]
     assert (b.n_fetches, b.min_gap_ms, b.violations) == (1, None, 0)
+
+
+def test_parse_robots_txt_golden(spark):
+    """RFC 9309 file parsing: comments stripped, orphan rules before any
+    group ignored, consecutive UA lines share a group, same-UA groups
+    merge across the file, empty Disallow is no rule, junk Crawl-delay
+    ignored, Sitemap lines are file-scoped."""
+    txt = "\n".join([
+        "# gsa robots",
+        "Disallow: /orphan",               # before any group -> ignored
+        "User-agent: usasearch",
+        "Allow: /pub/",
+        "Disallow: /private/",
+        "Crawl-delay: 2",
+        "noise line without a known key",
+        "User-agent: googlebot",           # two UAs share one group
+        "User-agent: bingbot",
+        "Disallow: /search*",
+        "Disallow:",                       # empty value -> no rule
+        "Allow: /search/about$",
+        "",
+        "User-agent: usasearch",           # same UA again -> merge
+        "Disallow: /tmp/",
+        "Crawl-delay: 5",
+        "",
+        "Sitemap: https://a.gov/sitemap.xml",
+        "Sitemap: https://a.gov/sitemap2.xml",
+    ])
+    df = spark.createDataFrame(
+        [
+            ("a.gov", txt),
+            ("b.gov", "Disallow: /orphan\nUser-agent: *\nDisallow: /x\nCrawl-delay: junk"),
+        ],
+        "domain string, robots_txt string",
+    )
+    out = {
+        (r["domain"], r["user_agent"]): r
+        for r in robots.parse_robots_txt(df).collect()
+    }
+    a_usa = out[("a.gov", "usasearch")]
+    assert a_usa["allow_prefixes"] == ["/pub/"]
+    assert a_usa["disallow_prefixes"] == ["/private/", "/tmp/"]  # merged
+    assert a_usa["crawl_delay"] == 2.0  # min across merged groups
+    assert a_usa["sitemap_urls"] == [
+        "https://a.gov/sitemap.xml", "https://a.gov/sitemap2.xml"
+    ]
+    for ua in ("googlebot", "bingbot"):
+        g = out[("a.gov", ua)]
+        assert g["allow_prefixes"] == ["/search/about$"]
+        assert g["disallow_prefixes"] == ["/search*"]  # empty Disallow dropped
+        assert g["crawl_delay"] is None
+    b = out[("b.gov", "*")]
+    assert b["disallow_prefixes"] == ["/x"]  # /orphan ignored
+    assert b["crawl_delay"] is None  # junk value
+    assert b["sitemap_urls"] == []
+    assert set(out) == {
+        ("a.gov", "usasearch"), ("a.gov", "googlebot"), ("a.gov", "bingbot"),
+        ("b.gov", "*"),
+    }
+
+
+def test_parse_robots_txt_feeds_apply_robots(spark):
+    """The parsed table drives enforcement end-to-end: raw robots.txt ->
+    parse_robots_txt -> apply_robots, wildcards included."""
+    txt = "\n".join([
+        "User-agent: usasearch",
+        "Allow: /pub/",
+        "Disallow: /pub/private/",
+        "Disallow: /*.pdf$",
+        "Crawl-delay: 1.5",
+    ])
+    rules = robots.parse_robots_txt(
+        spark.createDataFrame([("a.gov", txt)], "domain string, robots_txt string")
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://a.gov/pub/x",),          # allowed
+            ("https://a.gov/pub/private/x",),  # longest disallow wins
+            ("https://a.gov/pub/doc.pdf",),    # wildcard disallow
+            ("https://a.gov/other",),          # no rule matches -> allowed
+        ],
+        ["url"],
+    )
+    out = {r["url"]: r for r in robots.apply_robots(cand, rules).collect()}
+    assert set(out) == {"https://a.gov/pub/x", "https://a.gov/other"}
+    assert out["https://a.gov/pub/x"]["crawl_delay"] == 1.5
