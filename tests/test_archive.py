@@ -371,3 +371,48 @@ def test_warc_records_byte_roundtrip(spark, tmp_path):
             assert off == pos
             pos += ln
         assert pos == os.path.getsize(os.path.join(out, name))
+
+
+def test_warc_gz_members_roundtrip(spark, tmp_path):
+    """Compressed archive layout: every manifest row's
+    seek(offset)+read(length) yields one gzip member that decompresses
+    to exactly that record; members tile each .warc.gz densely; and the
+    whole file is a valid multi-member gzip stream equal to the
+    concatenated records."""
+    import gzip
+    import os
+
+    from searchgov_spider_spark.operators.archive import warc_records, write_warc_gz_files
+
+    log = spark.createDataFrame(
+        [
+            (f"https://d{i % 3}.gov/p/{i}", i, 200, "text/html", f"g{i % 4}", f"body-{i} café")
+            for i in range(40)
+        ],
+        "url string, fetch_ts long, http_status long, mime string, digest string, body string",
+    )
+    recs = warc_records(log, n_files=2)
+    by_key = {(r["url"], r["fetch_ts"]): r["record"] for r in recs.collect()}
+    out = str(tmp_path / "warcgz")
+    manifest = write_warc_gz_files(recs, out).collect()
+    assert len(manifest) == 40
+
+    per_file = {}
+    for m in manifest:
+        data = open(os.path.join(out, m["warc_file"] + ".gz"), "rb").read()
+        member = data[m["offset"] : m["offset"] + m["length"]]
+        assert gzip.decompress(member).decode("UTF-8") == by_key[(m["url"], m["fetch_ts"])]
+        per_file.setdefault(m["warc_file"], []).append(m)
+    for name, rows in per_file.items():
+        rows.sort(key=lambda m: m["offset"])
+        pos = 0
+        for m in rows:
+            assert m["offset"] == pos
+            pos += m["length"]
+        path = os.path.join(out, name + ".gz")
+        assert pos == os.path.getsize(path)
+        # multi-member stream: full-file decompress == records in order
+        whole = gzip.decompress(open(path, "rb").read()).decode("UTF-8")
+        assert whole == "".join(
+            by_key[(m["url"], m["fetch_ts"])] for m in rows
+        )
