@@ -22,8 +22,14 @@ last_modified, digest, n_bytes) the job also prints the per-domain
 conditional-fetch savings report for the NEXT recrawl of the same
 URLs — the bandwidth a revalidation pass would save.
 
+With ``--warc-out`` (fetch log must carry a ``body`` column) the job
+also writes the archive records the index points at: per-record-gzip
+.warc.gz files plus a manifest parquet of (warc_file, offset, length)
+member placements — the Common Crawl layout a CDX consumer resolves
+captures through.
+
 Input fetch-log schema: (url, fetch_ts:long, http_status:long,
-mime:string, digest:string, n_bytes:long [, domain]).
+mime:string, digest:string, n_bytes:long [, domain] [, body]).
 """
 
 from __future__ import annotations
@@ -51,6 +57,18 @@ def parse_args(argv=None):
     )
     ap.add_argument(
         "--prior", help="optional prior-capture metadata parquet -> revalidation report"
+    )
+    ap.add_argument(
+        "--warc-out",
+        help="optional dir: also write per-record-gzip .warc.gz archives "
+        "(requires a 'body' column in the fetch log) and a manifest "
+        "parquet at <warc-out>/manifest the CDX offsets resolve through",
+    )
+    ap.add_argument(
+        "--warc-files",
+        type=positive_int,
+        default=16,
+        help="archive fan-out for --warc-out (files per corpus)",
     )
     return ap.parse_args(argv)
 
@@ -99,6 +117,23 @@ def main(argv=None):
         )
         for row in conditional_fetch_plan(cand, prior).orderBy("domain").collect():
             print(json.dumps(row.asDict()))
+
+    if args.warc_out:
+        from searchgov_spider_spark.operators.archive import (
+            warc_records,
+            write_warc_gz_files,
+        )
+
+        recs = warc_records(log, n_files=args.warc_files)
+        manifest = write_warc_gz_files(recs, args.warc_out)
+        manifest.write.mode("overwrite").parquet(args.warc_out + "/manifest")
+        m = spark.read.parquet(args.warc_out + "/manifest")
+        mstats = m.agg(
+            F.count(F.lit(1)).alias("records"),
+            F.countDistinct("warc_file").alias("warc_files"),
+            F.sum("length").alias("compressed_bytes"),
+        ).collect()[0]
+        print(json.dumps({k: int(v or 0) for k, v in mstats.asDict().items()}))
     return stats
 
 

@@ -3756,6 +3756,46 @@ def _warc_manifest_sql() -> str:
     return warc_records_sql(_WARC_LOG_SQL_CTE, n_files=8)
 
 
+def q_archive_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archive READ path a CDX consumer follows: join the SURT-keyed
+    capture index to the WARC placement manifest on (surt, fetch_ts,
+    url), yielding for every capture the revisit flag plus the exact
+    .warc member (file, offset, length) to fetch — co-partitioned on
+    the same key family both sides were built with, so the join reuses
+    the archive layout at scale (operators/archive.py:cdx_index +
+    warc_records)."""
+    from .operators.archive import cdx_index, warc_records
+
+    log_df = _cdx_log_from_events(load(spark, sf_dir, "events")).withColumn(
+        "body",
+        F.concat(
+            F.col("url"), F.lit("|"),
+            F.expr("repeat('b', CAST(n_bytes % 37 + 5 AS INT))"),
+        ),
+    )
+    idx = cdx_index(log_df)
+    man = warc_records(log_df, n_files=8).select(
+        "surt", "fetch_ts", "url", "warc_file", "offset", "length"
+    )
+    out = idx.join(man, ["surt", "fetch_ts", "url"]).select(
+        "surt", "fetch_ts", "url", "is_revisit", "warc_file", "offset", "length"
+    )
+    return _longify(out).orderBy("warc_file", "offset")
+
+
+def _archive_lookup_sql() -> str:
+    from .operators.archive import cdx_index_sql, warc_records_sql
+
+    cdx = cdx_index_sql(_CDX_LOG_SQL_CTE)
+    warc = warc_records_sql(_WARC_LOG_SQL_CTE, n_files=8)
+    return f"""
+        SELECT c.surt, c.fetch_ts, c.url, c.is_revisit,
+               w.warc_file, w."offset", w.length
+        FROM ({cdx}) c JOIN ({warc}) w USING (surt, fetch_ts, url)
+        ORDER BY w.warc_file, w."offset"
+    """
+
+
 def q_wave_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-worker wave makespan forecast: 200 synthetic domains
     hash-assigned to the reference's 5 scrapyd workers, each carrying
@@ -4043,9 +4083,11 @@ def queries():
         "stream_dedup": q_stream_dedup,
         "stream_monitor": q_stream_monitor,
         # ==== 51+: variants and breadth ================================
-        # 51: round-5 NEW family — robots.txt file parsing (S7 input
-        # format); queued first so any window extension certifies it.
+        # 51-52: round-5 NEW families — robots.txt file parsing (S7
+        # input format) and the CDX->WARC archive read path; queued
+        # first so any window extension certifies them.
         "robots_parse": q_robots_parse,
+        "archive_lookup": q_archive_lookup,
         # 52-62: the eleven twice-certified variants rotated OUT of the
         # gate window by the round-5 promotions — every family keeps an
         # in-window representative (expire_recrawl by dedup_seen,
@@ -4349,6 +4391,7 @@ def oracle_sql():
         "cdx_index": _cdx_index_sql(),
         "conditional_fetch": _conditional_fetch_sql(),
         "warc_manifest": _warc_manifest_sql(),
+        "archive_lookup": _archive_lookup_sql(),
         "wave_eta": _wave_eta_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
         "hll_registers": _hll_registers_sql(),

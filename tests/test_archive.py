@@ -416,3 +416,39 @@ def test_warc_gz_members_roundtrip(spark, tmp_path):
         assert whole == "".join(
             by_key[(m["url"], m["fetch_ts"])] for m in rows
         )
+
+
+def test_cdx_job_warc_out(spark, tmp_path):
+    """--warc-out writes the gzip archives + manifest next to the index,
+    and every manifest member round-trips to a record whose
+    WARC-Target-URI matches."""
+    import gzip
+    import os
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import cdx_job
+
+    log = spark.createDataFrame(
+        [
+            (f"https://d{i % 3}.gov/p/{i % 9}", i, 200, "text/html", f"g{i % 4}", 50 + i, f"b{i}")
+            for i in range(30)
+        ],
+        "url string, fetch_ts long, http_status long, mime string,"
+        " digest string, n_bytes long, body string",
+    )
+    src = str(tmp_path / "fl")
+    log.write.parquet(src)
+    warc_out = str(tmp_path / "warc")
+    cdx_job.main(
+        [
+            "--fetch-log", src, "--out", str(tmp_path / "cdx"),
+            "--partitions", "2", "--warc-out", warc_out, "--warc-files", "2",
+        ]
+    )
+    manifest = spark.read.parquet(warc_out + "/manifest").collect()
+    assert len(manifest) == 30
+    for m in manifest:
+        data = open(os.path.join(warc_out, m["warc_file"] + ".gz"), "rb").read()
+        rec = gzip.decompress(data[m["offset"] : m["offset"] + m["length"]]).decode()
+        assert f"WARC-Target-URI: {m['url']}\r\n" in rec
