@@ -2064,6 +2064,89 @@ def q_span_stats(spark, sf_dir):
     )
 
 
+def q_span_equality(spark, sf_dir):
+    """The BASELINE per-row invariant as a first-class audit: per-doc
+    span-sequence equality on (kind, text, media_ref, order) between
+    the derived interleaved table and a deterministically perturbed
+    copy — text edited at position 2 (doc_id % 13), media_ref rewritten
+    at position 3 (% 19), last span dropped (% 17), document missing
+    entirely (% 23); equal docs report first_mismatch 0, every
+    perturbation class surfaces at the exact position
+    (pipelines/spans.py:span_sequence_equality)."""
+    docs = load(spark, sf_dir, "documents")
+    ours = pspans.derive_spans(docs)
+
+    def rebuild(kind, text, mref, off):
+        return F.struct(
+            kind.alias("kind"), text.alias("text"),
+            mref.alias("media_ref"), off.cast("int").alias("offset"),
+        )
+
+    did = F.col("doc_id")
+    spans = F.col("spans")
+    spans = F.when(
+        did % 13 == 0,
+        F.transform(
+            spans,
+            lambda s: F.when(
+                s["offset"] == 1,
+                rebuild(s["kind"], F.concat(s["text"], F.lit("X")), s["media_ref"], s["offset"]),
+            ).otherwise(s),
+        ),
+    ).otherwise(spans)
+    spans = F.when(
+        did % 19 == 0,
+        F.transform(
+            spans,
+            lambda s: F.when(
+                s["offset"] == 2,
+                rebuild(s["kind"], s["text"], F.concat(s["media_ref"], F.lit("?v=2")), s["offset"]),
+            ).otherwise(s),
+        ),
+    ).otherwise(spans)
+    spans = F.when(
+        did % 17 == 0,
+        F.slice(spans, F.lit(1), F.greatest(F.size("spans") - 1, F.lit(0))),
+    ).otherwise(spans)
+    theirs = ours.where(did % 23 != 0).select("doc_id", spans.alias("spans"))
+    return _longify(pspans.span_sequence_equality(ours, theirs)).orderBy("doc_id")
+
+
+def _span_equality_sql() -> str:
+    derive = pspans.derive_spans_sql_cte("documents").strip()
+    ours_cte = derive + ",\n        ours AS (SELECT doc_id, spans FROM sp)"
+    theirs_cte = """
+        t1 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN
+                   list_transform(spans, s -> CASE WHEN s.offset = 1 THEN
+                     {'kind': s.kind, 'text': s.text || 'X',
+                      'media_ref': s.media_ref, 'offset': s.offset}
+                   ELSE s END)
+                 ELSE spans END AS spans
+          FROM sp
+        ),
+        t2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 19 = 0 THEN
+                   list_transform(spans, s -> CASE WHEN s.offset = 2 THEN
+                     {'kind': s.kind, 'text': s.text,
+                      'media_ref': s.media_ref || '?v=2', 'offset': s.offset}
+                   ELSE s END)
+                 ELSE spans END AS spans
+          FROM t1
+        ),
+        theirs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 0 THEN
+                   list_slice(spans, 1, greatest(len(spans) - 1, 0))
+                 ELSE spans END AS spans
+          FROM t2
+          WHERE doc_id % 23 <> 0
+        )"""
+    return pspans.span_sequence_equality_sql(ours_cte, theirs_cte.strip())
+
+
 def q_span_integrity(spark, sf_dir):
     """Interleaved-span contract audit over a deterministically damaged
     spans table (offset disorder, unknown kinds, null payloads, field
@@ -4083,11 +4166,13 @@ def queries():
         "stream_dedup": q_stream_dedup,
         "stream_monitor": q_stream_monitor,
         # ==== 51+: variants and breadth ================================
-        # 51-52: round-5 NEW families — robots.txt file parsing (S7
-        # input format) and the CDX->WARC archive read path; queued
+        # 51-53: round-5 NEW families — robots.txt file parsing (S7
+        # input format), the CDX->WARC archive read path, and the
+        # BASELINE span-sequence-equality invariant audit; queued
         # first so any window extension certifies them.
         "robots_parse": q_robots_parse,
         "archive_lookup": q_archive_lookup,
+        "span_equality": q_span_equality,
         # 52-62: the eleven twice-certified variants rotated OUT of the
         # gate window by the round-5 promotions — every family keeps an
         # in-window representative (expire_recrawl by dedup_seen,
@@ -4392,6 +4477,7 @@ def oracle_sql():
         "conditional_fetch": _conditional_fetch_sql(),
         "warc_manifest": _warc_manifest_sql(),
         "archive_lookup": _archive_lookup_sql(),
+        "span_equality": _span_equality_sql(),
         "wave_eta": _wave_eta_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
         "hll_registers": _hll_registers_sql(),

@@ -742,3 +742,116 @@ def span_integrity_sql(table: str = "documents") -> str:
         FROM audited
         ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# span-sequence equality — the per-row invariant, as an operator
+# ---------------------------------------------------------------------------
+
+
+def span_sequence_equality(
+    ours: DataFrame,
+    theirs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document span-sequence equality on (kind, text, media_ref,
+    order) — the BASELINE per-row invariant vs the reference crawler's
+    output, as a first-class audit operator.
+
+    Both inputs are ``(doc_id, spans)`` tables in the canonical
+    interleaved shape. Each side's sequence is canonicalized by sorting
+    on ``offset`` (the order field) and projecting (kind, text,
+    media_ref); the comparison is then positional and null-safe, so a
+    text edit, a media_ref swap, a dropped/extra span, or a document
+    missing from either side all surface.
+
+    Output, one row per doc_id present on either side::
+
+        (doc_id, n_ours, n_theirs, equal, first_mismatch)
+
+    ``first_mismatch`` is the 1-based position of the first differing
+    span (length differences mismatch at min(n)+1), 0 when the
+    sequences are identical.
+
+    Scale shape: one full outer join on doc_id (both sides hash-
+    partition on the id — the layout extraction output already has) and
+    pure higher-order array expressions; no explode, no UDF. Mirrored
+    by :func:`span_sequence_equality_sql`.
+    """
+
+    def canon(spans):
+        keyed = F.transform(
+            spans,
+            lambda s: F.struct(
+                s["offset"].alias("offset"), s["kind"].alias("kind"),
+                s["text"].alias("text"), s["media_ref"].alias("media_ref"),
+            ),
+        )
+        return F.transform(
+            F.array_sort(keyed),
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+
+    a = ours.select(F.col(id_col).alias("doc_id"), canon("spans").alias("a"))
+    b = theirs.select(F.col(id_col).alias("doc_id"), canon("spans").alias("b"))
+    j = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("a", F.array().cast(a.schema["a"].dataType)).alias("a"),
+        F.coalesce("b", F.array().cast(b.schema["b"].dataType)).alias("b"),
+    )
+    same = lambda x, y: (  # noqa: E731 — positional null-safe struct compare
+        x["kind"].eqNullSafe(y["kind"])
+        & x["text"].eqNullSafe(y["text"])
+        & x["media_ref"].eqNullSafe(y["media_ref"])
+    )
+    # zip_with pads the shorter side with null structs, whose fields read
+    # null -> eqNullSafe false vs any real span -> mismatch at min(n)+1
+    flags = F.zip_with("a", "b", lambda x, y: ~same(x, y))
+    return j.select(
+        "doc_id",
+        F.size("a").cast("long").alias("n_ours"),
+        F.size("b").cast("long").alias("n_theirs"),
+        F.coalesce(F.array_position(flags, F.lit(True)), F.lit(0)).cast("long").alias(
+            "first_mismatch"
+        ),
+    ).withColumn("equal", F.col("first_mismatch") == 0)
+
+
+def span_sequence_equality_sql(ours_cte: str, theirs_cte: str) -> str:
+    """DuckDB twin over CTEs named ``ours`` and ``theirs`` with
+    ``(doc_id, spans)``. 1-based list indexing returns NULL out of
+    range, and ``IS NOT DISTINCT FROM`` on structs gives the same
+    null-safe positional compare; ``range(1, n+1)`` is DuckDB's
+    list-returning scalar range."""
+    canon = (
+        "list_transform(list_sort(list_transform(spans,"
+        " s -> {'offset': s.offset, 'kind': s.kind, 'text': s.text,"
+        " 'media_ref': s.media_ref})),"
+        " s -> {'kind': s.kind, 'text': s.text, 'media_ref': s.media_ref})"
+    )
+    return f"""
+        WITH {ours_cte},
+        {theirs_cte},
+        a AS (SELECT doc_id, {canon} AS a FROM ours),
+        b AS (SELECT doc_id, {canon} AS b FROM theirs),
+        j AS (
+          SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 coalesce(a.a, []) AS a, coalesce(b.b, []) AS b
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        ),
+        cmp AS (
+          SELECT doc_id, len(a)::BIGINT AS n_ours, len(b)::BIGINT AS n_theirs,
+                 coalesce(
+                   list_filter(range(1, greatest(len(a), len(b)) + 1),
+                               i -> NOT (a[i] IS NOT DISTINCT FROM b[i]))[1],
+                   0)::BIGINT AS first_mismatch
+          FROM j
+        )
+        SELECT doc_id, n_ours, n_theirs, first_mismatch,
+               first_mismatch = 0 AS equal
+        FROM cmp
+        ORDER BY doc_id
+    """

@@ -1034,3 +1034,57 @@ def test_sketch_eval_counts_match_bruteforce(spark):
     assert r.recall_ppm == r.n_hit * 1_000_000
     if r.n_candidates:
         assert r.precision_ppm == 1_000_000
+
+
+def test_span_sequence_equality_classes(spark):
+    """Every divergence class surfaces at the exact position: equal
+    docs, a text edit, a media_ref swap, a dropped tail span, an extra
+    span, an out-of-order-but-identical sequence (equal after the
+    offset sort), and docs missing from either side."""
+    from searchgov_spider_spark.pipelines.spans import span_sequence_equality
+
+    def span(kind, text, mref, off):
+        return (kind, text, mref, off)
+
+    schema = (
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    base = [
+        span("text", "a", None, 0), span("text", "b", None, 1),
+        span("media", None, "m.png", 2),
+    ]
+    ours = spark.createDataFrame(
+        [
+            (1, base),                                    # identical
+            (2, base),                                    # text edit @2
+            (3, base),                                    # media swap @3
+            (4, base),                                    # their tail dropped
+            (5, base),                                    # their extra span
+            (6, base),                                    # theirs reordered, same content
+            (7, base),                                    # missing from theirs
+        ],
+        schema,
+    )
+    theirs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, [base[0], span("text", "bX", None, 1), base[2]]),
+            (3, [base[0], base[1], span("media", None, "other.png", 2)]),
+            (4, base[:2]),
+            (5, base + [span("text", "d", None, 3)]),
+            (6, [base[2], base[0], base[1]]),             # offset sort restores order
+            (8, base),                                    # missing from ours
+        ],
+        schema,
+    )
+    out = {r["doc_id"]: r for r in span_sequence_equality(ours, theirs).collect()}
+    assert out[1]["equal"] and out[1]["first_mismatch"] == 0
+    assert not out[2]["equal"] and out[2]["first_mismatch"] == 2
+    assert not out[3]["equal"] and out[3]["first_mismatch"] == 3
+    assert not out[4]["equal"] and out[4]["first_mismatch"] == 3  # min(n)+1
+    assert not out[5]["equal"] and out[5]["first_mismatch"] == 4
+    assert out[6]["equal"], "order comes from offset, not array position"
+    assert not out[7]["equal"] and (out[7]["n_theirs"], out[7]["first_mismatch"]) == (0, 1)
+    assert not out[8]["equal"] and (out[8]["n_ours"], out[8]["first_mismatch"]) == (0, 1)
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}
