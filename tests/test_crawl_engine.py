@@ -92,6 +92,45 @@ def test_documents_spans_match_golden(crawl_outputs, graph):
         assert got == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in want]
 
 
+def test_span_equality_pass_rate_100(crawl_outputs, graph, spark):
+    """The BASELINE metric, computed the way a cluster run would: the
+    distributed span_sequence_equality audit of every emitted document
+    against the golden reference spans reports a 100% pass rate — one
+    aggregate over the operator output, no driver-side span loops."""
+    from searchgov_spider_spark.functions.urls import canonicalize_url
+    from searchgov_spider_spark.pipelines.spans import SPAN_SCHEMA, span_sequence_equality
+
+    result, _ = crawl_outputs
+    ours = (
+        result.documents.filter(
+            F.col("content_type").startswith("text/html")
+            | F.col("content_type").startswith("application/pdf")
+        )
+        .select(F.col("url"), F.col("spans"))
+        .collect()
+    )
+    fetched = {canonicalize_url(r["url"]) for r in ours}
+    ours_df = spark.createDataFrame(
+        [(canonicalize_url(r["url"]), r["spans"]) for r in ours],
+        f"doc_id string, spans {SPAN_SCHEMA}",
+    )
+    golden_df = spark.createDataFrame(
+        [
+            (p.canon_url, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in p.spans])
+            for p in graph["pages"]
+            if p.canon_url in fetched
+        ],
+        f"doc_id string, spans {SPAN_SCHEMA}",
+    )
+    eq = span_sequence_equality(ours_df, golden_df)
+    [agg] = eq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("equal").cast("long")).alias("n_equal"),
+    ).collect()
+    assert agg["n"] == len(fetched) > 0
+    assert agg["n_equal"] == agg["n"], "span-sequence equality pass rate < 100%"
+
+
 def test_resume_from_checkpoint(spark, graph, tmp_path):
     """Interrupt after N waves, resume from the persisted state, converge to
     the same seen-set (P4 semantics: wave checkpoints + idempotent dedup)."""
