@@ -3995,6 +3995,25 @@ def _frame_sample_sql() -> str:
     """
 
 
+def q_audio_segments(spark, sf_dir):
+    """ASR-style audio segmentation plan over the multimodal decode
+    chain: one row per 30 s window (Whisper convention) with exact
+    integer (start_ms, end_ms, n_samples@16kHz) work-item geometry; the
+    oracle reconstructs the fake decoder's durations and the stride
+    expansion (pipelines/multimodal.py:audio_segment_plan)."""
+    import searchgov_spider_spark.pipelines.multimodal as pmm2
+
+    media = pmm2.attach_binary(load(spark, sf_dir, "documents"))
+    feats = pmm2.decode_media(media)
+    return _longify(pmm2.audio_segment_plan(feats)).orderBy("doc_id", "seg_idx")
+
+
+def _audio_segments_sql() -> str:
+    import searchgov_spider_spark.pipelines.multimodal as pmm2
+
+    return pmm2.audio_segment_plan_sql("documents")
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
     CCMatrix alignment criterion) between the parity sides of the
@@ -4173,6 +4192,7 @@ def queries():
         "robots_parse": q_robots_parse,
         "archive_lookup": q_archive_lookup,
         "span_equality": q_span_equality,
+        "audio_segments": q_audio_segments,
         # 52-62: the eleven twice-certified variants rotated OUT of the
         # gate window by the round-5 promotions — every family keeps an
         # in-window representative (expire_recrawl by dedup_seen,
@@ -4478,6 +4498,7 @@ def oracle_sql():
         "warc_manifest": _warc_manifest_sql(),
         "archive_lookup": _archive_lookup_sql(),
         "span_equality": _span_equality_sql(),
+        "audio_segments": _audio_segments_sql(),
         "wave_eta": _wave_eta_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
         "hll_registers": _hll_registers_sql(),

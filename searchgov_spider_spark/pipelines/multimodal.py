@@ -197,3 +197,81 @@ def resize_plan_sql(table: str = "documents", target: int = RESIZE_TARGET) -> st
         FROM fitted
         ORDER BY doc_id
     """
+
+
+def audio_segment_plan(
+    features: DataFrame,
+    segment_ms: int = 30_000,
+    overlap_ms: int = 0,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """ASR-style segmentation plan for audio rows: one row per chunk.
+
+    The audio sibling of :func:`frame_sample` — a transcription/encoder
+    stage consumes fixed windows (the 30 s Whisper convention), so the
+    plan expands each audio document into per-segment work items with
+    exact integer geometry: ``start_ms`` strides by
+    ``segment_ms - overlap_ms``, ``end_ms`` clamps to the duration, and
+    ``n_samples`` is the decoder's output length at ``sample_rate``.
+    The sample resample itself belongs to the stubbed codec stage; this
+    is everything the batch worker needs to be TOLD.
+
+    Native sequence + posexplode — per-segment rows distribute across
+    executors exactly like frame work items; no UDF, no shuffle.
+    """
+    stride = segment_ms - overlap_ms
+    if stride <= 0:
+        raise ValueError("overlap_ms must be smaller than segment_ms")
+    aud = features.filter(F.col("modality") == "audio")
+    segs = aud.select(
+        "doc_id",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(stride))
+        ).alias("seg_idx", "start_ms"),
+    )
+    end_ms = F.least(F.col("start_ms") + segment_ms, F.col("duration_ms"))
+    return segs.select(
+        "doc_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.col("start_ms").cast("long").alias("start_ms"),
+        end_ms.cast("long").alias("end_ms"),
+        F.expr(
+            f"CAST((least(start_ms + {segment_ms}, duration_ms) - start_ms)"
+            f" * {sample_rate} DIV 1000 AS BIGINT)"
+        ).alias("n_samples"),
+    )
+
+
+def audio_segment_plan_sql(
+    table: str = "documents",
+    segment_ms: int = 30_000,
+    overlap_ms: int = 0,
+    sample_rate: int = 16_000,
+) -> str:
+    """Oracle: reconstructs the fake-decoder audio duration
+    (100 + n % 60000, n = payload octets, audio slice doc_id % 3 = 1)
+    then the identical integer segmentation."""
+    stride = segment_ms - overlap_ms
+    return f"""
+        WITH media AS (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS n
+          FROM {table} WHERE doc_id % 3 = 1
+        ),
+        aud AS (SELECT doc_id, (100 + n % 60000)::BIGINT AS duration_ms FROM media),
+        segs AS (
+          SELECT doc_id, duration_ms, u.seg_idx, u.start_ms
+          FROM aud, LATERAL (
+            SELECT unnest(
+              list_transform(range(0, duration_ms, {stride}),
+                             (x, i) -> {{'seg_idx': i - 1, 'start_ms': x}}),
+              recursive := true)
+          ) u
+        )
+        SELECT doc_id, seg_idx::BIGINT AS seg_idx, start_ms::BIGINT AS start_ms,
+               least(start_ms + {segment_ms}, duration_ms)::BIGINT AS end_ms,
+               ((least(start_ms + {segment_ms}, duration_ms) - start_ms)
+                 * {sample_rate} // 1000)::BIGINT AS n_samples
+        FROM segs
+        ORDER BY doc_id, seg_idx
+    """

@@ -1088,3 +1088,35 @@ def test_span_sequence_equality_classes(spark):
     assert not out[7]["equal"] and (out[7]["n_theirs"], out[7]["first_mismatch"]) == (0, 1)
     assert not out[8]["equal"] and (out[8]["n_ours"], out[8]["first_mismatch"]) == (0, 1)
     assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}
+
+
+def test_audio_segment_plan_geometry(spark):
+    """Segment strides, tail clamping, overlap, and sample counts are
+    exact integer geometry; non-audio rows are excluded."""
+    from searchgov_spider_spark.pipelines.multimodal import audio_segment_plan
+
+    feats = spark.createDataFrame(
+        [
+            (1, "audio", 70_000),   # 30s windows: [0,30k) [30k,60k) [60k,70k)
+            (2, "audio", 30_000),   # exactly one full window
+            (3, "audio", 100),      # shorter than a window -> one clamped seg
+            (4, "video", 99_000),   # excluded
+        ],
+        "doc_id long, modality string, duration_ms long",
+    )
+    rows = {
+        (r["doc_id"], r["seg_idx"]): r
+        for r in audio_segment_plan(feats, segment_ms=30_000).collect()
+    }
+    assert {k[0] for k in rows} == {1, 2, 3}
+    assert [(rows[(1, i)]["start_ms"], rows[(1, i)]["end_ms"]) for i in range(3)] == [
+        (0, 30_000), (30_000, 60_000), (60_000, 70_000)
+    ]
+    assert rows[(1, 2)]["n_samples"] == 10_000 * 16  # clamped tail at 16 kHz
+    assert (rows[(2, 0)]["end_ms"], (2, 1) in rows) == (30_000, False)
+    assert (rows[(3, 0)]["end_ms"], rows[(3, 0)]["n_samples"]) == (100, 1600)
+    # 50% overlap halves the stride
+    olap = audio_segment_plan(
+        feats.where("doc_id = 2"), segment_ms=30_000, overlap_ms=15_000
+    ).collect()
+    assert [r["start_ms"] for r in sorted(olap, key=lambda r: r["seg_idx"])] == [0, 15_000]
