@@ -3917,6 +3917,31 @@ def _wave_eta_sql() -> str:
     return wave_eta_sql(cte.strip(), with_delay_col=True)
 
 
+def q_worker_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serpentine load-balanced domain->worker deal over the same
+    skewed 200-domain wave wave_eta forecasts: rank domains by URL load
+    and snake them across the 5 workers so each worker draws one domain
+    per load tier — the re-deal a scheduler applies when the hash
+    assignment's forecast shows skew
+    (operators/politeness.py:assign_workers_balanced)."""
+    from .operators.politeness import assign_workers_balanced
+
+    ev = load(spark, sf_dir, "events")
+    sched = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 200).cast("string"), F.lit(".gov")).alias("domain")
+    )
+    return _longify(assign_workers_balanced(sched)).orderBy("domain")
+
+
+def _worker_balance_sql() -> str:
+    from .operators.politeness import assign_workers_balanced_sql
+
+    cte = (
+        "sched AS (SELECT 'd' || (user_id % 200)::VARCHAR || '.gov' AS domain FROM events)"
+    )
+    return assign_workers_balanced_sql(cte)
+
+
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha = 1/2) source-mixture shares over the
     documents table — sqrt is the one IEEE-correctly-rounded power, so
@@ -4193,6 +4218,7 @@ def queries():
         "archive_lookup": q_archive_lookup,
         "span_equality": q_span_equality,
         "audio_segments": q_audio_segments,
+        "worker_balance": q_worker_balance,
         # 52-62: the eleven twice-certified variants rotated OUT of the
         # gate window by the round-5 promotions — every family keeps an
         # in-window representative (expire_recrawl by dedup_seen,
@@ -4499,6 +4525,7 @@ def oracle_sql():
         "archive_lookup": _archive_lookup_sql(),
         "span_equality": _span_equality_sql(),
         "audio_segments": _audio_segments_sql(),
+        "worker_balance": _worker_balance_sql(),
         "wave_eta": _wave_eta_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
         "hll_registers": _hll_registers_sql(),

@@ -545,3 +545,62 @@ def wave_eta_sql(
         FROM per_worker
         ORDER BY worker
     """
+
+
+def assign_workers_balanced(
+    scheduled: DataFrame,
+    n_workers: int = WAVE_WORKERS,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Serpentine (boustrophedon) domain→worker assignment — the
+    skew-bounded alternative to :func:`wave_eta`'s stable hash.
+
+    Hash assignment keeps per-domain state pinned but lets a few hot
+    domains land on one worker; when a wave's forecast shows that skew,
+    the scheduler re-deals: rank domains by URL load (descending,
+    domain tie-break) and deal them out in snake order
+    (0,1,…,n-1,n-1,…,1,0,…), so every worker receives exactly one
+    domain from each load tier of 2n — the max/min worker-load gap is
+    bounded by one tier, independent of the hot-domain distribution.
+
+    Output: ``(domain, n_urls, worker)``. One map-side-combinable agg
+    to domain cardinality, then one global rank window over that
+    already-tiny table (1,759 domains in the reference seed list; at
+    millions of domains, pre-bucket by load decile and rank within
+    buckets — the deal stays tier-balanced).
+    """
+    from pyspark.sql import Window
+
+    per_dom = scheduled.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.col("n_urls").desc(), F.col("domain"))
+    )
+    k = (rank - 1) % (2 * n_workers)
+    worker = F.when(k < n_workers, k).otherwise(2 * n_workers - 1 - k)
+    return per_dom.select("domain", "n_urls", worker.cast("long").alias("worker"))
+
+
+def assign_workers_balanced_sql(
+    scheduled_cte: str, n_workers: int = WAVE_WORKERS
+) -> str:
+    """DuckDB twin over a CTE named ``sched`` with a ``domain`` column."""
+    return f"""
+        WITH {scheduled_cte},
+        per_dom AS (
+          SELECT domain, count(*)::BIGINT AS n_urls
+          FROM sched GROUP BY domain
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY n_urls DESC, domain) AS rk
+          FROM per_dom
+        )
+        SELECT domain, n_urls,
+               (CASE WHEN (rk - 1) % {2 * n_workers} < {n_workers}
+                     THEN (rk - 1) % {2 * n_workers}
+                     ELSE {2 * n_workers} - 1 - (rk - 1) % {2 * n_workers}
+                END)::BIGINT AS worker
+        FROM ranked
+        ORDER BY domain
+    """

@@ -452,3 +452,29 @@ def test_cdx_job_warc_out(spark, tmp_path):
         data = open(os.path.join(warc_out, m["warc_file"] + ".gz"), "rb").read()
         rec = gzip.decompress(data[m["offset"] : m["offset"] + m["length"]]).decode()
         assert f"WARC-Target-URI: {m['url']}\r\n" in rec
+
+
+def test_assign_workers_balanced_bounds_skew(spark):
+    """The serpentine deal bounds the worker max/min load gap to one
+    tier even under an adversarial hot-domain distribution where hash
+    assignment can stack the heavy hitters."""
+    from searchgov_spider_spark.operators.politeness import assign_workers_balanced
+
+    # loads 400, 399, ..., 1 over 400 domains
+    rows = [(f"d{i}.gov",) for i in range(400) for _ in range(400 - i)]
+    sched = spark.createDataFrame(rows, "domain string")
+    out = assign_workers_balanced(sched, n_workers=4).collect()
+    per_worker: dict[int, int] = {}
+    for r in out:
+        per_worker[r["worker"]] = per_worker.get(r["worker"], 0) + r["n_urls"]
+    assert set(per_worker) == {0, 1, 2, 3}
+    # serpentine pairs tier ranks (k, 2n-1-k): loads differ by at most
+    # one tier's spread per snake pair; with this arithmetic load curve
+    # the totals come out exactly equal
+    assert max(per_worker.values()) - min(per_worker.values()) <= 400
+    assert sum(per_worker.values()) == sum(400 - i for i in range(400))
+    # every worker gets exactly one domain per tier of 8
+    counts = {}
+    for r in out:
+        counts[r["worker"]] = counts.get(r["worker"], 0) + 1
+    assert set(counts.values()) == {100}
