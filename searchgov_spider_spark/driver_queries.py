@@ -3879,6 +3879,59 @@ def _archive_lookup_sql() -> str:
     """
 
 
+def q_archive_storage_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-archive-file storage dedup plan: join the placement manifest
+    to the capture index's revisit flags and roll up, per .warc file,
+    how many members a real archive would replace with revisit records
+    (digest-unchanged recaptures store a pointer, not the body) and the
+    bytes that saves — the Wayback storage convention, as one
+    co-partitioned join + one hash agg over the layout both operators
+    already share (operators/archive.py)."""
+    from .operators.archive import cdx_index, warc_records
+
+    log_df = _cdx_log_from_events(load(spark, sf_dir, "events")).withColumn(
+        "body",
+        F.concat(
+            F.col("url"), F.lit("|"),
+            F.expr("repeat('b', CAST(n_bytes % 37 + 5 AS INT))"),
+        ),
+    )
+    idx = cdx_index(log_df).select("surt", "fetch_ts", "url", "is_revisit")
+    man = warc_records(log_df, n_files=8).select(
+        "surt", "fetch_ts", "url", "warc_file", "length"
+    )
+    j = man.join(idx, ["surt", "fetch_ts", "url"])
+    return (
+        j.groupBy("warc_file")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(F.col("is_revisit").cast("long")).cast("long").alias("n_revisit"),
+            F.sum("length").cast("long").alias("bytes_total"),
+            F.sum(F.when(F.col("is_revisit"), F.col("length")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("bytes_dedupable"),
+        )
+        .orderBy("warc_file")
+    )
+
+
+def _archive_storage_plan_sql() -> str:
+    from .operators.archive import cdx_index_sql, warc_records_sql
+
+    cdx = cdx_index_sql(_CDX_LOG_SQL_CTE)
+    warc = warc_records_sql(_WARC_LOG_SQL_CTE, n_files=8)
+    return f"""
+        SELECT w.warc_file,
+               count(*)::BIGINT AS n_records,
+               sum(CASE WHEN c.is_revisit THEN 1 ELSE 0 END)::BIGINT AS n_revisit,
+               sum(w.length)::BIGINT AS bytes_total,
+               sum(CASE WHEN c.is_revisit THEN w.length ELSE 0 END)::BIGINT AS bytes_dedupable
+        FROM ({warc}) w JOIN ({cdx}) c USING (surt, fetch_ts, url)
+        GROUP BY w.warc_file
+        ORDER BY w.warc_file
+    """
+
+
 def q_wave_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-worker wave makespan forecast: 200 synthetic domains
     hash-assigned to the reference's 5 scrapyd workers, each carrying
@@ -4219,6 +4272,7 @@ def queries():
         "span_equality": q_span_equality,
         "audio_segments": q_audio_segments,
         "worker_balance": q_worker_balance,
+        "archive_storage_plan": q_archive_storage_plan,
         # 52-62: the eleven twice-certified variants rotated OUT of the
         # gate window by the round-5 promotions — every family keeps an
         # in-window representative (expire_recrawl by dedup_seen,
@@ -4526,6 +4580,7 @@ def oracle_sql():
         "span_equality": _span_equality_sql(),
         "audio_segments": _audio_segments_sql(),
         "worker_balance": _worker_balance_sql(),
+        "archive_storage_plan": _archive_storage_plan_sql(),
         "wave_eta": _wave_eta_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
         "hll_registers": _hll_registers_sql(),
